@@ -1,0 +1,93 @@
+"""Joins (SURVEY.md section 2 C): star-schema enrichment, broadcast
+strategy, semi/anti, and the point-in-time (as-of) join the reference
+declares for its Silver layer.
+
+Scale notes (100 TB):
+- dimension enrichment broadcasts the dim side (reference
+  Dashboard.md:57) — no shuffle of the fact table;
+- as-of join avoids the naive range-join blowup by unioning the two
+  keyed timelines and taking a running last-non-null — one shuffle on
+  the entity key, state bounded by dim cardinality, the standard
+  scalable formulation;
+- semi/anti compile to broadcast/shuffled hash joins under AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def enrich_left(fact: DataFrame, dim: DataFrame, on: list[str] | str,
+                broadcast_dim: bool = True) -> DataFrame:
+    """J3/J4: read-time LEFT JOIN enrichment (reference Dashboard.md:48)
+    with the dim side broadcast (Dashboard.md:57)."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(d, on=on, how="left")
+
+
+def join_semi(left: DataFrame, right: DataFrame, on: list[str] | str) -> DataFrame:
+    """EXISTS semantics (implied by MERGE matching, SURVEY.md section 2 C)."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def join_anti(left: DataFrame, right: DataFrame, on: list[str] | str) -> DataFrame:
+    """J2: NOT EXISTS — the `WHEN NOT MATCHED THEN INSERT` half of MERGE
+    (reference ``streaming_job.py:148-154``)."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def asof_join(
+    fact: DataFrame,
+    timeline: DataFrame,
+    key: str,
+    fact_ts: str,
+    timeline_ts: str,
+    value_cols: list[str],
+    fact_tiebreaks: list[str] | None = None,
+) -> DataFrame:
+    """J5: point-in-time enrichment — each fact row gets the latest
+    timeline values with ``timeline_ts <= fact_ts`` (reference Silver
+    design: "user's segment *at that moment*",
+    DataModel_SchemaDesign.md:48, declared unimplemented).
+
+    Implementation: union the two keyed streams ordered by time with
+    timeline rows sorting *before* fact rows at equal timestamps, then
+    ``last(value, ignorenulls=True)`` over an unbounded-preceding
+    running frame.  One shuffle on ``key``; no range-join explosion —
+    this is the formulation that survives 100 TB facts x mutable dims.
+
+    ``timeline`` must be unique per (key, timeline_ts).
+    """
+    f_cols = [c for c in fact.columns]
+    t = timeline.select(
+        F.col(key),
+        F.col(timeline_ts).alias("__ts"),
+        F.lit(0).alias("__side"),  # timeline first at ties (<=)
+        *[F.col(c) for c in value_cols],
+        *[F.lit(None).cast(fact.schema[c].dataType).alias(f"__f_{c}") for c in f_cols],
+    )
+    fct = fact.select(
+        F.col(key),
+        F.col(fact_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(timeline.schema[c].dataType).alias(c) for c in value_cols],
+        *[F.col(c).alias(f"__f_{c}") for c in f_cols],
+    )
+    order = [F.col("__ts").asc(), F.col("__side").asc()] + [
+        F.col(f"__f_{c}").asc_nulls_first() for c in (fact_tiebreaks or [])
+    ]
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    unioned = t.unionByName(fct)
+    filled = unioned.select(
+        "*", *[F.last(F.col(c), ignorenulls=True).over(w).alias(f"__v_{c}") for c in value_cols]
+    )
+    out = filled.filter(F.col("__side") == 1).select(
+        *[F.col(f"__f_{c}").alias(c) for c in f_cols],
+        *[F.col(f"__v_{c}").alias(c) for c in value_cols],
+    )
+    return out

@@ -1,0 +1,96 @@
+"""MERGE upsert as a format-agnostic DataFrame algorithm (SURVEY.md
+section 2 J1/J2/J6).
+
+The reference MERGEs via Iceberg merge-on-read SQL
+(``streaming_job.py:92-155``, ``stream_dims.py:65-92,113-141``).  With
+no table-format jars in this environment, MERGE semantics are a plain
+join+coalesce plan:
+
+    updates  -> dedup-latest per key within the batch (T7)
+    matched  -> full-outer join target<->updates
+    columns  -> per-column coalesce (update wins; null update keeps old)
+
+which is exactly what a MoR engine materializes at read time.  When
+Delta is on the classpath, ``delta_merge`` takes the fast path.
+
+Scale: one shuffle on the merge key for the join; batch-scoped dedup
+shrinks the shuffled update side first (reference rationale
+PipelineArchitecture.md:168).  Idempotent: re-applying the same batch
+is a no-op (SURVEY.md section 5.3 invariant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .relational import dedup_latest
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    order_col: str | None = None,
+    tiebreak_cols: list[str] | None = None,
+    update_cols: list[str] | None = None,
+) -> DataFrame:
+    """Generic SCD1 MERGE: latest update per key wins; unmatched keys
+    insert; update nulls fall back to target values (the reference's
+    column-wise ``coalesce(source.x, target.x)``,
+    ``streaming_job.py:141-144``).
+
+    ``update_cols`` restricts which columns an update may touch
+    (reference SCD1 touches only segment/status columns,
+    ``stream_dims.py:83-86``); others keep target values for matched
+    rows.
+    """
+    if order_col is not None:
+        updates = dedup_latest(updates, key_cols, order_col, tiebreak_cols)
+
+    data_cols = [c for c in target.columns if c not in key_cols]
+    updatable = set(update_cols) if update_cols is not None else set(data_cols)
+
+    t = target.select(*key_cols, *[F.col(c).alias(f"__t_{c}") for c in data_cols])
+    u = updates.select(
+        *key_cols,
+        *[F.col(c).alias(f"__u_{c}") for c in data_cols if c in updates.columns],
+        F.lit(1).alias("__has_update"),
+    )
+    joined = t.join(u, on=key_cols, how="full_outer")
+
+    out_cols = [F.col(k) for k in key_cols]
+    for c in data_cols:
+        u_col = f"__u_{c}"
+        if c in updatable and u_col in joined.columns:
+            out_cols.append(F.coalesce(F.col(u_col), F.col(f"__t_{c}")).alias(c))
+        else:
+            # matched rows keep target; pure inserts take the update value
+            if u_col in joined.columns:
+                out_cols.append(
+                    F.when(F.col(f"__t_{c}").isNull() & F.col("__has_update").isNotNull(),
+                           F.col(u_col)).otherwise(F.col(f"__t_{c}")).alias(c)
+                )
+            else:
+                out_cols.append(F.col(f"__t_{c}").alias(c))
+    return joined.select(*out_cols)
+
+
+def latest_state(events: DataFrame, key_cols: list[str], order_col: str,
+                 fill_cols: list[str], tiebreak_cols: list[str] | None = None) -> DataFrame:
+    """The reference's orders gold pattern (``streaming_job.py:95-135``):
+    collapse an event log to one row per key — latest row wins, sparse
+    columns filled from the latest non-null occurrence (W2 + W1)."""
+    from .relational import latest_non_null
+
+    filled = latest_non_null(events, key_cols, order_col, fill_cols, tiebreak_cols)
+    return dedup_latest(filled, key_cols, order_col, tiebreak_cols)
+
+
+def delta_merge_available(spark) -> bool:
+    """Capability check for the Delta fast path (not in this container)."""
+    try:
+        spark._jvm.io.delta.tables.DeltaTable  # noqa: SLF001
+        return True
+    except Exception:
+        return False

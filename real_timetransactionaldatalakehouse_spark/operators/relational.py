@@ -1,0 +1,129 @@
+"""Relational core: projections, filters, aggregations, analytic
+windows, sorts, set ops (SURVEY.md section 2 B/D/E/F/G).
+
+Everything here is built-in Catalyst surface — predicate pushdown,
+column pruning, partial+final hash aggregation, TakeOrderedAndProject
+top-k all come for free; nothing needs a custom rule (SURVEY.md
+section 4 conclusion).  At 100 TB the scale story per operator:
+
+- filters/projections: pushed to the parquet scan (check
+  ``PushedFilters`` in the plan);
+- groupBy aggs: map-side partial aggregation bounds shuffle volume;
+  Zipf-skewed keys (reference mock_content_generator.py:89-94) are
+  absorbed by partial agg + AQE;
+- analytic windows: partitioned by entity key — scales with key
+  cardinality; no global windows in the hot path;
+- top-k: ``orderBy().limit()`` compiles to TakeOrderedAndProject
+  (per-partition heap + driver merge), never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------- windows (E*)
+
+def dedup_latest(df: DataFrame, key_cols: list[str], order_col: str,
+                 tiebreak_cols: list[str] | None = None) -> DataFrame:
+    """W1/T7: keep the latest row per key (reference CDC dedup,
+    ``stream_dims.py:77-80``, ``streaming_job.py:133-135``).
+
+    ROW_NUMBER over (PARTITION BY key ORDER BY order_col DESC,
+    tiebreaks DESC) == 1.  A deterministic tiebreak is mandatory for
+    oracle parity (SURVEY.md section 7.3).
+    """
+    order = [F.col(order_col).desc()] + [F.col(c).desc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def latest_non_null(df: DataFrame, key_cols: list[str], order_col: str,
+                    fill_cols: list[str], tiebreak_cols: list[str] | None = None) -> DataFrame:
+    """W2: per key, fill each column with its latest non-null value
+    (reference ``streaming_job.py:101-128``: ``first_value(x) IGNORE
+    NULLS OVER (PARTITION BY k ORDER BY ts DESC ROWS BETWEEN UNBOUNDED
+    PRECEDING AND UNBOUNDED FOLLOWING)``)."""
+    order = [F.col(order_col).desc()] + [F.col(c).desc() for c in (tiebreak_cols or [])]
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    out = df
+    for c in fill_cols:
+        out = out.withColumn(c, F.first(F.col(c), ignorenulls=True).over(w))
+    return out
+
+
+def max_over_partition(df: DataFrame, key_cols: list[str], col: str, alias: str) -> DataFrame:
+    """W3: ``max(col) OVER (PARTITION BY key)`` (reference
+    ``streaming_job.py:130-131``)."""
+    w = Window.partitionBy(*key_cols)
+    return df.withColumn(alias, F.max(F.col(col)).over(w))
+
+
+def topk_per_group(df: DataFrame, group_cols: list[str], order_col: str, k: int,
+                   tiebreak_cols: list[str] | None = None, desc: bool = True) -> DataFrame:
+    """W5: ranked top-k per group (reference Dashboard.md:48 trending)."""
+    first = F.col(order_col).desc() if desc else F.col(order_col).asc()
+    order = [first] + [F.col(c).asc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sessionize(df: DataFrame, key_col: str, ts_col: str, gap_minutes: int = 30,
+               tiebreak_cols: list[str] | None = None,
+               session_col: str = "session_id") -> DataFrame:
+    """W4: LAG-based sessionization, the reference's declared-but-unbuilt
+    Silver layer (DataModel_SchemaDesign.md:47,58; moved to T+1 batch
+    per PipelineArchitecture.md:217-222 to avoid streaming state).
+
+    lag(ts) per key -> gap > threshold flag -> running sum of flags =
+    session index.  Scales with key cardinality (one window partition
+    per user), never a global window.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    gap_s = gap_minutes * 60
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_session = F.when(
+        prev.isNull()
+        | ((F.col(ts_col).cast("double") - prev.cast("double")) > gap_s),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    running = F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return df.withColumn(session_col, running)
+
+
+# ------------------------------------------------------------ aggregates (D*)
+
+def conditional_counts(df: DataFrame, group_cols: list[Column | str],
+                       cases: dict[str, Column]) -> DataFrame:
+    """G2: multi-metric conditional aggregation (reference
+    ``stream_content.py:125-135``): one ``count(when(cond, 1))`` per
+    metric, single shuffle, partial+final hash agg."""
+    aggs = [F.count(F.when(cond, F.lit(1))).alias(name) for name, cond in cases.items()]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def tumbling_window_counts(df: DataFrame, ts_col: str, duration: str,
+                           group_cols: list[str], cases: dict[str, Column]) -> DataFrame:
+    """G6/T2: tumbling event-time window + conditional counts — the
+    batch shape of the reference's gold aggregation
+    (``stream_content.py:123-144``).  Emits ``window_start``."""
+    aggs = [F.count(F.when(cond, F.lit(1))).alias(name) for name, cond in cases.items()]
+    return (
+        df.groupBy(F.window(F.col(ts_col), duration).alias("__w"), *group_cols)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("__w.start"))
+        .drop("__w")
+    )

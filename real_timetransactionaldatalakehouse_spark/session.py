@@ -1,0 +1,78 @@
+"""SparkSession profiles.
+
+The reference tunes one small-cluster session from config
+(``spark-defaults.conf:14-29`` in the reference: 8 shuffle partitions,
+AQE off, 16 MB splits) because it co-hosts streaming and serving in a
+6 GB container.  Here batch and streaming get separate profiles
+(SURVEY.md section 4, O5/O8): batch enables AQE + partition coalescing
+so the runtime re-plans shuffles/skew; streaming keeps AQE off inside
+the micro-batch loop as the reference does.
+
+At 100 TB these profiles are the per-job defaults; the structural
+choices (AQE, broadcast threshold, no hardcoded tiny parallelism)
+survive a 1000-executor cluster, while the local numbers
+(``local[N]``, driver memory) are test-only.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _builder(app: str, cpus: int) -> SparkSession.Builder:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+
+
+def batch_session(app: str = "lakehouse-batch", cpus: int | None = None) -> SparkSession:
+    """Batch profile: AQE on (runtime coalescing, skew-join handling,
+    auto broadcast conversion).  This is the profile bench.py and the
+    declared queries run under."""
+    spark = (
+        _builder(app, cpus or DEFAULT_CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def streaming_session(app: str = "lakehouse-stream", cpus: int | None = None) -> SparkSession:
+    """Streaming profile: AQE off (the reference disables it for
+    micro-batch noise, reference spark-defaults.conf:29); state-store
+    friendly shuffle sizing."""
+    spark = (
+        _builder(app, cpus or DEFAULT_CPUS)
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.sql.streaming.stateStore.compression.codec", "lz4")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def pin_utc(spark: SparkSession) -> SparkSession:
+    """Pin the session timezone for oracle-deterministic timestamp math.
+
+    The driver supplies its own SparkSession to ``queries()`` callables;
+    timestamps in the testdata are timezone-naive parquet values that
+    Spark interprets in the session zone, so every declared query pins
+    UTC to match DuckDB's naive-UTC reading.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

@@ -1,0 +1,49 @@
+"""Batch parquet table access over the driver testdata layout.
+
+One ``<name>.parquet`` file per table under an ``sf`` directory
+(TESTDATA.md).  Reads are plain ``spark.read.parquet`` so Catalyst
+keeps pushdown/pruning; no schema inference happens on the hot path
+(schemas live in the parquet footers, mirroring the reference's
+explicit-schema discipline, reference ``streaming_job.py:170-186``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import TPCH_TABLES
+
+# Tables whose parquet files carry INT64 TIMESTAMP(NANOS) columns, which
+# Spark 4 rejects by default.  Read them as nano-longs
+# (spark.sql.legacy.parquet.nanosAsLong) and convert to TimestampType
+# via exact integer division (ns DIV 1000 -> us; a double divide would
+# lose precision above 2^53).
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    nano_cols = _NANO_TS_COLS.get(name, ())
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for c in nano_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES) -> None:
+    """Register each table as a temp view for the SQL entry point."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
