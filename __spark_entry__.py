@@ -376,6 +376,494 @@ def q_union_all(spark, sf_dir):
 
 
 # =====================================================================
+# C. Joins
+# =====================================================================
+
+@_q("q_join_inner_equi", """
+SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""")
+def q_join_inner_equi(spark, sf_dir):
+    """J6: FK equi inner join (fact->dim referential integrity,
+    reference mock_cdc_generator.py:78)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@_q("q_join_left_enrich", """
+SELECT e.user_id, e.n_events, c.c_mktsegment, c.c_acctbal
+FROM (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id) e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+""")
+def q_join_left_enrich(spark, sf_dir):
+    """J3: read-time star-schema LEFT JOIN enrichment (reference
+    Dashboard.md:48) — dim side broadcast (Dashboard.md:57)."""
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_acctbal"
+    )
+    return J.enrich_left(per_user, dim, "user_id").select(
+        "user_id", "n_events", "c_mktsegment", "c_acctbal"
+    )
+
+
+@_q("q_join_broadcast", """
+SELECT s.s_suppkey, s.s_name, n.n_name, r.r_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+""")
+def q_join_broadcast(spark, sf_dir):
+    """J4: explicit broadcast strategy on the snowflake dims — plan
+    shows BroadcastHashJoin, zero shuffle of the fact side."""
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+    )
+
+
+@_q("q_join_semi", """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def q_join_semi(spark, sf_dir):
+    """Semi join: EXISTS (the matched half of MERGE, SURVEY section 2 C)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return J.join_semi(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+@_q("q_join_anti", """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def q_join_anti(spark, sf_dir):
+    """J2: NOT-EXISTS anti join — `WHEN NOT MATCHED THEN INSERT`
+    semantics (reference streaming_job.py:148-154)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return J.join_anti(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+@_q("q_join_asof", """
+WITH timeline AS (
+  SELECT o_custkey AS user_id, o_orderdate AS t_ts, MAX(o_orderstatus) AS status
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       date_trunc('second', CAST(e.ts AS TIMESTAMP)) AS ts_s,
+       t.status
+FROM events e ASOF LEFT JOIN timeline t
+  ON e.user_id = t.user_id AND e.ts >= t.t_ts
+""")
+def q_join_asof(spark, sf_dir):
+    """J5: point-in-time (as-of) join — the reference Silver design's
+    "segment at that moment" enrichment (DataModel_SchemaDesign.md:48).
+    Spark side: union-timelines + running last-non-null (joins.py),
+    oracle side: DuckDB native ASOF JOIN."""
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    timeline = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("t_ts"))
+        .agg(F.max("o_orderstatus").alias("status"))
+    )
+    out = J.asof_join(
+        events, timeline, key="user_id", fact_ts="ts", timeline_ts="t_ts",
+        value_cols=["status"], fact_tiebreaks=["event_id"],
+    )
+    return out.select("event_id", "user_id", LF.ts_second("ts").alias("ts_s"), "status")
+
+
+@_q("q_merge_upsert", """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS amount,
+         o_orderpriority AS priority
+  FROM orders WHERE o_orderkey % 2 = 0
+), upd AS (
+  SELECT o_orderkey, 'X' AS status, o_totalprice * 1.1 AS amount,
+         CAST(NULL AS VARCHAR) AS priority
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT COALESCE(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+       COALESCE(u.status, b.status) AS status,
+       COALESCE(u.amount, b.amount) AS amount,
+       COALESCE(u.priority, b.priority) AS priority
+FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+""")
+def q_merge_upsert(spark, sf_dir):
+    """J1/J6: MERGE upsert as full-outer join + column-wise coalesce
+    (reference streaming_job.py:137-154) via operators.merge — update
+    wins, null update column falls back to target, unmatched inserts."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("status"),
+        (F.col("o_totalprice") * 1.1).alias("amount"),
+        F.lit(None).cast("string").alias("priority"),
+    )
+    return M.merge_upsert(base, upd, ["o_orderkey"])
+
+
+# =====================================================================
+# D. Aggregations (remaining)
+# =====================================================================
+
+@_q("q_agg_conditional_counts", """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signups,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS errors
+FROM events GROUP BY user_id
+""")
+def q_agg_conditional_counts(spark, sf_dir):
+    """B7/G2: 5-metric conditional aggregation — the reference gold
+    pattern (stream_content.py:125-135), one shuffle."""
+    return R.conditional_counts(
+        _t(spark, sf_dir, "events"), ["user_id"],
+        {
+            "views": F.col("event_type") == "view",
+            "clicks": F.col("event_type") == "click",
+            "purchases": F.col("event_type") == "purchase",
+            "signups": F.col("event_type") == "signup",
+            "errors": F.col("event_type") == "error",
+        },
+    )
+
+
+@_q("q_window_tumbling_1min", """
+SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS window_start,
+       user_id,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks
+FROM events GROUP BY 1, 2
+""")
+def q_window_tumbling_1min(spark, sf_dir):
+    """G6/T2: 1-minute tumbling event-time window + conditional counts
+    (reference stream_content.py:123-144); batch equivalent of the
+    streaming gold agg, oracle via date_trunc."""
+    return R.tumbling_window_counts(
+        _t(spark, sf_dir, "events"), "ts", "1 minute", ["user_id"],
+        {
+            "views": F.col("event_type") == "view",
+            "clicks": F.col("event_type") == "click",
+        },
+    ).select("window_start", "user_id", "views", "clicks")
+
+
+@_q("q_agg_ratio_velocity", """
+SELECT user_id,
+       CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) * 5
+            + COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) * 10 AS DOUBLE)
+         / CAST(NULLIF(COUNT(CASE WHEN event_type = 'view' THEN 1 END), 0) AS DOUBLE)
+         AS velocity
+FROM events GROUP BY user_id
+""")
+def q_agg_ratio_velocity(spark, sf_dir):
+    """G3: weighted-sum ratio — the reference velocity metric
+    (Dashboard.md:45: SUM(likes*5+shares*10)/SUM(impressions))."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        (
+            (
+                F.count(F.when(F.col("event_type") == "click", 1)) * 5
+                + F.count(F.when(F.col("event_type") == "purchase", 1)) * 10
+            ).cast("double")
+            / F.nullif(
+                F.count(F.when(F.col("event_type") == "view", 1)), F.lit(0)
+            ).cast("double")
+        ).alias("velocity")
+    )
+
+
+@_q("q_agg_pct_threshold", """
+SELECT event_type,
+       CAST(COUNT(CASE WHEN value > 100.0 THEN 1 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS pct_high
+FROM events GROUP BY event_type
+""")
+def q_agg_pct_threshold(spark, sf_dir):
+    """G7: ratio-of-filtered-count gauge (reference Dashboard.md:47
+    cold-start '% above threshold')."""
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(
+        (
+            F.count(F.when(F.col("value") > 100.0, 1)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("pct_high")
+    )
+
+
+@_q("q_agg_count_distinct", """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""")
+def q_agg_count_distinct(spark, sf_dir):
+    """G8: exact count-distinct (reference Dashboard.md:71 cohort base)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@_q("q_cohort_retention", """
+WITH m AS (
+  SELECT DISTINCT o_custkey,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS month
+  FROM orders
+)
+SELECT a.month, COUNT(*) AS retained
+FROM m a JOIN m b
+  ON a.o_custkey = b.o_custkey
+ AND b.month = CAST(a.month + INTERVAL 1 MONTH AS DATE)
+GROUP BY a.month
+""")
+def q_cohort_retention(spark, sf_dir):
+    """G8: cohort retention — customers active in month M who returned
+    in M+1 (reference Dashboard.md:71, declared)."""
+    m = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+        )
+        .distinct()
+    )
+    a, b = m.alias("a"), m.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("b.month") == F.add_months(F.col("a.month"), 1)),
+        )
+        .groupBy(F.col("a.month").alias("month"))
+        .agg(F.count(F.lit(1)).alias("retained"))
+    )
+
+
+@_q("q_agg_binned_heatmap", """
+SELECT CASE WHEN l_quantity < 15 THEN '0-15'
+            WHEN l_quantity < 30 THEN '15-30'
+            ELSE '30+' END AS qty_bin,
+       l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+         / CAST(COUNT(l_extendedprice) AS DOUBLE) AS avg_price
+FROM lineitem GROUP BY 1, 2
+""")
+def q_agg_binned_heatmap(spark, sf_dir):
+    """G9: binned heatmap aggregation (reference Dashboard.md:70:
+    duration bins x category -> avg completion)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty_bin = (
+        F.when(F.col("l_quantity") < 15, "0-15")
+        .when(F.col("l_quantity") < 30, "15-30")
+        .otherwise("30+")
+    )
+    return li.groupBy(qty_bin.alias("qty_bin"), F.col("l_returnflag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        LF.davg("l_extendedprice").alias("avg_price"),
+    )
+
+
+# =====================================================================
+# E. Analytic windows
+# =====================================================================
+
+@_q("q_dedup_latest", """
+SELECT user_id, event_id, event_type,
+       date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""")
+def q_dedup_latest(spark, sf_dir):
+    """W1/T7: keep-latest-per-key dedup — the core CDC pattern
+    (reference stream_dims.py:77-80)."""
+    out = R.dedup_latest(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", tiebreak_cols=["event_id"]
+    )
+    return out.select("user_id", "event_id", "event_type", LF.ts_second("ts").alias("ts_s"))
+
+
+@_q("q_first_value_ignore_nulls", """
+SELECT user_id, last_purchase_value FROM (
+  SELECT user_id,
+         first_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS last_purchase_value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""")
+def q_first_value_ignore_nulls(spark, sf_dir):
+    """W2: latest non-null value per key over an unbounded frame —
+    the reference's sparse-column fill (streaming_job.py:101-128)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "amount", F.when(F.col("event_type") == "purchase", F.col("value"))
+    )
+    filled = R.latest_non_null(
+        ev, ["user_id"], "ts", ["amount"], tiebreak_cols=["event_id"]
+    )
+    one = R.dedup_latest(filled, ["user_id"], "ts", tiebreak_cols=["event_id"])
+    return one.select("user_id", F.col("amount").alias("last_purchase_value"))
+
+
+@_q("q_max_over_partition", """
+SELECT l_orderkey, l_linenumber,
+       MAX(l_shipdate) OVER (PARTITION BY l_orderkey) AS max_ship
+FROM lineitem
+""")
+def q_max_over_partition(spark, sf_dir):
+    """W3: MAX over partition, no frame (reference streaming_job.py:130-131)."""
+    out = R.max_over_partition(
+        _t(spark, sf_dir, "lineitem"), ["l_orderkey"], "l_shipdate", "max_ship"
+    )
+    return out.select("l_orderkey", "l_linenumber", "max_ship")
+
+
+@_q("q_sessionize_lag", """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT event_id, user_id,
+       CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM g
+""")
+def q_sessionize_lag(spark, sf_dir):
+    """W4: 30-min-gap LAG sessionization — the reference's declared
+    Silver session stitching (DataModel_SchemaDesign.md:47,58)."""
+    out = R.sessionize(
+        _t(spark, sf_dir, "events"), "user_id", "ts",
+        gap_minutes=30, tiebreak_cols=["event_id"],
+    )
+    return out.select("event_id", "user_id", "session_id")
+
+
+@_q("q_topk_per_group", """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3
+""")
+def q_topk_per_group(spark, sf_dir):
+    """W5: ranked top-k per group (reference Dashboard.md:48 trending)."""
+    out = R.topk_per_group(
+        _t(spark, sf_dir, "orders"), ["o_orderpriority"], "o_totalprice", 3,
+        tiebreak_cols=["o_orderkey"],
+    )
+    return out.select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+
+
+# =====================================================================
+# H. Scalar functions
+# =====================================================================
+
+@_q("q_json_parse_struct", """
+SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
+FROM events
+""")
+def q_json_parse_struct(spark, sf_dir):
+    """H1: from_json with explicit schema (reference streaming_job.py:200)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", LF.json_parse("props", "k INT").getField("k").alias("k")
+    )
+
+
+@_q("q_json_extract", """
+SELECT event_id, props->>'$.k' AS k_str
+FROM events
+""")
+def q_json_extract(spark, sf_dir):
+    """H3: get_json_object promotion path (reference
+    DataModel_SchemaDesign.md:129)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id", LF.json_extract("props", "$.k").alias("k_str")
+    )
+
+
+@_q("q_ts_diff", """
+SELECT event_id,
+       date_diff('second',
+                 date_trunc('second', CAST(ts AS TIMESTAMP)),
+                 TIMESTAMP '2024-02-01 00:00:00') AS age_s
+FROM events
+""")
+def q_ts_diff(spark, sf_dir):
+    """H6: whole-second timestamp difference (reference
+    lakehouse_monitor.json:181 freshness lag), pinned 'now'."""
+    ev = _t(spark, sf_dir, "events")
+    asof = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    return ev.select("event_id", LF.seconds_between(F.col("ts"), asof).alias("age_s"))
+
+
+@_q("q_string_funcs", """
+SELECT c_custkey,
+       lower(c_name) AS name_lower,
+       upper(c_mktsegment) AS seg_upper,
+       substring(c_name, 1, 8) AS name_prefix,
+       CAST(length(c_name) AS INTEGER) AS name_len,
+       concat(c_mktsegment, '#', CAST(c_custkey AS VARCHAR)) AS seg_key
+FROM customer
+""")
+def q_string_funcs(spark, sf_dir):
+    """H10: string scalar surface (lower/upper/substring/length/concat)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat(F.col("c_mktsegment"), F.lit("#"), F.col("c_custkey").cast("string")).alias("seg_key"),
+    )
+
+
+@_q("q_array_explode", """
+SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val
+FROM embeddings
+""")
+def q_array_explode(spark, sf_dir):
+    """H9: array explode (reference hashtags ARRAY<STRING> analysis
+    path, stream_dims.py:38); float widened to double losslessly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.explode("embedding").alias("v")
+    ).select("vec_id", F.col("v").cast("double").alias("val"))
+
+
+# =====================================================================
 # Driver contract surface
 # =====================================================================
 
