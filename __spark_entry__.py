@@ -864,6 +864,266 @@ def q_array_explode(spark, sf_dir):
 
 
 # =====================================================================
+# X. EXT — LLM-data-pipeline operators (SURVEY.md section 2 L)
+# =====================================================================
+
+@_q("q_dedup_exact", """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
+)
+SELECT md5(text) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+       COUNT(*) AS n_copies
+FROM all_docs GROUP BY text
+""")
+def q_dedup_exact(spark, sf_dir):
+    """X1: exact dedup via hash-groupBy; duplicate docs injected
+    deterministically (corpus texts are unique) so the keeper/count
+    semantics are actually exercised."""
+    from real_timetransactionaldatalakehouse_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    out = D.exact_dedup(docs.unionByName(dups))
+    return out.select(F.md5("text").alias("fp"), "keeper_id", "n_copies")
+
+
+@_q("q_neardup_minhash")  # rows-only: xxhash64 not reproducible in DuckDB
+def q_neardup_minhash(spark, sf_dir):
+    """X2: MinHash+LSH near-dup pairs over the corpus + injected
+    mutated near-copies (drop last 2 words of docs 0-19)."""
+    from real_timetransactionaldatalakehouse_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    mutated = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))).alias("text"),
+    )
+    return D.minhash_neardup_pairs(docs.unionByName(mutated), jaccard_threshold=0.5)
+
+
+@_q("q_simhash_neardup")  # rows-only: xxhash64 not reproducible in DuckDB
+def q_simhash_neardup(spark, sf_dir):
+    """X2-adjacent: SimHash near-dup pairs (hamming <= 8) over corpus +
+    the same mutated near-copies."""
+    from real_timetransactionaldatalakehouse_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    mutated = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))).alias("text"),
+    )
+    return D.simhash_neardup_pairs(docs.unionByName(mutated), max_hamming=8)
+
+
+@_q("q_jaccard_pairs", """
+WITH toks AS (
+  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id < 30
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(a.tok, b.tok))) AS DOUBLE) AS jaccard
+FROM toks a, toks b WHERE a.id < b.id
+""")
+def q_jaccard_pairs(spark, sf_dir):
+    """X2: token-set Jaccard over a bounded pair space (at scale the
+    pair space comes from MinHash LSH candidates instead)."""
+    from real_timetransactionaldatalakehouse_spark.operators import dedup as D
+
+    return D.jaccard_pairs(_t(spark, sf_dir, "documents"), max_id=30)
+
+
+_KNN_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+    list_reduce(list_transform(list_zip(qv, cv),
+                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+                (s, v) -> s + v)
+    / (sqrt(list_reduce(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (s, v) -> s + v))
+     * sqrt(list_reduce(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (s, v) -> s + v)))
+    AS score
+  FROM c, q WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, rank, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@_q("q_knn_topk", _KNN_ORACLE)
+def q_knn_topk(spark, sf_dir):
+    """X3: exact brute-force cosine top-5 for a bounded query set —
+    broadcast queries, map-side scoring, per-query top-k window.  The
+    double fold is bit-identical to the DuckDB oracle's list_reduce."""
+    from real_timetransactionaldatalakehouse_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.knn_bruteforce(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+@_q("q_knn_lsh")  # rows-only: approximate path, no SQL equivalent
+def q_knn_lsh(spark, sf_dir):
+    """X3 scale path: sign-random-projection LSH buckets + in-bucket
+    exact re-rank (approximate top-k)."""
+    from real_timetransactionaldatalakehouse_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.knn_lsh(emb.filter(F.col("vec_id") < 10), emb, k=5, planes=4, tables=16)
+
+
+@_q("q_embed_neardup", """
+WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (s, v) -> s + v)
+  / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (s, v) -> s + v))
+   * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (s, v) -> s + v)))
+  AS score
+FROM sub a, sub b
+WHERE a.vec_id < b.vec_id AND score >= 0.25
+""")
+def q_embed_neardup(spark, sf_dir):
+    """X2/X3: embedding-cosine near-duplicate pairs over a bounded
+    subset (scale path feeds the same scorer from LSH buckets)."""
+    from real_timetransactionaldatalakehouse_spark.operators import similarity as S
+
+    return S.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.25, max_id=60
+    )
+
+
+@_q("q_text_tokens", """
+SELECT t.token, COUNT(*) AS n
+FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+GROUP BY 1
+""")
+def q_text_tokens(spark, sf_dir):
+    """X4: corpus term frequencies (explode -> groupBy)."""
+    from real_timetransactionaldatalakehouse_spark.operators import text as TX
+
+    return TX.token_counts(_t(spark, sf_dir, "documents"))
+
+
+@_q("q_text_stats", r"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+       n_distinct AS n_distinct_tokens,
+       CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+       CAST(length(text) - n_tokens + 1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len
+FROM t
+""")
+def q_text_stats(spark, sf_dir):
+    """X4: per-document stats — whitespace + BPE-ish regex token
+    counts, distinct-token ratio, mean token length."""
+    from real_timetransactionaldatalakehouse_spark.operators import text as TX
+
+    return TX.text_stats(_t(spark, sf_dir, "documents"))
+
+
+_LANGID_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+    CAST(len(list_intersect(list_distinct(string_split(text,' ')), ['the','and','of','to','is'])) AS INTEGER) AS score_en,
+    CAST(len(list_intersect(list_distinct(string_split(text,' ')), ['el','la','de','que','es'])) AS INTEGER) AS score_es,
+    CAST(len(list_intersect(list_distinct(string_split(text,' ')), ['der','die','und','das','ist'])) AS INTEGER) AS score_de,
+    CAST(len(list_intersect(list_distinct(string_split(text,' ')), ['le','la','et','les','est'])) AS INTEGER) AS score_fr,
+    CAST(len(list_intersect(list_distinct(string_split(text,' ')), ['de5','shi4','le5','zai4','he2'])) AS INTEGER) AS score_zh
+  FROM documents
+)
+SELECT *,
+  CASE WHEN score_en > 0 AND score_en >= score_es AND score_en >= score_de AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+       WHEN score_es > 0 AND score_es >= score_de AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+       WHEN score_de > 0 AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+       WHEN score_fr > 0 AND score_fr >= score_zh THEN 'fr'
+       WHEN score_zh > 0 THEN 'zh'
+       ELSE 'unknown' END AS lang_guess
+FROM s
+"""
+
+
+@_q("q_text_langid", _LANGID_ORACLE)
+def q_text_langid(spark, sf_dir):
+    """X4: stopword-marker language ID with priority tie-break."""
+    from real_timetransactionaldatalakehouse_spark.operators import text as TX
+
+    return TX.language_id(_t(spark, sf_dir, "documents"))
+
+
+@_q("q_text_quality", """
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+  FROM documents
+), r AS (
+  SELECT doc_id,
+    CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS DOUBLE) / n_tok AS stopword_ratio,
+    CAST(len(list_distinct(toks)) AS DOUBLE) / n_tok AS ttr,
+    least(n_tok / 64.0, 1.0) AS len_sat
+  FROM t
+)
+SELECT doc_id, stopword_ratio, ttr, len_sat,
+       len_sat * 0.4 + stopword_ratio * 0.3 + ttr * 0.3 AS quality
+FROM r
+""")
+def q_text_quality(spark, sf_dir):
+    """X4: heuristic quality score (length saturation + stopword ratio
+    + type-token ratio)."""
+    from real_timetransactionaldatalakehouse_spark.operators import text as TX
+
+    return TX.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@_q("q_text_fingerprint", r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+""")
+def q_text_fingerprint(spark, sf_dir):
+    """X4: md5 fingerprint of whitespace-normalized lowercase text."""
+    from real_timetransactionaldatalakehouse_spark.operators import text as TX
+
+    return TX.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@_q("q_multimodal_features")  # rows-only: mapInPandas stub kernel
+def q_multimodal_features(spark, sf_dir):
+    """X5: multimodal binary-column pipeline — synthetic media table ->
+    Arrow-batched mapInPandas feature extraction (FAKE decode kernel;
+    Spark-side schema/partitioning/batching are the real thing)."""
+    from real_timetransactionaldatalakehouse_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.synthetic_media(spark, docs, n=64)
+    feats = MM.extract_features(media)
+    return feats.select(
+        "media_id", "kind",
+        F.size("features").alias("dim"),
+        F.col("features")[0].alias("f0"),
+    )
+
+
+# =====================================================================
 # Driver contract surface
 # =====================================================================
 

@@ -1,0 +1,215 @@
+"""Deduplication operators (SURVEY.md section 2 X1/X2, north-star EXT):
+exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of each):
+
+- exact: hash-groupBy on the text (or md5 fingerprint at 100 TB so the
+  shuffle carries 16 bytes, not documents).
+- MinHash: signatures are computed *per row* with higher-order array
+  functions (array_min over transform) — no explode, no shuffle for
+  signature construction.  Only the LSH band table shuffles: B rows per
+  doc of (band_id, band_hash), then a self-join *within buckets* —
+  candidate pairs only, never the quadratic cross product.
+- SimHash: 64-bit signature per row (bit-majority over token hashes),
+  banded into 4x16-bit chunks for candidate generation.
+- Jaccard: token-set intersection/union per candidate pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """X1: one row per distinct text; keeper = min id, n_copies kept
+    for lineage.  Single hash-shuffle on the dedup key."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Sliding word n-grams as strings, per row (no explode)."""
+    t = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+
+
+def minhash_signature(text_col: str, num_hashes: int = 32, n: int = 3) -> Column:
+    """MinHash signature as array<long>, computed per row: for seed i,
+    sig[i] = min over shingles of xxhash64(seed_i, shingle).  Pure
+    expression — whole-stage codegen, zero shuffle."""
+    sh = F.array_distinct(word_shingles(text_col, n))
+
+    def seeded_hash(seed: int):
+        # NB: capture via closure, not a defaulted lambda arg — pyspark
+        # treats a 2-parameter transform lambda as (element, index)
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
+    return F.array(
+        *[F.array_min(F.transform(sh, seeded_hash(i))) for i in range(num_hashes)]
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """X2: MinHash+LSH near-duplicate pairs with estimated Jaccard.
+
+    shingle -> per-row signature -> band hashes -> explode B rows/doc
+    -> groupBy band bucket self-join -> distinct candidate pairs ->
+    signature-agreement estimate >= threshold.
+
+    The only shuffles are the band-bucket join (B small rows per doc)
+    and the final distinct — this is the formulation that survives
+    100 TB corpora; the quadratic pair space is never materialized.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, num_hashes, shingle_n).alias("sig"),
+    )
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("bhash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("id", "sig", F.explode(band_cols).alias("bb")).select(
+        "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: (a == b).cast("int")),
+                lambda x: x == 1,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.withColumn("jaccard_est", est)
+        .filter(F.col("jaccard_est") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+def simhash_signature(text_col: str, bits: int = 64) -> Column:
+    """X2-adjacent: SimHash — per-bit majority vote over token hashes,
+    folded per row with aggregate(); returns BIGINT signature."""
+    t = F.array_distinct(tokens(text_col))
+
+    def bit_sum(bit: int):
+        def step(acc, tok):
+            return acc + F.when(
+                F.shiftright(F.xxhash64(tok), bit).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return F.aggregate(t, F.lit(0), step)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(bit_sum(i) > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
+    return sig
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup: 4x16-bit chunk banding (two signatures within
+    hamming distance d<=... share at least one exact chunk for d<=3 per
+    chunk on average) -> candidate join -> exact hamming filter."""
+    sig_df = df.select(F.col(id_col).alias("id"), simhash_signature(text_col).alias("sig"))
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col("sig"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+            )
+            for c in range(4)
+        ]
+    )
+    banded = sig_df.select("id", "sig", F.explode(chunks).alias("cc")).select(
+        "id", "sig", F.col("cc.chunk").alias("chunk"), F.col("cc.ck").alias("ck")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.ck") == F.col("r.ck"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_id: int | None = None,
+) -> DataFrame:
+    """N-gram (word 1-gram) Jaccard similarity over candidate pairs.
+    ``max_id`` bounds the pair space for the declared oracle query; at
+    scale candidates come from MinHash LSH instead of a cross join."""
+    base = df if max_id is None else df.filter(F.col(id_col) < max_id)
+    toks = base.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens(text_col)).alias("tok"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
+    union = F.size(F.array_union(F.col("a.tok"), F.col("b.tok")))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+    )

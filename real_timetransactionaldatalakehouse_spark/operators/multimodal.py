@@ -1,0 +1,126 @@
+"""Multimodal columns (SURVEY.md section 2 X5, north-star EXT):
+image/audio/video as opaque BINARY columns + typed metadata structs,
+with decode / feature-extract / resize / frame-sample as Arrow-batched
+``mapInPandas`` stages.
+
+The container has no image/audio codecs, so the *decode kernels* are
+stubbed: ``deterministic_fake_features`` derives a stable feature
+vector from the bytes' md5 (clearly marked FAKE), and real decoders
+raise ``NotImplementedError``.  Everything Spark-side is real and
+tested: schema, partitioning, UDF signature, Arrow batch shape —
+swapping in a real codec changes one function body, not the plan.
+
+Scale: mapInPandas streams Arrow record batches; memory per task is
+bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` — binary
+payloads never pass through the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),  # opaque encoded bytes
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                    T.StructField("codec", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def deterministic_fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """FAKE decode stub: md5-seeded feature vector in [-1, 1].
+    Deterministic so tests and oracles are stable; replace with a real
+    decoder (PIL/librosa/ffmpeg) in deployment."""
+    if payload is None:
+        return [0.0] * dim
+    out: list[float] = []
+    h = b""
+    i = 0
+    while len(out) < dim:
+        h = hashlib.md5(payload + i.to_bytes(4, "little")).digest()
+        for j in range(0, 16, 4):
+            if len(out) >= dim:
+                break
+            v = int.from_bytes(h[j : j + 4], "little")
+            out.append((v % 2_000_001) / 1_000_000.0 - 1.0)
+        i += 1
+    return out
+
+
+def decode_image(payload: bytes):  # pragma: no cover - deployment hook
+    """Real image decode — unavailable in this container by design."""
+    raise NotImplementedError("image codecs not installed; use deterministic_fake_features")
+
+
+def extract_features(df: DataFrame, payload_col: str = "payload",
+                     dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas
+    (Arrow-batched; the decode kernel is the FAKE stub above)."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("features", T.ArrayType(T.FloatType()), True)]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["features"] = pdf[payload_col].map(
+                lambda b: deterministic_fake_features(bytes(b) if b is not None else None, dim)
+            )
+            yield pdf
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame offset.
+    Spark-side plumbing is real (posexplode over the sampled offsets);
+    the per-frame decode is the stub."""
+    n_frames = (F.coalesce(F.col("meta.duration_ms"), F.lit(0)) / every_ms).cast("int")
+    offsets = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
+    return (
+        df.filter(F.col("kind") == "video")
+        .select("media_id", F.explode(offsets).alias("frame_idx"))
+        .withColumn("frame_offset_ms", F.col("frame_idx") * every_ms)
+    )
+
+
+def synthetic_media(spark, documents: DataFrame, n: int = 64) -> DataFrame:
+    """Build a deterministic media table from document text bytes —
+    the test stand-in for real blob ingestion."""
+    base = documents.filter(F.col("doc_id") < n).select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            (F.col("n_chars") % 640).cast("int").alias("width"),
+            (F.col("n_chars") % 480).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+            F.lit("fake").alias("codec"),
+        ).alias("meta"),
+    )
+    return base

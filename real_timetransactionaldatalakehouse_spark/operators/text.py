@@ -1,0 +1,130 @@
+"""Text analysis operators (SURVEY.md section 2 X4, north-star EXT):
+tokenization, term stats, language-ID, quality scoring, document
+fingerprinting.
+
+Design: everything is built-in expression surface (split /
+higher-order array functions / regexp / md5) — no Python UDFs, so the
+whole pipeline stays in whole-stage codegen and scales linearly with
+document count: per-row compute, zero shuffles until an explicit
+aggregation.  At 100 TB the hot path is "explode tokens -> groupBy"
+whose shuffle carries (token, count) partials only (map-side combine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic.  Ordered: ties resolve to the earlier entry.
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "and", "of", "to", "is"]),
+    ("es", ["el", "la", "de", "que", "es"]),
+    ("de", ["der", "die", "und", "das", "ist"]),
+    ("fr", ["le", "la", "et", "les", "est"]),
+    ("zh", ["de5", "shi4", "le5", "zai4", "he2"]),
+]
+
+EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"]
+
+# BPE-ish word/number/symbol splitter (letters run | digits run | one symbol).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column | str, sep: str = " ") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, sep)
+
+
+def tokenize(df: DataFrame, text_col: str = "text", out: str = "token") -> DataFrame:
+    """Explode to one row per token (X4 tokenize)."""
+    return df.select("*", F.explode(tokens(text_col)).alias(out))
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus term frequencies: explode -> groupBy(token).count().
+    Shuffle carries per-partition partial counts only."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats: char/token counts (whitespace + BPE-ish
+    regex), distinct-token ratio, mean token length.  All per-row
+    expressions — no shuffle."""
+    t = tokens(text_col)
+    n_tok = F.size(t).cast("bigint")
+    n_distinct = F.size(F.array_distinct(t)).cast("bigint")
+    return df.select(
+        "doc_id",
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars_calc"),
+        n_tok.alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        (n_distinct.cast("double") / n_tok.cast("double")).alias("ttr"),
+        (
+            (F.length(F.col(text_col)) - n_tok + 1).cast("double")
+            / n_tok.cast("double")
+        ).alias("avg_token_len"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID (X4).  Scores each language by the
+    number of distinct marker tokens present; argmax with fixed
+    priority tie-break.  Pure array expressions; at scale this is a
+    map-only pass."""
+    tok_set = F.array_distinct(tokens(text_col))
+    scores = {
+        lang: F.size(F.array_intersect(tok_set, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS
+    }
+    out = df.select(
+        "doc_id",
+        *[scores[lang].cast("int").alias(f"score_{lang}") for lang, _ in LANG_MARKERS],
+    )
+    # argmax with priority tie-break: iterate in priority order with a
+    # strict '>' so the earliest language keeps ties
+    guess = F.lit("unknown")
+    guess_score = F.lit(0)
+    for lang, _ in LANG_MARKERS:
+        cond = F.col(f"score_{lang}") > guess_score
+        guess = F.when(cond, F.lit(lang)).otherwise(guess)
+        guess_score = F.when(cond, F.col(f"score_{lang}")).otherwise(guess_score)
+    return out.withColumn("lang_guess", guess)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1] (X4): length saturation,
+    stopword ratio, type-token ratio — deterministic double arithmetic
+    (same expression shape as the SQL oracle)."""
+    t = tokens(text_col)
+    n_tok = F.size(t).cast("double")
+    stop_ratio = (
+        F.size(
+            F.filter(t, lambda x: x.isin(*[F.lit(s) for s in EN_STOPWORDS]))
+        ).cast("double")
+        / n_tok
+    )
+    ttr = F.size(F.array_distinct(t)).cast("double") / n_tok
+    len_sat = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    return df.select(
+        "doc_id",
+        stop_ratio.alias("stopword_ratio"),
+        ttr.alias("ttr"),
+        len_sat.alias("len_sat"),
+        (len_sat * 0.4 + stop_ratio * 0.3 + ttr * 0.3).alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint (X4): md5 of whitespace-normalized
+    lowercase text — the exact-dedup key that survives cosmetic edits.
+    md5 (not xxhash64) so external engines can reproduce it."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select("doc_id", F.md5(norm).alias("fp"))

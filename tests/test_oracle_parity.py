@@ -35,6 +35,16 @@ def test_every_query_has_callable():
     assert set(_ORACLES) <= set(_QUERIES)
 
 
+@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
+def test_rows_only_queries_run(name, spark, sf_medium):
+    """Queries without a SQL oracle still must execute deterministically:
+    run twice, same sorted rows."""
+    a = sorted(map(str, _QUERIES[name](spark, sf_medium).collect()))
+    b = sorted(map(str, _QUERIES[name](spark, sf_medium).collect()))
+    assert a == b
+    assert len(a) >= 0
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
