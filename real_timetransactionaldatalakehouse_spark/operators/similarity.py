@@ -97,33 +97,63 @@ def _hyperplane(plane: int, dim: int) -> list[float]:
     return comps
 
 
+def _planes_matrix_expr(n_planes: int, dim: int) -> Column:
+    """All hyperplanes as ONE parsed SQL array<array<double>> literal.
+    Building them from per-component F.lit() costs a py4j round trip
+    per element (plan construction dominated the query); the D suffix
+    types each literal DOUBLE — a bare decimal literal parses as
+    DECIMAL and poisons the dot product into decimal math."""
+    rows = ",".join(
+        "array(" + ",".join(f"{c!r}D" for c in _hyperplane(p, dim)) + ")"
+        for p in range(n_planes)
+    )
+    return F.expr(f"array({rows})")
+
+
 def lsh_bucket(vec_col: Column, planes: int = 8, dim: int = 64, table: int = 0) -> Column:
     """Sign-random-projection bucket id (0..2^planes-1), per row.
     ``table`` offsets the hyperplane family so independent hash tables
     see independent projections."""
-    bucket = F.lit(0)
-    for p in range(planes):
-        hp = F.array(*[F.lit(c) for c in _hyperplane(table * planes + p, dim)])
-        s = dot(vec_col, hp)
-        bucket = bucket + F.when(s > 0, F.lit(2**p)).otherwise(F.lit(0))
-    return bucket
+    bits = F.transform(
+        _planes_matrix_expr((table + 1) * planes, dim),
+        lambda hp: F.when(dot(vec_col, hp) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return F.aggregate(
+        F.slice(bits, table * planes + 1, planes), F.lit(0), lambda acc, b: acc * 2 + b
+    )
 
 
 def _lsh_banded(df: DataFrame, id_alias: str, vec_alias: str, id_col: str,
                 vec_col: str, planes: int, dim: int, tables: int) -> DataFrame:
+    """(id, vec, tbl, bucket) rows: ONE transform computes every sign
+    bit against the constant plane matrix (2 lambda conversions total,
+    not 2 per plane), the bit array is materialized as a column (no CSE
+    across lambdas — see operators/dedup.py), then each table's bucket
+    is a tiny fold over its bit slice."""
+    all_bits = F.transform(
+        _planes_matrix_expr(tables * planes, dim),
+        lambda hp: F.when(dot(F.col(vec_col), hp) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    with_bits = df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias(vec_alias),
+        all_bits.alias("__bits"),
+    )
     buckets = F.array(
         *[
             F.struct(
                 F.lit(t).alias("tbl"),
-                lsh_bucket(F.col(vec_col), planes, dim, table=t).alias("bucket"),
+                F.aggregate(
+                    F.slice(F.col("__bits"), t * planes + 1, planes),
+                    F.lit(0),
+                    lambda acc, b: acc * 2 + b,
+                ).alias("bucket"),
             )
             for t in range(tables)
         ]
     )
-    return df.select(
-        F.col(id_col).alias(id_alias),
-        F.col(vec_col).alias(vec_alias),
-        F.explode(buckets).alias("tb"),
+    return with_bits.select(
+        id_alias, vec_alias, F.explode(buckets).alias("tb")
     ).select(id_alias, vec_alias, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
 
