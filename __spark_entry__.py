@@ -660,6 +660,34 @@ def q_cohort_retention(spark, sf_dir):
     )
 
 
+@_q("q_rollup", """
+SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
+       COALESCE(l_linestatus, '<all>') AS l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def q_rollup(spark, sf_dir):
+    """Grouping sets surface (SURVEY.md section 2 D note: Spark
+    built-in, exposed): ROLLUP with grouping-id disambiguation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            LF.dsum("l_quantity").alias("sum_qty"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+            "gid", "n", "sum_qty",
+        )
+    )
+
+
 @_q("q_agg_binned_heatmap", """
 SELECT CASE WHEN l_quantity < 15 THEN '0-15'
             WHEN l_quantity < 30 THEN '15-30'

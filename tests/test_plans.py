@@ -1,0 +1,76 @@
+"""Physical-plan contracts (SURVEY.md section 4): these tests lock the
+scale-relevant plan shapes — pushdown, pruning, broadcast, top-k,
+partial aggregation — so a refactor that de-optimizes a plan fails
+loudly instead of silently costing 100x at 100 TB."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from real_timetransactionaldatalakehouse_spark import plans as P  # noqa: E402
+
+_Q = entrymod.queries()
+
+
+def test_filter_pushdown_to_scan(spark, sf_medium):
+    """B3 equality filter must reach the parquet reader."""
+    df = _Q["q_filter_eq"](spark, sf_medium)
+    assert P.has_pushed_filter(df, "l_returnflag"), P.formatted_plan(df)
+
+
+def test_range_filter_pushdown(spark, sf_medium):
+    df = _Q["q_retention_filter"](spark, sf_medium)
+    assert P.has_pushed_filter(df, "ts"), P.formatted_plan(df)
+
+
+def test_column_pruning(spark, sf_medium):
+    """A2 projected scan must read only the projected columns."""
+    df = _Q["q_scan_project"](spark, sf_medium)
+    cols = set(P.read_schema_columns(df))
+    assert cols == {"l_orderkey", "l_partkey", "l_quantity", "l_returnflag"}, cols
+
+
+def test_broadcast_join_for_dims(spark, sf_medium):
+    """J4: snowflake dims must go broadcast, never shuffle the fact."""
+    df = _Q["q_join_broadcast"](spark, sf_medium)
+    assert P.uses_broadcast_join(df), P.formatted_plan(df)
+
+
+def test_enrich_left_broadcasts(spark, sf_medium):
+    df = _Q["q_join_left_enrich"](spark, sf_medium)
+    assert P.uses_broadcast_join(df), P.formatted_plan(df)
+
+
+def test_topk_compiles_to_take_ordered(spark, sf_medium):
+    """S3: orderBy+limit must be TakeOrderedAndProject (per-partition
+    heaps), not a global sort."""
+    df = _Q["q_orderby_limit_topk"](spark, sf_medium)
+    assert P.uses_take_ordered(df), P.formatted_plan(df)
+
+
+def test_group_agg_is_partial_final(spark, sf_medium):
+    """G1: map-side combine bounds shuffle volume."""
+    df = _Q["q_agg_count_by_key"](spark, sf_medium)
+    assert P.has_partial_aggregation(df), P.formatted_plan(df)
+
+
+def test_whole_stage_codegen_covers_hot_path(spark, sf_medium):
+    df = _Q["q_agg_conditional_counts"](spark, sf_medium)
+    df.collect()  # AQE shows WholeStageCodegen spans only in the final plan
+    assert P.whole_stage_codegen_spans(df) >= 1, P.formatted_plan(df)
+
+
+def test_no_cartesian_in_relational_queries(spark, sf_medium):
+    """Only the bounded-pair EXT queries may nested-loop; every
+    relational join must hash/sort-merge/broadcast."""
+    for name in [
+        "q_join_inner_equi", "q_join_left_enrich", "q_join_semi",
+        "q_join_anti", "q_merge_upsert", "q_join_asof",
+        "q_cohort_retention",
+    ]:
+        df = _Q[name](spark, sf_medium)
+        assert not P.has_cartesian_product(df), f"{name} plans a cartesian/NL join"
