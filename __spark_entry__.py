@@ -331,12 +331,12 @@ FROM events
 def q_orderby(spark, sf_dir):
     """S1: global sort (reference verify_medallion.py:33) — materialized
     as a global row position so the hash actually locks ordering.
-    Single-partition window is fine at oracle scale; production sorts
-    use range partitioning instead."""
-    w = Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    return _t(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.row_number().over(w).alias("pos")
+    Computed scale-correctly: range partition + per-partition rank +
+    offset join (relational.global_rank), never a one-partition window."""
+    out = R.global_rank(
+        _t(spark, sf_dir, "events"), ["ts", "event_id"], rank_col="pos"
     )
+    return out.select("event_id", "user_id", "pos")
 
 
 @_q("q_orderby_limit_topk", """

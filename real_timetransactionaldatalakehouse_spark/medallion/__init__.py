@@ -92,3 +92,37 @@ def build_gold_latest_state(
 def enrich_gold(gold: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Read-time star join for serving (J3/J4) — dims broadcast."""
     return enrich_left(gold, dim, on)
+
+
+def content_bronze(parsed: DataFrame) -> DataFrame:
+    """Content-events bronze projection (reference
+    stream_content.py:105-114): typed header columns + the payload
+    struct re-serialized to a JSON string body (Header+Body), audit
+    stamped.  Schema drift in the payload never breaks bronze."""
+    return parsed.select(
+        "event_id",
+        "event_timestamp",
+        "video_id",
+        "user_id",
+        "event_type",
+        F.to_json("payload").alias("raw_payload"),
+    ).withColumn("ingested_at", F.current_timestamp())
+
+
+def derive_completion(
+    df: DataFrame,
+    watch_col: str = "watch_time_ms",
+    duration_col: str = "video_duration_ms",
+    out: str = "completion_rate",
+) -> DataFrame:
+    """Silver completion-rate derivation (reference
+    DataModel_SchemaDesign.md:62): watch_time / video_duration, FLOAT,
+    clamped to [0, 1], null-safe on missing duration."""
+    rate = F.when(
+        F.col(duration_col).isNotNull() & (F.col(duration_col) > 0),
+        F.least(
+            F.col(watch_col).cast("double") / F.col(duration_col).cast("double"),
+            F.lit(1.0),
+        ),
+    )
+    return df.withColumn(out, rate.cast("float"))

@@ -104,6 +104,48 @@ def sessionize(df: DataFrame, key_col: str, ts_col: str, gap_minutes: int = 30,
     return df.withColumn(session_col, running)
 
 
+def global_rank(df: DataFrame, order_cols: list[str], rank_col: str = "pos",
+                partitions: int | None = None) -> DataFrame:
+    """S1: global ordering WITHOUT a single-partition window.
+
+    Range-partition on the order keys, rank within each partition, then
+    add the per-partition offsets (computed from a partition-count
+    collect — metadata-sized, one row per partition; the same technique
+    as zipWithIndex).  The order keys must form a total order (include
+    a unique tiebreak) so global positions are boundary-independent.
+
+    Scales to arbitrary data: the only full-data pass is the range
+    shuffle; no executor ever sees more than its partition.
+    """
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    # RangePartitioner samples per job and the boundaries are NOT
+    # stable across executions — persist so the offset pass and the
+    # rank pass see the same partition assignment.  (A production table
+    # would checkpoint or bucket-by-time instead.)
+    with_pid = with_pid.persist()
+    counts = sorted(
+        ((r["__pid"], r["cnt"]) for r in
+         with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()),
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "__pid int, __offset long")
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        with_pid.join(off_df, "__pid")
+        .withColumn(rank_col, F.row_number().over(w) + F.col("__offset"))
+        .drop("__pid", "__offset")
+    )
+
+
 # ------------------------------------------------------------ aggregates (D*)
 
 def conditional_counts(df: DataFrame, group_cols: list[Column | str],

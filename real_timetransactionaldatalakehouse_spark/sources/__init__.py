@@ -12,5 +12,12 @@ The reference reads Kafka (``streaming_job.py:190-196``) and Iceberg
 
 from .tables import load_table, load_tables, register_views
 from .filestream import file_stream
+from .cdc import parse_cdc_envelope
 
-__all__ = ["load_table", "load_tables", "register_views", "file_stream"]
+__all__ = [
+    "load_table",
+    "load_tables",
+    "register_views",
+    "file_stream",
+    "parse_cdc_envelope",
+]
