@@ -1043,6 +1043,16 @@ def q_knn_lsh(spark, sf_dir):
     return S.knn_lsh(emb.filter(F.col("vec_id") < 10), emb, k=5, planes=4, tables=16)
 
 
+@_q("q_knn_ivf")  # rows-only: approximate path, no SQL equivalent
+def q_knn_ivf(spark, sf_dir):
+    """X3 scale path B: IVF inverted-file ANN — deterministic Lloyd
+    centroids, probe the 4 nearest of 16 cells, exact re-rank."""
+    from real_timetransactionaldatalakehouse_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.knn_ivf(emb.filter(F.col("vec_id") < 10), emb, k=5, n_centroids=16, n_probe=4)
+
+
 @_q("q_embed_neardup", """
 WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

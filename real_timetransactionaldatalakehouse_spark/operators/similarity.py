@@ -200,6 +200,119 @@ def knn_lsh(
     )
 
 
+def ivf_centroids(
+    candidates: DataFrame,
+    k: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: k centroids via deterministic Lloyd
+    iterations (init = evenly-strided existing vectors, so no RNG).
+
+    Each iteration is one broadcast-join assignment pass + one groupBy
+    mean — the standard scalable k-means shape: the candidate table
+    streams once per iteration, centroids (k x dim doubles) broadcast.
+    Returns (centroid_id, centroid array<double>).
+    """
+    n = candidates.count()
+    stride = max(n // k, 1)
+    init = (
+        candidates.select(
+            F.col(id_col).alias("cid_src"),
+            F.col(vec_col).alias("centroid"),
+        )
+        .orderBy("cid_src")
+        .limit(k * stride)
+        .filter((F.col("cid_src") % stride) == 0)
+        .limit(k)
+    )
+    cents = init.select(
+        F.row_number().over(Window.orderBy("cid_src")).alias("centroid_id"),
+        F.transform(F.col("centroid"), lambda x: x.cast("double")).alias("centroid"),
+    )
+    for _ in range(iterations):
+        assigned = _assign_nearest(candidates, cents, id_col, vec_col)
+        cents = (
+            assigned.groupBy("centroid_id")
+            .agg(
+                F.array(
+                    *[
+                        F.avg(F.col("c_vec")[i].cast("double")).alias(f"d{i}")
+                        for i in range(_dim_of(candidates, vec_col))
+                    ]
+                ).alias("centroid")
+            )
+        )
+    return cents
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    return len(df.select(vec_col).first()[0])
+
+
+def _assign_nearest(candidates: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine):
+    broadcast cross join + per-vector top-1 window."""
+    c = candidates.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("c_vec"))
+    scored = c.crossJoin(F.broadcast(cents)).select(
+        "vid", "c_vec", "centroid_id", cosine(F.col("c_vec"), F.col("centroid")).alias("sim")
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vid", "c_vec", "centroid_id")
+    )
+
+
+def knn_ivf(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X3 scale path B: IVF — partition candidates by nearest centroid
+    (the inverted file), probe only the ``n_probe`` closest cells per
+    query, exact cosine re-rank within the probed cells.
+
+    At 10^9 vectors: the inverted file is a one-off build (centroids
+    broadcast, one shuffle on centroid_id); each query touches
+    n_probe/n_centroids of the data.  Recall is controlled by n_probe.
+    """
+    cents = ivf_centroids(candidates, k=n_centroids, id_col=id_col, vec_col=vec_col)
+    inv = _assign_nearest(candidates, cents, id_col, vec_col).select(
+        F.col("vid").alias("neighbor_id"), "c_vec", "centroid_id"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_probe = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "q_vec", "centroid_id", cosine(F.col("q_vec"), F.col("centroid")).alias("sim"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
+            ),
+        )
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+    scored = (
+        inv.join(q_probe, "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

@@ -71,6 +71,20 @@ def test_lsh_recovers_bruteforce_top1_mostly(spark, sf_small):
     assert agree >= 12, f"LSH top-1 agreed on only {agree}/20 queries"
 
 
+def test_ivf_recovers_bruteforce_topk_mostly(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    bf = {r.query_id: r.neighbor_id for r in S.knn_bruteforce(q, emb, k=1).collect()}
+    ivf = {r.query_id: r.neighbor_id for r in
+           S.knn_ivf(q, emb, k=1, n_centroids=8, n_probe=3).collect()}
+    agree = sum(1 for k in bf if ivf.get(k) == bf[k])
+    assert agree >= 10, f"IVF top-1 agreed on only {agree}/20 queries"
+    # determinism: same centroids, same result
+    ivf2 = {r.query_id: r.neighbor_id for r in
+            S.knn_ivf(q, emb, k=1, n_centroids=8, n_probe=3).collect()}
+    assert ivf == ivf2
+
+
 def test_multimodal_feature_batches(spark, sf_small):
     docs = load_table(spark, sf_small, "documents")
     media = MM.synthetic_media(spark, docs, n=30)

@@ -1,0 +1,103 @@
+"""Property-based invariants (hypothesis) for the merge/dedup/session
+operators — the engine-level guarantees the medallion design leans on
+(SURVEY.md section 5.3), checked over generated inputs rather than one
+fixture."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from real_timetransactionaldatalakehouse_spark.operators.merge import merge_upsert  # noqa: E402
+from real_timetransactionaldatalakehouse_spark.operators.relational import (  # noqa: E402
+    dedup_latest,
+    sessionize,
+)
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# (key, ts, value-or-null)
+row = st.tuples(
+    st.integers(min_value=0, max_value=5),
+    st.integers(min_value=0, max_value=100),
+    st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+)
+rows = st.lists(row, min_size=0, max_size=25)
+
+
+def _df(spark, data):
+    return spark.createDataFrame(
+        [(k, t, v) for k, t, v in data], "k int, ts int, v int"
+    )
+
+
+@SETTINGS
+@given(target=rows, updates=rows)
+def test_merge_idempotent_and_key_complete(spark, target, updates):
+    t = dedup_latest(_df(spark, target), ["k"], "ts", ["v"])
+    u = _df(spark, updates)
+    once = merge_upsert(t, u, ["k"], order_col="ts", tiebreak_cols=["v"])
+    twice = merge_upsert(once, u, ["k"], order_col="ts", tiebreak_cols=["v"])
+    a = sorted(map(str, once.collect()))
+    b = sorted(map(str, twice.collect()))
+    # idempotence needs the merged ts/v to win again: true when update
+    # rows dominate by (ts, v) or equal - weaker but sufficient check:
+    # re-merging must never change the key set, and when it changes a
+    # row it must be because the target row now carries the update's
+    # values already (strict equality)
+    assert {r.split(",")[0] for r in a} == {r.split(",")[0] for r in b}
+    # exact idempotence: applying the same batch twice is a no-op
+    assert a == b
+    # key completeness
+    keys_out = {r.k for r in once.collect()}
+    assert keys_out == {k for k, _, _ in target} | {k for k, _, _ in updates}
+
+
+@SETTINGS
+@given(data=rows)
+def test_dedup_latest_picks_max_order_tuple(spark, data):
+    out = dedup_latest(_df(spark, data), ["k"], "ts", tiebreak_cols=["v"]).collect()
+    got = {r.k: (r.ts, r.v) for r in out}
+    expected = {}
+    for k, t, v in data:
+        key = (t, v if v is not None else -(10**9))
+        cur = expected.get(k)
+        if cur is None or key > (cur[0], cur[1] if cur[1] is not None else -(10**9)):
+            expected[k] = (t, v)
+    assert len(out) == len(expected)
+    assert got == expected
+
+
+@SETTINGS
+@given(data=st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 10**5)), min_size=1, max_size=30
+))
+def test_sessionize_invariants(spark, data):
+    df = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(data)], "user_id int, ts_s long, event_id int"
+    ).withColumn("ts", F.timestamp_seconds("ts_s"))
+    out = sessionize(df, "user_id", "ts", gap_minutes=30, tiebreak_cols=["event_id"])
+    rows_ = sorted(
+        ((r.user_id, r.ts_s, r.event_id, r.session_id) for r in out.collect()),
+    )
+    per_user: dict[int, list[tuple[int, int, int]]] = {}
+    for u, t, e, s in rows_:
+        per_user.setdefault(u, []).append((t, e, s))
+    for u, items in per_user.items():
+        items.sort()
+        assert items[0][2] == 1  # sessions start at 1
+        for (t0, _e0, s0), (t1, _e1, s1) in zip(items, items[1:]):
+            if t1 - t0 > 1800:
+                assert s1 == s0 + 1, f"gap not honored for user {u}"
+            else:
+                assert s1 == s0, f"spurious session split for user {u}"
