@@ -17,8 +17,11 @@ Scale design (the point of each):
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 from .text import tokens
 
@@ -67,6 +70,63 @@ def minhash_signature_from_shingles(sh: Column, num_hashes: int = 32) -> Column:
     )
 
 
+def _splitmix64(x):
+    """Vectorized splitmix64 finalizer over a uint64 numpy array."""
+    import numpy as np
+
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9))
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB))
+    return x ^ (x >> np.uint64(31))
+
+
+def _minhash_sig_udf(num_hashes: int, shingle_n: int):
+    """Arrow-batched MinHash kernel over per-row token-hash arrays.
+
+    Rolling ``shingle_n``-gram hashes are combined arithmetically from
+    the token hashes (the string shingle never materializes), then each
+    of the ``num_hashes`` seeded permutations is a vectorized splitmix
+    mix + segment-min (``np.minimum.reduceat``) over the whole Arrow
+    batch at once.  Duplicate shingles need no dedup pass — they cannot
+    change a minimum.  The HOF-expression equivalent interprets
+    num_hashes x |shingles| lambda steps per row."""
+    import numpy as np
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(th: pd.Series) -> pd.Series:
+        arrs = [np.asarray(a, dtype="int64") for a in th]
+        lens = np.array([max(len(a) - (shingle_n - 1), 1) for a in arrs])
+        flat = np.concatenate(arrs).view(np.uint64) if arrs else np.empty(0, np.uint64)
+        # rolling n-gram combine; rows shorter than n keep their 1+ tokens
+        grams = np.zeros(int(lens.sum()), dtype=np.uint64)
+        offsets = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        pos = 0
+        tok_off = 0
+        for i, a in enumerate(arrs):
+            n_tok = len(a)
+            n_g = int(lens[i])
+            g = flat[tok_off:tok_off + n_tok]
+            if n_tok == 0:
+                grams[pos:pos + n_g] = np.uint64(0)
+            else:
+                acc = g[:n_g].copy()
+                for j in range(1, shingle_n):
+                    if n_tok >= n_g + j:
+                        acc = acc * np.uint64(1_000_003) + g[j:j + n_g]
+                grams[pos:pos + n_g] = acc
+            pos += n_g
+            tok_off += n_tok
+        out = np.empty((len(arrs), num_hashes), dtype="int64")
+        for s in range(num_hashes):
+            seed = np.uint64((s * 0x9E3779B97F4A7C15 + 1) & 0xFFFFFFFFFFFFFFFF)
+            mixed = _splitmix64(grams ^ seed)
+            out[:, s] = np.minimum.reduceat(mixed, offsets).view(np.int64)
+        return pd.Series(list(out))
+
+    return sig
+
+
 def minhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -88,16 +148,20 @@ def minhash_neardup_pairs(
     """
     rows_per_band = num_hashes // bands
     # 1) spread rows across cores (small corpora arrive as one split);
-    # 2) materialize the distinct-shingle array ONCE per row, then
-    #    derive all signatures from it (no CSE across lambdas otherwise)
+    # 2) token hashing stays JVM-native (one xxhash64 per token); the
+    #    rolling-shingle + all-seeds minima run in one Arrow batch
+    #    kernel (see _minhash_sig_udf — the HOF formulation interprets
+    #    num_hashes x |shingles| lambda steps per row)
     spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    shingled = spread.select(
+    hashed = spread.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
+        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("th"),
     )
-    sig = shingled.select(
-        "id", minhash_signature_from_shingles(F.col("sh"), num_hashes).alias("sig")
-    )
+    # persisted: both sides of the band self-join read it (see the
+    # simhash note — the signature index is computed once)
+    sig = hashed.select(
+        "id", _minhash_sig_udf(num_hashes, shingle_n)(F.col("th")).alias("sig")
+    ).persist()
     band_cols = F.array(
         *[
             F.struct(
@@ -173,23 +237,65 @@ def simhash_signature(text_col: str, bits: int = 64) -> Column:
     return simhash_from_hashes(th, bits)
 
 
+def _simhash_sig_udf(bits: int = 64):
+    """Arrow-batched SimHash kernel over per-row token-hash arrays:
+    per-bit +/-1 majority via 64 segment-sums (``np.add.reduceat``)
+    over the flattened batch — versus 64 interpreted fold-aggregates
+    per row in the expression form."""
+    import numpy as np
+
+    @F.pandas_udf(LongType())
+    def sig(th: pd.Series) -> pd.Series:
+        arrs = [np.asarray(a, dtype="int64") for a in th]
+        lens = np.array([max(len(a), 1) for a in arrs])
+        flat = (
+            np.concatenate([a if len(a) else np.zeros(1, "int64") for a in arrs])
+            .view(np.uint64)
+            if arrs else np.empty(0, np.uint64)
+        )
+        offsets = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        out = np.zeros(len(arrs), dtype=np.uint64)
+        for b in range(bits):
+            bit = ((flat >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            votes = np.add.reduceat(bit * 2 - 1, offsets)
+            out |= (votes > 0).astype(np.uint64) << np.uint64(b)
+        return pd.Series(out.view(np.int64))
+
+    return sig
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """SimHash near-dup: 4x16-bit chunk banding (two signatures within
     hamming distance d<=... share at least one exact chunk for d<=3 per
-    chunk on average) -> candidate join -> exact hamming filter."""
+    chunk on average) -> candidate join -> exact hamming filter.
+
+    ``max_bucket`` drops chunk buckets with more members than the cap
+    before the self-join: a chunk value shared by hundreds of documents
+    is uninformative for near-dup detection yet contributes O(m^2)
+    candidate pairs — the unbounded version is exactly the query that
+    falls over at corpus scale (one hot bucket = one quadratic
+    executor-killing partition).  Pairs whose every common chunk is hot
+    are the accepted recall cost; window the cap up for small corpora.
+    """
     spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     hashed = spread.select(
         F.col(id_col).alias("id"),
-        F.transform(
-            F.array_distinct(tokens(text_col)), lambda tok: F.xxhash64(tok)
+        F.array_distinct(
+            F.transform(tokens(text_col), lambda tok: F.xxhash64(tok))
         ).alias("th"),
     )
-    sig_df = hashed.select("id", simhash_from_hashes(F.col("th")).alias("sig"))
+    # the signature table feeds the bucket-count pass and BOTH sides of
+    # the self-join — persist it so the kernel runs once, not three
+    # times (at corpus scale this is the signature index you'd write to
+    # a table once and reuse)
+    sig_df = hashed.select("id", _simhash_sig_udf()(F.col("th")).alias("sig")).persist()
     chunks = F.array(
         *[
             F.struct(
@@ -202,6 +308,13 @@ def simhash_neardup_pairs(
     banded = sig_df.select("id", "sig", F.explode(chunks).alias("cc")).select(
         "id", "sig", F.col("cc.chunk").alias("chunk"), F.col("cc.ck").alias("ck")
     )
+    if max_bucket:
+        bucket_n = banded.groupBy("chunk", "ck").agg(F.count(F.lit(1)).alias("__bn"))
+        banded = (
+            banded.join(F.broadcast(bucket_n), ["chunk", "ck"])
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(

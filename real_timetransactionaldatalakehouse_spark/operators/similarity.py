@@ -17,8 +17,11 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -60,17 +63,28 @@ def knn_bruteforce(
     """
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("q_norm"),
         )
     )
-    c = candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    # norms are computed ONCE per row on each side, not once per pair:
+    # cosine(a,b) folds three 64-element aggregates; factoring the two
+    # norms out of the |Q| x |C| product leaves one dot fold per pair.
+    # score = dot/(norm_a*norm_b) is the same expression tree as
+    # cosine(), so values stay bit-identical to the oracle.
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("score"),
+            (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -123,38 +137,52 @@ def lsh_bucket(vec_col: Column, planes: int = 8, dim: int = 64, table: int = 0) 
     )
 
 
+def _np_planes(n_planes: int, dim: int):
+    import numpy as np
+
+    return np.array([_hyperplane(p, dim) for p in range(n_planes)], dtype="float64")
+
+
+def _lsh_buckets_udf(planes: int, dim: int, tables: int):
+    """Arrow-batched kernel: all ``tables`` bucket ids per vector in one
+    (batch x dim) @ (dim x tables*planes) matmul.  The higher-order
+    expression equivalent folds tables*planes interpreted 64-element
+    dots per ROW; the vectorized kernel is two orders of magnitude
+    cheaper and the plane matrix rides inside the closure (broadcast
+    once per executor, never shuffled)."""
+    import numpy as np
+
+    P = _np_planes(tables * planes, dim).T  # (dim, tables*planes)
+    pows = (2 ** np.arange(planes - 1, -1, -1)).astype("int64")
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        V = np.vstack(vecs.to_numpy()).astype("float64")  # (n, dim)
+        bits = (V @ P) > 0  # (n, tables*planes)
+        out = np.empty((V.shape[0], tables), dtype="int64")
+        for t in range(tables):
+            out[:, t] = bits[:, t * planes:(t + 1) * planes] @ pows
+        return pd.Series(list(out.astype("int32")))
+
+    return buckets
+
+
 def _lsh_banded(df: DataFrame, id_alias: str, vec_alias: str, id_col: str,
                 vec_col: str, planes: int, dim: int, tables: int) -> DataFrame:
-    """(id, vec, tbl, bucket) rows: ONE transform computes every sign
-    bit against the constant plane matrix (2 lambda conversions total,
-    not 2 per plane), the bit array is materialized as a column (no CSE
-    across lambdas — see operators/dedup.py), then each table's bucket
-    is a tiny fold over its bit slice."""
-    all_bits = F.transform(
-        _planes_matrix_expr(tables * planes, dim),
-        lambda hp: F.when(dot(F.col(vec_col), hp) > 0, F.lit(1)).otherwise(F.lit(0)),
-    )
-    with_bits = df.select(
+    """(id, vec, tbl, bucket) rows via the vectorized bucket kernel;
+    posexplode turns the per-table bucket array into the band table
+    (``tables`` small rows per vector — the only thing that shuffles)."""
+    buckets = _lsh_buckets_udf(planes, dim, tables)
+    with_b = df.select(
         F.col(id_col).alias(id_alias),
         F.col(vec_col).alias(vec_alias),
-        all_bits.alias("__bits"),
+        norm(F.col(vec_col)).alias(f"{vec_alias}_norm"),
+        buckets(F.col(vec_col)).alias("__buckets"),
     )
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                F.aggregate(
-                    F.slice(F.col("__bits"), t * planes + 1, planes),
-                    F.lit(0),
-                    lambda acc, b: acc * 2 + b,
-                ).alias("bucket"),
-            )
-            for t in range(tables)
-        ]
+    return with_b.select(
+        id_alias, vec_alias, f"{vec_alias}_norm",
+        F.posexplode(F.col("__buckets")).alias("tbl", "bucket"),
     )
-    return with_bits.select(
-        id_alias, vec_alias, F.explode(buckets).alias("tb")
-    ).select(id_alias, vec_alias, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
 
 def knn_lsh(
@@ -182,13 +210,13 @@ def knn_lsh(
     cand = (
         c.join(q, ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .select("query_id", "q_vec", "q_vec_norm", "neighbor_id", "c_vec", "c_vec_norm")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("score"),
+        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_vec_norm") * F.col("c_vec_norm"))).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -200,70 +228,73 @@ def knn_lsh(
     )
 
 
+def _nearest_cells_udf(centroids, n_probe: int):
+    """Arrow-batched kernel: the ``n_probe`` nearest centroids (by
+    cosine) per vector, as an int array.  ``centroids`` (k x dim
+    float64) travels in the closure — broadcast once per executor.
+    Ties break toward the lower centroid index (argsort is stable)."""
+    import numpy as np
+
+    Cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30
+    )
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def nearest(vecs: pd.Series) -> pd.Series:
+        V = np.vstack(vecs.to_numpy()).astype("float64")
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+        S = Vn @ Cn.T  # (n, k)
+        idx = np.argsort(-S, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(idx.astype("int32")))
+
+    return nearest
+
+
 def ivf_centroids(
     candidates: DataFrame,
     k: int = 16,
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+):
     """IVF coarse quantizer: k centroids via deterministic Lloyd
     iterations (init = evenly-strided existing vectors, so no RNG).
+    Returns a (k x dim) float64 numpy matrix.
 
-    Each iteration is one broadcast-join assignment pass + one groupBy
-    mean — the standard scalable k-means shape: the candidate table
-    streams once per iteration, centroids (k x dim doubles) broadcast.
-    Returns (centroid_id, centroid array<double>).
+    Each iteration is one vectorized assignment pass (centroid matrix
+    in the kernel closure) + one groupBy mean; the k x dim result is
+    collected to the driver between iterations — centroids are
+    metadata-sized (k*dim doubles) by construction, which is what makes
+    k-means scalable: the 10^9-row table streams, the model doesn't.
     """
+    import numpy as np
+
     n = candidates.count()
     stride = max(n // k, 1)
     init = (
-        candidates.select(
-            F.col(id_col).alias("cid_src"),
-            F.col(vec_col).alias("centroid"),
-        )
-        .orderBy("cid_src")
+        candidates.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
+        .orderBy("cid")
         .limit(k * stride)
-        .filter((F.col("cid_src") % stride) == 0)
+        .filter((F.col("cid") % stride) == 0)
         .limit(k)
+        .collect()
     )
-    cents = init.select(
-        F.row_number().over(Window.orderBy("cid_src")).alias("centroid_id"),
-        F.transform(F.col("centroid"), lambda x: x.cast("double")).alias("centroid"),
-    )
+    C = np.array([list(r.v) for r in sorted(init, key=lambda r: r.cid)], dtype="float64")
+    dim = C.shape[1]
     for _ in range(iterations):
-        assigned = _assign_nearest(candidates, cents, id_col, vec_col)
-        cents = (
-            assigned.groupBy("centroid_id")
-            .agg(
-                F.array(
-                    *[
-                        F.avg(F.col("c_vec")[i].cast("double")).alias(f"d{i}")
-                        for i in range(_dim_of(candidates, vec_col))
-                    ]
-                ).alias("centroid")
+        assign = _nearest_cells_udf(C, 1)
+        rows = (
+            candidates.select(
+                F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
+                F.col(vec_col).alias("v"),
             )
+            .groupBy("cell")
+            .agg(*[F.avg(F.col("v")[i].cast("double")).alias(f"d{i}") for i in range(dim)])
+            .collect()
         )
-    return cents
-
-
-def _dim_of(df: DataFrame, vec_col: str) -> int:
-    return len(df.select(vec_col).first()[0])
-
-
-def _assign_nearest(candidates: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Assign each vector to its nearest centroid (max cosine):
-    broadcast cross join + per-vector top-1 window."""
-    c = candidates.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("c_vec"))
-    scored = c.crossJoin(F.broadcast(cents)).select(
-        "vid", "c_vec", "centroid_id", cosine(F.col("c_vec"), F.col("centroid")).alias("sim")
-    )
-    w = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vid", "c_vec", "centroid_id")
-    )
+        for r in rows:  # cells that lost every member keep their old position
+            C[r.cell] = [r[f"d{i}"] for i in range(dim)]
+    return C
 
 
 def knn_ivf(
@@ -279,31 +310,34 @@ def knn_ivf(
     (the inverted file), probe only the ``n_probe`` closest cells per
     query, exact cosine re-rank within the probed cells.
 
-    At 10^9 vectors: the inverted file is a one-off build (centroids
-    broadcast, one shuffle on centroid_id); each query touches
-    n_probe/n_centroids of the data.  Recall is controlled by n_probe.
+    At 10^9 vectors: the inverted file is a one-off build (one
+    vectorized assignment pass, one shuffle on centroid_id); each query
+    touches ~n_probe/n_centroids of the data.  Recall is controlled by
+    n_probe.
     """
-    cents = ivf_centroids(candidates, k=n_centroids, id_col=id_col, vec_col=vec_col)
-    inv = _assign_nearest(candidates, cents, id_col, vec_col).select(
-        F.col("vid").alias("neighbor_id"), "c_vec", "centroid_id"
+    C = ivf_centroids(candidates, k=n_centroids, id_col=id_col, vec_col=vec_col)
+    assign1 = _nearest_cells_udf(C, 1)
+    inv = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("centroid_id"),
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    q_probe = (
-        q.crossJoin(F.broadcast(cents))
-        .select("query_id", "q_vec", "centroid_id", cosine(F.col("q_vec"), F.col("centroid")).alias("sim"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
-            ),
-        )
-        .filter(F.col("rn") <= n_probe)
-        .select("query_id", "q_vec", "centroid_id")
+    probe = _nearest_cells_udf(C, n_probe)
+    q_probe = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+        F.explode(probe(F.col(vec_col))).alias("centroid_id"),
     )
     scored = (
-        inv.join(q_probe, "centroid_id")
+        inv.join(F.broadcast(q_probe), "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("score"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("score"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
@@ -324,10 +358,19 @@ def embedding_neardup_pairs(
     threshold).  ``max_id`` bounds the oracle query; the scale path is
     the same computation fed by LSH buckets instead of a cross join."""
     base = df if max_id is None else df.filter(F.col(id_col) < max_id)
-    a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("score"))
+        .select(
+            "id_a", "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("score"),
+        )
         .filter(F.col("score") >= threshold)
     )
