@@ -688,6 +688,34 @@ def q_rollup(spark, sf_dir):
     )
 
 
+@_q("q_cube", """
+SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
+       COALESCE(l_linestatus, '<all>') AS l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def q_cube(spark, sf_dir):
+    """Grouping sets surface, CUBE variant (all 2^n groupings in one
+    pass — Catalyst expands to a single shuffle over the Expand op)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            LF.dsum("l_quantity").alias("sum_qty"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+            "gid", "n", "sum_qty",
+        )
+    )
+
+
 @_q("q_agg_binned_heatmap", """
 SELECT CASE WHEN l_quantity < 15 THEN '0-15'
             WHEN l_quantity < 30 THEN '15-30'
@@ -978,7 +1006,10 @@ def q_simhash_neardup(spark, sf_dir):
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))).alias("text"),
     )
-    return D.simhash_neardup_pairs(docs.unionByName(mutated), max_hamming=8)
+    # hamming <= 4: the standard near-dup band for 64-bit SimHash —
+    # <=8 admits a quadratic tail of merely-similar pairs on a
+    # shared-vocabulary corpus (~250k rows at sf0.1 vs ~53k at 4)
+    return D.simhash_neardup_pairs(docs.unionByName(mutated), max_hamming=4)
 
 
 @_q("q_jaccard_pairs", """

@@ -77,6 +77,10 @@ def main() -> None:
         t0 = time.perf_counter()
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # isolate queries: drop persisted signature tables the previous
+        # query may have left and pay GC debt outside the timed region
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -7,11 +7,13 @@ argument of the reference (PipelineArchitecture.md:209-213).
 from .jobs import (
     bronze_append_stream,
     dims_scd1_stream,
+    gold_session_stream,
     gold_window_agg_stream,
 )
 
 __all__ = [
     "bronze_append_stream",
     "gold_window_agg_stream",
+    "gold_session_stream",
     "dims_scd1_stream",
 ]
