@@ -1196,6 +1196,69 @@ def q_text_quality(spark, sf_dir):
     return TX.quality_score(_t(spark, sf_dir, "documents"))
 
 
+@_q("q_corpus_prep", """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
+), keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM all_docs GROUP BY text
+), t AS (
+  SELECT d.doc_id,
+         string_split(d.text, ' ') AS toks,
+         CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS n_tok
+  FROM all_docs d JOIN keep k ON d.doc_id = k.doc_id
+), scored AS (
+  SELECT doc_id,
+    least(n_tok / 64.0, 1.0) * 0.4
+      + CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS DOUBLE) / n_tok * 0.3
+      + CAST(len(list_distinct(toks)) AS DOUBLE) / n_tok * 0.3 AS quality,
+    CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr'
+         WHEN s_zh > 0 THEN 'zh'
+         ELSE 'unknown' END AS lang_guess
+  FROM (
+    SELECT doc_id, toks, n_tok,
+      CAST(len(list_intersect(list_distinct(toks), ['the','and','of','to','is'])) AS INTEGER) AS s_en,
+      CAST(len(list_intersect(list_distinct(toks), ['el','la','de','que','es'])) AS INTEGER) AS s_es,
+      CAST(len(list_intersect(list_distinct(toks), ['der','die','und','das','ist'])) AS INTEGER) AS s_de,
+      CAST(len(list_intersect(list_distinct(toks), ['le','la','et','les','est'])) AS INTEGER) AS s_fr,
+      CAST(len(list_intersect(list_distinct(toks), ['de5','shi4','le5','zai4','he2'])) AS INTEGER) AS s_zh
+    FROM t
+  )
+)
+SELECT doc_id, lang_guess, quality
+FROM scored WHERE lang_guess = 'en' AND quality >= 0.5
+""")
+def q_corpus_prep(spark, sf_dir):
+    """EXT flagship composition: the training-corpus prep pipeline —
+    exact-dedup keeper selection, language gate, quality threshold —
+    built by composing the X1/X4 operators.  One dedup shuffle + one
+    map-only scoring pass over keepers; at 100 TB the keeper semi-join
+    is the only wide stage (the dedup key shuffle carries md5
+    fingerprints, not documents)."""
+    from real_timetransactionaldatalakehouse_spark.operators import dedup as D
+    from real_timetransactionaldatalakehouse_spark.operators import text as TX
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dups)
+    keepers = D.exact_dedup(corpus).select(F.col("keeper_id").alias("doc_id"))
+    kept = corpus.join(keepers, "doc_id", "left_semi")
+    lang = TX.language_id(kept).select("doc_id", "lang_guess")
+    qual = TX.quality_score(kept).select("doc_id", "quality")
+    return (
+        kept.join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .filter((F.col("lang_guess") == "en") & (F.col("quality") >= 0.5))
+        .select("doc_id", "lang_guess", "quality")
+    )
+
+
 @_q("q_text_fingerprint", r"""
 SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
 FROM documents
