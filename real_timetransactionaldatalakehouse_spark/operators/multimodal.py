@@ -93,6 +93,32 @@ def extract_features(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(kernel, out_schema)
 
 
+def resize_images(df: DataFrame, width: int, height: int,
+                  payload_col: str = "payload") -> DataFrame:
+    """Image resize stage via mapInPandas: meta is rewritten to the
+    target dimensions and the payload re-encoded.  The pixel kernel is
+    the FAKE stub (payload passes through, tagged) — the Spark-side
+    contract (schema preserved, Arrow batching, per-task memory bound)
+    is the real thing a codec drops into."""
+    out_schema = df.schema
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            # FAKE resize: a real kernel decodes, resamples to
+            # (width, height), re-encodes; the stub keeps bytes as-is
+            pdf["meta"] = pdf["meta"].map(
+                lambda m: {**m, "width": width, "height": height}
+                if m is not None else None
+            )
+            yield pdf
+
+    return (
+        df.filter(F.col("kind") == "image")
+        .mapInPandas(kernel, out_schema)
+    )
+
+
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling: one output row per sampled frame offset.
     Spark-side plumbing is real (posexplode over the sampled offsets);

@@ -112,3 +112,23 @@ def test_multimodal_frame_sample(spark, sf_small):
 def test_decode_image_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"\x00")
+
+
+def test_multimodal_resize_rewrites_meta(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    media = MM.synthetic_media(spark, docs, n=30)
+    out = MM.resize_images(media, 128, 96).collect()
+    assert out, "no images in synthetic media"
+    for r in out:
+        assert r.kind == "image"
+        assert (r.meta.width, r.meta.height) == (128, 96)
+        assert r.payload is not None  # payload passes through the stub
+
+
+def test_multimodal_frame_sample_offsets(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    media = MM.synthetic_media(spark, docs, n=30)
+    frames = MM.frame_sample(media, every_ms=500).collect()
+    assert frames
+    for r in frames:
+        assert r.frame_offset_ms == r.frame_idx * 500

@@ -74,3 +74,41 @@ def test_no_cartesian_in_relational_queries(spark, sf_medium):
     ]:
         df = _Q[name](spark, sf_medium)
         assert not P.has_cartesian_product(df), f"{name} plans a cartesian/NL join"
+
+
+def test_lsh_signatures_are_arrow_vectorized(spark, sf_medium):
+    """The LSH bucket kernel must run as an Arrow-batched python eval
+    (vectorized numpy), not interpreted per-row HOF folds."""
+    df = _Q["q_knn_lsh"](spark, sf_medium)
+    plan = P.formatted_plan(df)
+    assert "ArrowEvalPython" in plan, plan
+
+
+def test_bruteforce_knn_broadcasts_query_side(spark, sf_medium):
+    """Exact knn must broadcast the small query side — the candidate
+    table never shuffles for the cross product."""
+    df = _Q["q_knn_topk"](spark, sf_medium)
+    plan = P.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_salted_topk_equals_plain(spark, sf_medium):
+    from real_timetransactionaldatalakehouse_spark.operators.relational import (
+        topk_per_group,
+        topk_per_group_salted,
+    )
+    from real_timetransactionaldatalakehouse_spark.sources import load_table
+
+    li = load_table(spark, sf_medium, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_extendedprice"
+    )
+    plain = topk_per_group(
+        li, ["l_returnflag"], "l_extendedprice", 10, tiebreak_cols=["l_orderkey"]
+    )
+    salted = topk_per_group_salted(
+        li, ["l_returnflag"], "l_extendedprice", 10,
+        tiebreak_cols=["l_orderkey"], salt=8,
+    )
+    a = sorted(map(str, plain.collect()))
+    b = sorted(map(str, salted.collect()))
+    assert a == b
