@@ -101,3 +101,46 @@ def test_sessionize_invariants(spark, data):
                 assert s1 == s0 + 1, f"gap not honored for user {u}"
             else:
                 assert s1 == s0, f"spurious session split for user {u}"
+
+
+from real_timetransactionaldatalakehouse_spark.operators.joins import asof_join  # noqa: E402
+
+fact_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # key
+        st.integers(min_value=0, max_value=50),  # ts
+        st.integers(min_value=0, max_value=99),  # fact id (tiebreak)
+    ),
+    min_size=0, max_size=20,
+)
+# timeline: unique per (key, ts) by construction (dict)
+timeline_rows = st.dictionaries(
+    st.tuples(st.integers(min_value=0, max_value=3), st.integers(min_value=0, max_value=50)),
+    st.integers(min_value=-9, max_value=9),
+    max_size=15,
+)
+
+
+@SETTINGS
+@given(facts=fact_rows, timeline=timeline_rows)
+def test_asof_join_matches_bruteforce(spark, facts, timeline):
+    f = spark.createDataFrame(
+        [(k, t, i) for k, t, i in facts] or [(None, None, None)],
+        "k int, ts int, fid int",
+    ).filter(F.col("fid").isNotNull())
+    tl = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in timeline.items()] or [(None, None, None)],
+        "k int, tts int, val int",
+    ).filter(F.col("val").isNotNull())
+    out = asof_join(
+        f, tl, key="k", fact_ts="ts", timeline_ts="tts",
+        value_cols=["val"], fact_tiebreaks=["fid"],
+    )
+    got = {(r.k, r.ts, r.fid): r.val for r in out.collect()}
+    assert len(got) == len({(k, t, i) for k, t, i in facts}), "row count drift"
+    for k, t, i in facts:
+        cand = [(tt, v) for (kk, tt), v in timeline.items() if kk == k and tt <= t]
+        want = max(cand)[1] if cand else None
+        assert got[(k, t, i)] == want, (
+            f"fact ({k},{t},{i}): got {got[(k, t, i)]}, want {want} from {sorted(cand)}"
+        )
