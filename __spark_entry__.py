@@ -1105,6 +1105,20 @@ def q_embed_neardup(spark, sf_dir):
     )
 
 
+@_q("q_embed_neardup_lsh")  # rows-only: LSH candidate generation, no SQL twin
+def q_embed_neardup_lsh(spark, sf_dir):
+    """X2/X3 scale path: embedding near-dup with LSH-bucketed candidate
+    pairs + exact cosine verify (the formulation that survives 10^9
+    vectors — see similarity.embedding_neardup_pairs_lsh)."""
+    from real_timetransactionaldatalakehouse_spark.operators import similarity as S
+
+    # planes/tables tuned for the corpus's moderate-similarity pairs:
+    # p(co-bucket per table) = (1 - theta/pi)^4, OR-amplified over 16
+    # tables => ~0.9 recall at cosine 0.35 (theta ~ 69 deg)
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_neardup_pairs_lsh(emb, threshold=0.35, planes=4, tables=16)
+
+
 @_q("q_text_tokens", """
 SELECT t.token, COUNT(*) AS n
 FROM documents, UNNEST(string_split(text, ' ')) AS t(token)

@@ -374,3 +374,46 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    planes: int = 8,
+    tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding near-dup: candidate pairs come from
+    multi-table sign-LSH co-bucketing instead of the all-pairs cross
+    join, then the SAME exact cosine filter runs on candidates only.
+
+    At 10^9 vectors the shuffle is ``tables`` small rows per vector on
+    (table, bucket); a pair at cosine >= 0.9 (angle <= ~26 deg) lands in
+    the same bucket of at least one of 8x8-plane tables with
+    probability ~1 - (1 - 0.86^8)^8 ~ 0.97 — recall is tunable via
+    ``tables`` without ever materializing the quadratic pair space.
+    """
+    banded = _lsh_banded(df, "id", "v", id_col, vec_col, planes, dim, tables).persist()
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("a.v").alias("va"), F.col("a.v_norm").alias("na"),
+            F.col("b.id").alias("id_b"), F.col("b.v").alias("vb"), F.col("b.v_norm").alias("nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a", "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

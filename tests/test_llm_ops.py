@@ -132,3 +132,20 @@ def test_multimodal_frame_sample_offsets(spark, sf_small):
     assert frames
     for r in frames:
         assert r.frame_offset_ms == r.frame_idx * 500
+
+
+def test_embed_neardup_lsh_recall(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    sub = emb.filter(F.col("vec_id") < 80)
+    exact = {(r.id_a, r.id_b) for r in
+             S.embedding_neardup_pairs(sub, threshold=0.35).collect()}
+    approx = {(r.id_a, r.id_b) for r in
+              S.embedding_neardup_pairs_lsh(sub, threshold=0.35, planes=4, tables=16).collect()}
+    assert exact, "test corpus produced no moderate-similarity pairs"
+    # no false positives: every LSH pair passes the same exact filter
+    assert approx <= exact
+    # recall: the OR-amplified tables should recover most true pairs
+    if exact:
+        assert len(approx & exact) >= 0.7 * len(exact), (
+            f"LSH recovered {len(approx & exact)}/{len(exact)} pairs"
+        )
