@@ -688,6 +688,48 @@ def q_rollup(spark, sf_dir):
     )
 
 
+@_q("q_agg_percentile", """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS med_price,
+       quantile_cont(l_extendedprice, 0.9) AS p90_price
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_agg_percentile(spark, sf_dir):
+    """Exact interpolated percentile per group (serving-layer latency/
+    price distribution surface).  Spark's exact `percentile` and
+    DuckDB's `quantile_cont` share the interpolated-rank definition, so
+    values match bit-for-bit.  At 100 TB swap in `percentile_approx`
+    (t-digest sketch, mergeable map-side) behind the same signature."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med_price"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+    )
+
+
+@_q("q_agg_variance", """
+SELECT l_returnflag,
+       (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+         - CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+           * CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*))
+         / (COUNT(*) - 1) AS var_qty
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_agg_variance(spark, sf_dir):
+    """Sample variance via the explicit decimal-sum formula — exact
+    decimal accumulation makes the result order-independent, so Spark's
+    partial/final agg tree and DuckDB's sequential scan agree
+    bit-for-bit (built-in var_samp is Welford-style and float-order
+    dependent, unusable for cross-engine hashing)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sum_sq = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(28,4)")).cast("double")
+    sum_x = F.sum(F.col("l_quantity").cast("decimal(28,4)")).cast("double")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag").agg(
+        ((sum_sq - sum_x * sum_x / n) / (n - F.lit(1))).alias("var_qty")
+    )
+
+
 @_q("q_cube", """
 SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
        COALESCE(l_linestatus, '<all>') AS l_linestatus,
