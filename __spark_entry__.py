@@ -730,6 +730,21 @@ def q_agg_variance(spark, sf_dir):
     )
 
 
+@_q("q_agg_sketches")  # rows-only: sketch internals differ across engines
+def q_agg_sketches(spark, sf_dir):
+    """Mergeable-sketch aggregates — the documented 100 TB swap-ins for
+    their exact counterparts (q_agg_count_distinct, q_agg_percentile):
+    HyperLogLog++ approx distinct and t-digest approx percentile.  Both
+    are deterministic within Spark (stable partial/final merge), so the
+    rows-only check is reproducible; cross-engine value parity is
+    impossible by construction (sketch state is engine-specific)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_med_price"),
+    )
+
+
 @_q("q_cube", """
 SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
        COALESCE(l_linestatus, '<all>') AS l_linestatus,
