@@ -570,6 +570,31 @@ def q_window_tumbling_1min(spark, sf_dir):
     ).select("window_start", "user_id", "views", "clicks")
 
 
+@_q("q_window_sliding", """
+WITH expanded AS (
+  SELECT event_type,
+         make_timestamp(CAST((floor(epoch(CAST(ts AS TIMESTAMP)) / 300) - k) * 300 AS BIGINT) * 1000000) AS window_start
+  FROM events, UNNEST([0, 1]) AS t(k)
+)
+SELECT window_start, event_type, COUNT(*) AS n
+FROM expanded GROUP BY 1, 2
+""")
+def q_window_sliding(spark, sf_dir):
+    """T9: sliding windows as a first-class operator — 10-minute
+    windows sliding every 5 minutes (each event lands in exactly 2
+    windows).  The reference computes sliding rollups read-side over
+    tumbling buckets (PipelineArchitecture.md:178-180); Spark's
+    window(ts, size, slide) expresses them directly.  Oracle expands
+    each event to its two covering window starts via epoch math."""
+    return (
+        R.sliding_window_counts(
+            _t(spark, sf_dir, "events"), "ts", "10 minutes", "5 minutes",
+            ["event_type"], {"n": F.lit(True)},
+        )
+        .select("window_start", "event_type", "n")
+    )
+
+
 @_q("q_agg_ratio_velocity", """
 SELECT user_id,
        CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) * 5

@@ -195,3 +195,20 @@ def tumbling_window_counts(df: DataFrame, ts_col: str, duration: str,
         .withColumn("window_start", F.col("__w.start"))
         .drop("__w")
     )
+
+
+def sliding_window_counts(df: DataFrame, ts_col: str, duration: str, slide: str,
+                          group_cols: list[str], cases: dict[str, Column]) -> DataFrame:
+    """T9: sliding event-time windows (each row contributes to
+    duration/slide windows).  The reference computes sliding rollups at
+    read time over tumbling buckets; Spark's ``window(ts, size, slide)``
+    expresses them directly — Catalyst expands rows to their covering
+    windows before the hash agg, so the shuffle still carries partials.
+    """
+    aggs = [F.count(F.when(cond, F.lit(1))).alias(name) for name, cond in cases.items()]
+    return (
+        df.groupBy(F.window(F.col(ts_col), duration, slide).alias("__w"), *group_cols)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("__w.start"))
+        .drop("__w")
+    )
