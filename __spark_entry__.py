@@ -1076,6 +1076,23 @@ def q_neardup_minhash(spark, sf_dir):
     return D.minhash_neardup_pairs(docs.unionByName(mutated), jaccard_threshold=0.5)
 
 
+@_q("q_neardup_verified")  # rows-only: candidate generation uses xxhash64
+def q_neardup_verified(spark, sf_dir):
+    """X2 end-to-end: MinHash candidates -> exact token-set Jaccard
+    verify at 0.5 — the candidates-then-verify pipeline shape."""
+    from real_timetransactionaldatalakehouse_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    mutated = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))).alias("text"),
+    )
+    return D.minhash_verified_neardup_pairs(
+        docs.unionByName(mutated), jaccard_threshold=0.5
+    )
+
+
 @_q("q_simhash_neardup")  # rows-only: xxhash64 not reproducible in DuckDB
 def q_simhash_neardup(spark, sf_dir):
     """X2-adjacent: SimHash near-dup pairs (hamming <= 8) over corpus +

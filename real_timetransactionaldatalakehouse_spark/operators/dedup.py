@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
@@ -135,6 +135,7 @@ def minhash_neardup_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """X2: MinHash+LSH near-duplicate pairs with estimated Jaccard.
 
@@ -145,6 +146,13 @@ def minhash_neardup_pairs(
     The only shuffles are the band-bucket join (B small rows per doc)
     and the final distinct — this is the formulation that survives
     100 TB corpora; the quadratic pair space is never materialized.
+
+    ``max_bucket`` guards the self-join against degenerate band
+    buckets: a cluster of m byte-identical boilerplate docs co-buckets
+    in EVERY band and contributes O(m^2) pairs x bands.  Run exact
+    dedup first (the corpus-prep composition does); the cap is the
+    backstop that keeps one viral boilerplate from serializing a
+    quadratic partition through a single executor.
     """
     rows_per_band = num_hashes // bands
     # 1) spread rows across cores (small corpora arrive as one split);
@@ -174,6 +182,18 @@ def minhash_neardup_pairs(
     banded = sig.select("id", "sig", F.explode(band_cols).alias("bb")).select(
         "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
     )
+    if max_bucket:
+        # window count, not a broadcast count-table: distinct (band,
+        # bhash) keys grow with the corpus (64-bit hashes), so a
+        # broadcast would not survive scale; the count-over-partition
+        # shares the self-join's (band, bhash) shuffle and is O(m) even
+        # in a degenerate bucket
+        wb = Window.partitionBy("band", "bhash")
+        banded = (
+            banded.withColumn("__bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -336,6 +356,47 @@ def simhash_neardup_pairs(
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def minhash_verified_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """X2 end-to-end: MinHash-banded candidate generation with a
+    loosened estimate gate, then EXACT token-set Jaccard verification
+    at the real threshold — the standard candidates-then-verify shape.
+
+    The exact Jaccard only ever runs on the candidate pairs (linear in
+    candidates, joined back to token sets by id — two key shuffles);
+    the estimate gate sits 0.2 below the verify threshold so estimator
+    variance (~1/sqrt(num_hashes)) does not drop true pairs.
+    """
+    est_gate = max(jaccard_threshold - 0.2, 0.0)
+    cand = minhash_neardup_pairs(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, jaccard_threshold=est_gate,
+    ).select("id_a", "id_b")
+    toks = df.select(
+        F.col(id_col).alias("id"), F.array_distinct(tokens(text_col)).alias("tok")
+    )
+    a = toks.select(F.col("id").alias("id_a"), F.col("tok").alias("tok_a"))
+    b = toks.select(F.col("id").alias("id_b"), F.col("tok").alias("tok_b"))
+    inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b")))
+    union = F.size(F.array_union(F.col("tok_a"), F.col("tok_b")))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
     )
 
 

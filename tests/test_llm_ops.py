@@ -149,3 +149,25 @@ def test_embed_neardup_lsh_recall(spark, sf_small):
         assert len(approx & exact) >= 0.7 * len(exact), (
             f"LSH recovered {len(approx & exact)}/{len(exact)} pairs"
         )
+
+
+def test_minhash_verified_exact_jaccard(docs):
+    """Verified pipeline: candidate pairs carry EXACT jaccard values
+    (cross-checked against the direct computation) and still recover
+    the injected mutants."""
+    full = _with_mutants(docs)
+    verified = D.minhash_verified_neardup_pairs(full, jaccard_threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    expected = {(i, i + 200000) for i in range(20)}
+    hits = expected & set(got)
+    assert len(hits) >= 15, f"verified pipeline found {len(hits)}/20 mutants"
+    # exact-value spot check against the direct jaccard computation
+    direct = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_pairs(full.filter(
+            (F.col("doc_id") < 5) | ((F.col("doc_id") >= 200000) & (F.col("doc_id") < 200005))
+        )).collect()
+    }
+    for pair in got:
+        if pair in direct:
+            assert got[pair] == direct[pair]
