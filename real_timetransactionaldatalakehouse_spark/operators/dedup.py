@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
@@ -183,17 +183,17 @@ def minhash_neardup_pairs(
         "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
     )
     if max_bucket:
-        # window count, not a broadcast count-table: distinct (band,
-        # bhash) keys grow with the corpus (64-bit hashes), so a
-        # broadcast would not survive scale; the count-over-partition
-        # shares the self-join's (band, bhash) shuffle and is O(m) even
-        # in a degenerate bucket
-        wb = Window.partitionBy("band", "bhash")
-        banded = (
-            banded.withColumn("__bn", F.count(F.lit(1)).over(wb))
-            .filter(F.col("__bn") <= max_bucket)
-            .drop("__bn")
+        # broadcast the HOT-bucket list only (every hot bucket has
+        # > max_bucket members, so the list is at most rows/max_bucket
+        # entries — bounded at any corpus size, unlike a full
+        # count-table over a 64-bit key space) and anti-join it away
+        hot = (
+            banded.groupBy("band", "bhash")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_bucket)
+            .select("band", "bhash")
         )
+        banded = banded.join(F.broadcast(hot), ["band", "bhash"], "left_anti")
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -329,12 +329,15 @@ def simhash_neardup_pairs(
         "id", "sig", F.col("cc.chunk").alias("chunk"), F.col("cc.ck").alias("ck")
     )
     if max_bucket:
-        bucket_n = banded.groupBy("chunk", "ck").agg(F.count(F.lit(1)).alias("__bn"))
-        banded = (
-            banded.join(F.broadcast(bucket_n), ["chunk", "ck"])
-            .filter(F.col("__bn") <= max_bucket)
-            .drop("__bn")
+        # hot-list anti-join (see the MinHash cap note: the hot list is
+        # bounded at rows/max_bucket entries regardless of corpus size)
+        hot = (
+            banded.groupBy("chunk", "ck")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_bucket)
+            .select("chunk", "ck")
         )
+        banded = banded.join(F.broadcast(hot), ["chunk", "ck"], "left_anti")
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
