@@ -196,7 +196,21 @@ def minhash_neardup_pairs(
         banded = banded.join(F.broadcast(hot), ["band", "bhash"], "left_anti")
     left = banded.alias("l")
     right = banded.alias("r")
-    cand = (
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: (a == b).cast("int")),
+                lambda x: x == 1,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    # the estimate filter runs BEFORE the pair-dedup shuffle: a pair
+    # co-bucketing in several bands is scored redundantly (cheap,
+    # map-side), but the distinct only shuffles surviving pairs —
+    # the order that matters when bands emit 10x more candidates than
+    # pass the threshold
+    return (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -209,20 +223,9 @@ def minhash_neardup_pairs(
             F.col("l.sig").alias("sig_a"),
             F.col("r.sig").alias("sig_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: (a == b).cast("int")),
-                lambda x: x == 1,
-            )
-        ).cast("double")
-        / F.lit(float(num_hashes))
-    )
-    return (
-        cand.withColumn("jaccard_est", est)
+        .withColumn("jaccard_est", est)
         .filter(F.col("jaccard_est") >= jaccard_threshold)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "jaccard_est")
     )
 
@@ -339,7 +342,10 @@ def simhash_neardup_pairs(
         )
         banded = banded.join(F.broadcast(hot), ["chunk", "ck"], "left_anti")
     l, r = banded.alias("l"), banded.alias("r")
-    cand = (
+    # hamming filter BEFORE the pair-dedup shuffle (see the MinHash
+    # note): redundant per-band scoring is map-side and cheap; the
+    # distinct only shuffles pairs that already passed
+    return (
         l.join(
             r,
             (F.col("l.chunk") == F.col("r.chunk"))
@@ -349,15 +355,10 @@ def simhash_neardup_pairs(
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
+            F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig"))).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 
