@@ -713,6 +713,26 @@ def q_rollup(spark, sf_dir):
     )
 
 
+@_q("q_pivot", """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase
+FROM events GROUP BY user_id
+""")
+def q_pivot(spark, sf_dir):
+    """Pivot (long -> wide): event-type counts as columns.  The value
+    list is pinned so Catalyst plans ONE pass — an unpinned pivot runs
+    an extra distinct-collect over the column at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=["view", "click", "purchase"])
+    )
+
+
 @_q("q_agg_percentile", """
 SELECT l_returnflag,
        quantile_cont(l_extendedprice, 0.5) AS med_price,
