@@ -664,23 +664,26 @@ GROUP BY a.month
 """)
 def q_cohort_retention(spark, sf_dir):
     """G8: cohort retention — customers active in month M who returned
-    in M+1 (reference Dashboard.md:71, declared)."""
-    m = (
+    in M+1 (reference Dashboard.md:71, declared).
+
+    One wide shuffle: collect each customer's distinct month set in a
+    single groupBy (the set dedups, so no separate DISTINCT exchange),
+    then test month+1 membership map-side and count over the tiny
+    (month) key.  The naive self-join shuffles the distinct
+    (custkey, month) set twice."""
+    months = (
         _t(spark, sf_dir, "orders")
         .select(
             "o_custkey",
             F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
         )
-        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.collect_set("month").alias("months"))
     )
-    a, b = m.alias("a"), m.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.o_custkey") == F.col("b.o_custkey"))
-            & (F.col("b.month") == F.add_months(F.col("a.month"), 1)),
-        )
-        .groupBy(F.col("a.month").alias("month"))
+        months.select(F.explode("months").alias("month"), "months")
+        .filter(F.array_contains("months", F.add_months(F.col("month"), 1)))
+        .groupBy("month")
         .agg(F.count(F.lit(1)).alias("retained"))
     )
 

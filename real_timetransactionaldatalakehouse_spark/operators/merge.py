@@ -11,7 +11,10 @@ join+coalesce plan:
     columns  -> per-column coalesce (update wins; null update keeps old)
 
 which is exactly what a MoR engine materializes at read time.  When
-Delta is on the classpath, ``delta_merge`` takes the fast path.
+Delta is on the classpath (``delta_merge_available``), ``delta_merge``
+runs the same semantics through ``DeltaTable.merge`` — a metadata-
+commit MERGE that rewrites only matched files; this container ships no
+Delta jars, so the join+coalesce plan is the tested path.
 
 Scale: one shuffle on the merge key for the join; batch-scoped dedup
 shrinks the shuffled update side first (reference rationale
@@ -51,13 +54,21 @@ def merge_upsert(
     data_cols = [c for c in target.columns if c not in key_cols]
     updatable = set(update_cols) if update_cols is not None else set(data_cols)
 
-    t = target.select(*key_cols, *[F.col(c).alias(f"__t_{c}") for c in data_cols])
+    # explicit presence markers: "this key exists on the target side"
+    # must NOT be inferred from a data column being null — a matched row
+    # whose protected column is legitimately NULL is not an insert.
+    t = target.select(
+        *key_cols,
+        *[F.col(c).alias(f"__t_{c}") for c in data_cols],
+        F.lit(1).alias("__has_target"),
+    )
     u = updates.select(
         *key_cols,
         *[F.col(c).alias(f"__u_{c}") for c in data_cols if c in updates.columns],
         F.lit(1).alias("__has_update"),
     )
     joined = t.join(u, on=key_cols, how="full_outer")
+    is_insert = F.col("__has_target").isNull()
 
     out_cols = [F.col(k) for k in key_cols]
     for c in data_cols:
@@ -68,8 +79,7 @@ def merge_upsert(
             # matched rows keep target; pure inserts take the update value
             if u_col in joined.columns:
                 out_cols.append(
-                    F.when(F.col(f"__t_{c}").isNull() & F.col("__has_update").isNotNull(),
-                           F.col(u_col)).otherwise(F.col(f"__t_{c}")).alias(c)
+                    F.when(is_insert, F.col(u_col)).otherwise(F.col(f"__t_{c}")).alias(c)
                 )
             else:
                 out_cols.append(F.col(f"__t_{c}").alias(c))
@@ -94,3 +104,49 @@ def delta_merge_available(spark) -> bool:
         return True
     except Exception:
         return False
+
+
+def delta_merge(
+    spark,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    order_col: str | None = None,
+    tiebreak_cols: list[str] | None = None,
+    update_cols: list[str] | None = None,
+) -> None:
+    """Delta-native MERGE with the same SCD1 semantics as
+    ``merge_upsert`` (reference ``streaming_job.py:137-154``): latest
+    update per key wins, matched rows take ``coalesce(update, target)``
+    on updatable columns, unmatched keys insert.
+
+    Runs only when Delta is on the classpath
+    (``delta_merge_available``); raises ``RuntimeError`` otherwise so
+    callers fall back to the join+coalesce plan explicitly.  At scale
+    this is the fast path: Delta rewrites only the files containing
+    matched keys instead of the whole table.
+    """
+    if not delta_merge_available(spark):
+        raise RuntimeError(
+            "Delta is not on the classpath; use merge_upsert (join+coalesce plan)"
+        )
+    from delta.tables import DeltaTable  # gated import
+
+    if order_col is not None:
+        updates = dedup_latest(updates, key_cols, order_col, tiebreak_cols)
+    data_cols = [c for c in updates.columns if c not in key_cols]
+    updatable = (
+        [c for c in data_cols if c in set(update_cols)]
+        if update_cols is not None
+        else data_cols
+    )
+    tgt = DeltaTable.forPath(spark, target_path)
+    cond = " AND ".join(f"t.`{k}` = u.`{k}`" for k in key_cols)
+    set_expr = {c: f"coalesce(u.`{c}`, t.`{c}`)" for c in updatable}
+    (
+        tgt.alias("t")
+        .merge(updates.alias("u"), cond)
+        .whenMatchedUpdate(set=set_expr)
+        .whenNotMatchedInsertAll()
+        .execute()
+    )

@@ -258,24 +258,25 @@ def ivf_centroids(
     vec_col: str = "embedding",
 ):
     """IVF coarse quantizer: k centroids via deterministic Lloyd
-    iterations (init = evenly-strided existing vectors, so no RNG).
+    iterations (init = the k vectors with the smallest xxhash64(id) —
+    a deterministic uniform sample, no RNG, no id-density assumption).
     Returns a (k x dim) float64 numpy matrix.
 
-    Each iteration is one vectorized assignment pass (centroid matrix
-    in the kernel closure) + one groupBy mean; the k x dim result is
-    collected to the driver between iterations — centroids are
-    metadata-sized (k*dim doubles) by construction, which is what makes
-    k-means scalable: the 10^9-row table streams, the model doesn't.
+    The init is a TakeOrdered with a k-row heap per partition (k ~ 16)
+    — constant driver memory at any table size, unlike stride-based
+    sampling which needs a count() pass and funnels ~n rows through a
+    global limit on dense id spaces.  Each Lloyd iteration is one
+    vectorized assignment pass (centroid matrix in the kernel closure)
+    + one groupBy mean; the k x dim result is collected to the driver
+    between iterations — centroids are metadata-sized (k*dim doubles)
+    by construction, which is what makes k-means scalable: the
+    10^9-row table streams, the model doesn't.
     """
     import numpy as np
 
-    n = candidates.count()
-    stride = max(n // k, 1)
     init = (
         candidates.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
-        .orderBy("cid")
-        .limit(k * stride)
-        .filter((F.col("cid") % stride) == 0)
+        .orderBy(F.xxhash64(F.col("cid")).asc(), F.col("cid").asc())
         .limit(k)
         .collect()
     )

@@ -63,6 +63,39 @@ def test_merge_idempotent_and_key_complete(spark, target, updates):
     assert keys_out == {k for k, _, _ in target} | {k for k, _, _ in updates}
 
 
+def test_merge_protected_null_column_not_overwritten(spark):
+    """A matched row with NULL in a protected (non-updatable) column
+    keeps its NULL: insert detection must use key presence, not
+    column nullness (a NULL target value is not an unmatched key)."""
+    t = spark.createDataFrame(
+        [(1, None, "seg-a"), (2, 10, "seg-b")], "k int, v int, seg string"
+    )
+    u = spark.createDataFrame(
+        [(1, 99, "seg-new"), (3, 7, "seg-c")], "k int, v int, seg string"
+    )
+    out = merge_upsert(t, u, ["k"], update_cols=["seg"])
+    got = {r.k: (r.v, r.seg) for r in out.collect()}
+    assert got[1] == (None, "seg-new")  # protected v stays NULL on match
+    assert got[2] == (10, "seg-b")      # untouched target row
+    assert got[3] == (7, "seg-c")       # unmatched key inserts all values
+
+
+def test_delta_merge_gated(spark):
+    """delta_merge raises a clear error when Delta is absent (this
+    container) instead of failing deep inside py4j."""
+    import pytest as _pytest
+
+    from real_timetransactionaldatalakehouse_spark.operators.merge import (
+        delta_merge,
+        delta_merge_available,
+    )
+
+    u = spark.createDataFrame([(1, 1)], "k int, v int")
+    if not delta_merge_available(spark):
+        with _pytest.raises(RuntimeError, match="Delta is not on the classpath"):
+            delta_merge(spark, "/tmp/nonexistent-delta", u, ["k"])
+
+
 @SETTINGS
 @given(data=rows)
 def test_dedup_latest_picks_max_order_tuple(spark, data):
