@@ -1084,10 +1084,243 @@ def q_dedup_exact(spark, sf_dir):
     return out.select(F.md5("text").alias("fp"), "keeper_id", "n_copies")
 
 
-@_q("q_neardup_minhash")  # rows-only: xxhash64 not reproducible in DuckDB
+# --- oracle SQL builders for the LSH/ANN family ---------------------
+# These oracles replicate the APPROXIMATE algorithms exactly (same
+# hashes, same banding, same probe order) rather than comparing against
+# an exact answer — so the check holds regardless of recall.  The only
+# cross-engine dependency is IEEE-double arithmetic: dot products fold
+# sequentially (list_reduce == F.aggregate), hash inputs are md5-based
+# or pure integer arithmetic.
+
+# corpus + injected near-copies (drop last 2 words of docs 0-19) —
+# SQL twin of the mutation in the q_neardup_* queries
+_MUTATED_CORPUS_CTE = """
+all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1,
+             greatest(len(string_split(text, ' ')) - 2, 1)), ' ') AS text
+  FROM documents WHERE doc_id < 20
+)"""
+
+# distinct word-3-gram shingle sets per doc (twin of dedup.word_shingles)
+_SHINGLES_CTE = """
+sh AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+             i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS s
+  FROM all_docs
+)"""
+
+_SHINGLE_JACCARD = (
+    "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
+    " / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)"
+)
+
+_NEARDUP_MINHASH_ORACLE = f"""
+WITH {_MUTATED_CORPUS_CTE}, {_SHINGLES_CTE}
+SELECT id_a, id_b FROM (
+  SELECT a.id AS id_a, b.id AS id_b, {_SHINGLE_JACCARD} AS jaccard
+  FROM sh a JOIN sh b ON a.id < b.id
+) WHERE jaccard >= 0.5
+"""
+
+_NEARDUP_VERIFIED_ORACLE = f"""
+WITH {_MUTATED_CORPUS_CTE}, {_SHINGLES_CTE}
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.id AS id_a, b.id AS id_b, {_SHINGLE_JACCARD} AS jaccard
+  FROM sh a JOIN sh b ON a.id < b.id
+) WHERE jaccard >= 0.5
+"""
+
+# SimHash twin: md5-prefix 60-bit token hashes -> per-bit majority ->
+# 4x16-bit chunk banding with the 256 hot-bucket cap -> hamming <= 4.
+# Mirrors dedup.simhash_neardup_pairs(token_hash="md5_60") step by step.
+_SIMHASH_ORACLE = f"""
+WITH {_MUTATED_CORPUS_CTE},
+th AS (
+  SELECT doc_id AS id, ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h
+  FROM all_docs, UNNEST(list_distinct(string_split(text, ' '))) AS t(tok)
+),
+votes AS (
+  SELECT id, bb.b AS b, SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, (SELECT unnest(generate_series(0, 59)) AS b) bb
+  GROUP BY id, bb.b
+),
+sig AS (
+  SELECT id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+  FROM votes GROUP BY id
+),
+banded AS (
+  SELECT id, sig, cc.c AS c, (sig >> (cc.c * 16)) & 65535 AS ck
+  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS c) cc
+),
+cold AS (
+  SELECT * FROM banded ANTI JOIN (
+    SELECT c, ck FROM banded GROUP BY c, ck HAVING COUNT(*) > 256
+  ) hot USING (c, ck)
+),
+pairs AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+         bit_count(xor(l.sig, r.sig)) AS hamming
+  FROM cold l JOIN cold r ON l.c = r.c AND l.ck = r.ck AND l.id < r.id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 4
+"""
+
+
+def _lsh_planes_cte(n_planes_total: int) -> str:
+    """Twin of similarity._hyperplane as a CTE: splitmix-style integer
+    mix in HUGEINT (the first xor stage is an identity because the
+    seed is < 2^27), components in [-1, 1]."""
+    return f"""
+planes AS (
+  SELECT p, list(comp ORDER BY d) AS pv
+  FROM (
+    SELECT p, d,
+      (CAST(xor(x2, x2 >> 33) % 2000001 AS DOUBLE) / 1000000.0) - 1.0 AS comp
+    FROM (
+      SELECT g1.p AS p, g2.d AS d,
+        ((CAST(g1.p * 1000003 + g2.d * 7919 + 12345 AS HUGEINT)
+          * 18397679294719823053::HUGEINT) % 18446744073709551616::HUGEINT) AS x2
+      FROM (SELECT unnest(generate_series(0, {n_planes_total - 1})) AS p) g1,
+           (SELECT unnest(generate_series(0, 63)) AS d) g2
+    )
+  )
+  GROUP BY p
+)"""
+
+
+def _lsh_bucket_cte(name: str, src: str, planes: int) -> str:
+    """Per-(vector, table) sign-LSH bucket id: MSB-first fold of the
+    projection signs, exactly as similarity._lsh_buckets_udf packs
+    them."""
+    return f"""
+{name} AS (
+  SELECT id, CAST(p // {planes} AS INTEGER) AS tbl,
+    CAST(SUM(CASE WHEN list_reduce(list_transform(list_zip(v, pv),
+            x -> CAST(x[1] AS DOUBLE) * x[2]), (s, t) -> s + t) > 0
+        THEN 1 << ({planes - 1} - (p % {planes})) ELSE 0 END) AS INTEGER) AS bucket
+  FROM {src}, planes
+  GROUP BY id, p // {planes}
+)"""
+
+
+_FOLD_DOT = (
+    "list_reduce(list_transform(list_zip(a.v, b.v),"
+    " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (s, t) -> s + t)"
+)
+
+
+def _fold_norm(expr: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform({expr},"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (s, t) -> s + t))"
+    )
+
+
+_KNN_LSH_ORACLE = f"""
+WITH {_lsh_planes_cte(64)},
+qv AS (SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id < 10),
+cv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+{_lsh_bucket_cte("qb", "qv", 4)},
+{_lsh_bucket_cte("cb", "cv", 4)},
+cand AS (
+  SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+  FROM qb q JOIN cb c ON q.tbl = c.tbl AND q.bucket = c.bucket AND c.id <> q.id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    {_FOLD_DOT} / ({_fold_norm("a.v")} * {_fold_norm("b.v")}) AS score
+  FROM cand JOIN qv a ON cand.query_id = a.id JOIN cv b ON cand.neighbor_id = b.id
+)
+SELECT query_id, neighbor_id, rank, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+_EMBED_LSH_ORACLE = f"""
+WITH {_lsh_planes_cte(64)},
+allv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+{_lsh_bucket_cte("bk", "allv", 4)},
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM bk l JOIN bk r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.id < r.id
+),
+scored AS (
+  SELECT cand.id_a, cand.id_b,
+    {_FOLD_DOT} / ({_fold_norm("a.v")} * {_fold_norm("b.v")}) AS score
+  FROM cand JOIN allv a ON cand.id_a = a.id JOIN allv b ON cand.id_b = b.id
+)
+SELECT id_a, id_b, score FROM scored WHERE score >= 0.35
+"""
+
+# IVF twin (iterations=0): centroids are the 16 vectors with the
+# smallest md5-prefix hash of their id; assignment and probe order are
+# cosine-ranked with ties toward the lower centroid index (the stable
+# argsort in similarity._nearest_cells_udf).
+_KNN_IVF_ORACLE = f"""
+WITH qv AS (SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id < 10),
+cv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY cid) - 1 AS c_idx, cvec FROM (
+    SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+    ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+             vec_id ASC
+    LIMIT 16
+  )
+),
+inv AS (
+  SELECT id, c_idx AS centroid_id FROM (
+    SELECT a.id, cent.c_idx,
+      ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY
+        {_FOLD_DOT.replace("b.v", "cent.cvec")}
+          / ({_fold_norm("a.v")} * {_fold_norm("cent.cvec")}) DESC,
+        cent.c_idx ASC) AS rn
+    FROM cv a, cent
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT id, c_idx AS centroid_id FROM (
+    SELECT a.id, cent.c_idx,
+      ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY
+        {_FOLD_DOT.replace("b.v", "cent.cvec")}
+          / ({_fold_norm("a.v")} * {_fold_norm("cent.cvec")}) DESC,
+        cent.c_idx ASC) AS rn
+    FROM qv a, cent
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT a.id AS query_id, b.id AS neighbor_id,
+    {_FOLD_DOT} / ({_fold_norm("a.v")} * {_fold_norm("b.v")}) AS score
+  FROM qprobe JOIN inv ON qprobe.centroid_id = inv.centroid_id AND inv.id <> qprobe.id
+  JOIN qv a ON qprobe.id = a.id JOIN cv b ON inv.id = b.id
+)
+SELECT query_id, neighbor_id, rank, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@_q("q_neardup_minhash", _NEARDUP_MINHASH_ORACLE)
 def q_neardup_minhash(spark, sf_dir):
     """X2: MinHash+LSH near-dup pairs over the corpus + injected
-    mutated near-copies (drop last 2 words of docs 0-19)."""
+    mutated near-copies (drop last 2 words of docs 0-19).
+
+    The oracle is the exact shingle-Jaccard >= 0.5 pair set.  The
+    signature estimate itself is xxhash64-based (not SQL-expressible),
+    so the declared output is the pair set only; the corpus has no
+    pairs with shingle Jaccard in (0.35, 0.65), so the estimate
+    (stddev ~1/sqrt(32) ~ 0.18) and banding (miss prob < 1e-3 at
+    J >= 0.9) cannot flip a pair across the 0.5 gate — verified
+    empirically at sf0.01/sf0.001, and deterministic because the
+    hashes are fixed."""
     from real_timetransactionaldatalakehouse_spark.operators import dedup as D
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1096,13 +1329,18 @@ def q_neardup_minhash(spark, sf_dir):
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))).alias("text"),
     )
-    return D.minhash_neardup_pairs(docs.unionByName(mutated), jaccard_threshold=0.5)
+    return D.minhash_neardup_pairs(
+        docs.unionByName(mutated), jaccard_threshold=0.5
+    ).select("id_a", "id_b")
 
 
-@_q("q_neardup_verified")  # rows-only: candidate generation uses xxhash64
+@_q("q_neardup_verified", _NEARDUP_VERIFIED_ORACLE)
 def q_neardup_verified(spark, sf_dir):
-    """X2 end-to-end: MinHash candidates -> exact token-set Jaccard
-    verify at 0.5 — the candidates-then-verify pipeline shape."""
+    """X2 end-to-end: MinHash candidates -> exact shingle-set Jaccard
+    verify at 0.5 — the candidates-then-verify pipeline shape.  The
+    exact Jaccard values are integer ratios, bit-identical to the
+    oracle; candidate recall over the >= 0.5 set is total here (see
+    q_neardup_minhash margins)."""
     from real_timetransactionaldatalakehouse_spark.operators import dedup as D
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1116,10 +1354,12 @@ def q_neardup_verified(spark, sf_dir):
     )
 
 
-@_q("q_simhash_neardup")  # rows-only: xxhash64 not reproducible in DuckDB
+@_q("q_simhash_neardup", _SIMHASH_ORACLE)
 def q_simhash_neardup(spark, sf_dir):
-    """X2-adjacent: SimHash near-dup pairs (hamming <= 8) over corpus +
-    the same mutated near-copies."""
+    """X2-adjacent: SimHash near-dup pairs (hamming <= 4) over corpus +
+    the same mutated near-copies, with md5-prefix token hashes so the
+    ENTIRE pipeline — signature bits, chunk banding, hot-bucket cap,
+    hamming distances — has an exact SQL twin."""
     from real_timetransactionaldatalakehouse_spark.operators import dedup as D
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1131,7 +1371,9 @@ def q_simhash_neardup(spark, sf_dir):
     # hamming <= 4: the standard near-dup band for 64-bit SimHash —
     # <=8 admits a quadratic tail of merely-similar pairs on a
     # shared-vocabulary corpus (~250k rows at sf0.1 vs ~53k at 4)
-    return D.simhash_neardup_pairs(docs.unionByName(mutated), max_hamming=4)
+    return D.simhash_neardup_pairs(
+        docs.unionByName(mutated), max_hamming=4, token_hash="md5_60"
+    )
 
 
 @_q("q_jaccard_pairs", """
@@ -1186,24 +1428,33 @@ def q_knn_topk(spark, sf_dir):
     return S.knn_bruteforce(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
-@_q("q_knn_lsh")  # rows-only: approximate path, no SQL equivalent
+@_q("q_knn_lsh", _KNN_LSH_ORACLE)
 def q_knn_lsh(spark, sf_dir):
     """X3 scale path: sign-random-projection LSH buckets + in-bucket
-    exact re-rank (approximate top-k)."""
+    exact re-rank (approximate top-k).  The oracle replicates the
+    approximation itself — deterministic integer-hash hyperplanes,
+    same bucket packing, same candidate join — so the check is exact
+    at any recall."""
     from real_timetransactionaldatalakehouse_spark.operators import similarity as S
 
     emb = _t(spark, sf_dir, "embeddings")
     return S.knn_lsh(emb.filter(F.col("vec_id") < 10), emb, k=5, planes=4, tables=16)
 
 
-@_q("q_knn_ivf")  # rows-only: approximate path, no SQL equivalent
+@_q("q_knn_ivf", _KNN_IVF_ORACLE)
 def q_knn_ivf(spark, sf_dir):
-    """X3 scale path B: IVF inverted-file ANN — deterministic Lloyd
-    centroids, probe the 4 nearest of 16 cells, exact re-rank."""
+    """X3 scale path B: IVF inverted-file ANN — deterministic
+    hash-sampled quantizer (iterations=0 so any engine can reconstruct
+    the centroids; Lloyd refinement stays available on the operator),
+    probe the 4 nearest of 16 cells, exact re-rank.  The oracle
+    replicates assignment, probe order, and re-rank."""
     from real_timetransactionaldatalakehouse_spark.operators import similarity as S
 
     emb = _t(spark, sf_dir, "embeddings")
-    return S.knn_ivf(emb.filter(F.col("vec_id") < 10), emb, k=5, n_centroids=16, n_probe=4)
+    return S.knn_ivf(
+        emb.filter(F.col("vec_id") < 10), emb,
+        k=5, n_centroids=16, n_probe=4, iterations=0,
+    )
 
 
 @_q("q_embed_neardup", """
@@ -1227,11 +1478,12 @@ def q_embed_neardup(spark, sf_dir):
     )
 
 
-@_q("q_embed_neardup_lsh")  # rows-only: LSH candidate generation, no SQL twin
+@_q("q_embed_neardup_lsh", _EMBED_LSH_ORACLE)
 def q_embed_neardup_lsh(spark, sf_dir):
     """X2/X3 scale path: embedding near-dup with LSH-bucketed candidate
     pairs + exact cosine verify (the formulation that survives 10^9
-    vectors — see similarity.embedding_neardup_pairs_lsh)."""
+    vectors — see similarity.embedding_neardup_pairs_lsh).  The oracle
+    replicates the banding, so recall misses cancel out exactly."""
     from real_timetransactionaldatalakehouse_spark.operators import similarity as S
 
     # planes/tables tuned for the corpus's moderate-similarity pairs:
@@ -1406,11 +1658,29 @@ def q_text_fingerprint(spark, sf_dir):
     return TX.fingerprint(_t(spark, sf_dir, "documents"))
 
 
-@_q("q_multimodal_features")  # rows-only: mapInPandas stub kernel
+_MULTIMODAL_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         md5(text || '0') AS h
+  FROM documents WHERE doc_id < 64
+)
+SELECT media_id, kind, 16 AS dim,
+  ((('0x' || substr(h, 7, 2) || substr(h, 5, 2) || substr(h, 3, 2) || substr(h, 1, 2))::BIGINT
+    % 2000001) / 1000000.0 - 1.0)::FLOAT AS f0
+FROM m
+"""
+
+
+@_q("q_multimodal_features", _MULTIMODAL_ORACLE)
 def q_multimodal_features(spark, sf_dir):
     """X5: multimodal binary-column pipeline — synthetic media table ->
     Arrow-batched mapInPandas feature extraction (FAKE decode kernel;
-    Spark-side schema/partitioning/batching are the real thing)."""
+    Spark-side schema/partitioning/batching are the real thing).  The
+    FAKE features are md5-derived, so feature 0 has an exact SQL twin
+    (first 4 digest bytes little-endian, scaled to [-1, 1], FLOAT32)."""
     from real_timetransactionaldatalakehouse_spark.operators import multimodal as MM
 
     docs = _t(spark, sf_dir, "documents")

@@ -52,14 +52,17 @@ FEATURE_DIM = 16
 def deterministic_fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """FAKE decode stub: md5-seeded feature vector in [-1, 1].
     Deterministic so tests and oracles are stable; replace with a real
-    decoder (PIL/librosa/ffmpeg) in deployment."""
+    decoder (PIL/librosa/ffmpeg) in deployment.
+
+    The block salt is the ASCII counter (``payload + b"0"``, ``b"1"``,
+    ...) so the hash input stays representable as text and an ANSI-SQL
+    oracle can recompute feature 0 as ``md5(text || '0')``."""
     if payload is None:
         return [0.0] * dim
     out: list[float] = []
-    h = b""
     i = 0
     while len(out) < dim:
-        h = hashlib.md5(payload + i.to_bytes(4, "little")).digest()
+        h = hashlib.md5(payload + str(i).encode("ascii")).digest()
         for j in range(0, 16, 4):
             if len(out) >= dim:
                 break

@@ -258,8 +258,11 @@ def ivf_centroids(
     vec_col: str = "embedding",
 ):
     """IVF coarse quantizer: k centroids via deterministic Lloyd
-    iterations (init = the k vectors with the smallest xxhash64(id) —
-    a deterministic uniform sample, no RNG, no id-density assumption).
+    iterations (init = the k vectors with the smallest md5-prefix hash
+    of their id — a deterministic uniform sample, no RNG, no id-density
+    assumption, and reproducible in ANSI SQL: with ``iterations=0`` the
+    quantizer is a pure data sample any engine can reconstruct, which
+    is what makes the declared IVF query oracle-checkable).
     Returns a (k x dim) float64 numpy matrix.
 
     The init is a TakeOrdered with a k-row heap per partition (k ~ 16)
@@ -274,9 +277,12 @@ def ivf_centroids(
     """
     import numpy as np
 
+    id_hash = F.conv(
+        F.substring(F.md5(F.col("cid").cast("string")), 1, 15), 16, 10
+    ).cast("long")
     init = (
         candidates.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col("cid")).asc(), F.col("cid").asc())
+        .orderBy(id_hash.asc(), F.col("cid").asc())
         .limit(k)
         .collect()
     )
@@ -304,6 +310,7 @@ def knn_ivf(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -314,9 +321,14 @@ def knn_ivf(
     At 10^9 vectors: the inverted file is a one-off build (one
     vectorized assignment pass, one shuffle on centroid_id); each query
     touches ~n_probe/n_centroids of the data.  Recall is controlled by
-    n_probe.
+    n_probe.  ``iterations=0`` skips Lloyd refinement: the quantizer is
+    then the deterministic hash-sampled seed vectors — reconstructable
+    by any engine, which is what the declared oracle query pins.
     """
-    C = ivf_centroids(candidates, k=n_centroids, id_col=id_col, vec_col=vec_col)
+    C = ivf_centroids(
+        candidates, k=n_centroids, iterations=iterations,
+        id_col=id_col, vec_col=vec_col,
+    )
     assign1 = _nearest_cells_udf(C, 1)
     inv = candidates.select(
         F.col(id_col).alias("neighbor_id"),
@@ -396,6 +408,8 @@ def embedding_neardup_pairs_lsh(
     probability ~1 - (1 - 0.86^8)^8 ~ 0.97 — recall is tunable via
     ``tables`` without ever materializing the quadratic pair space.
     """
+    from .dedup import _attach_cached
+
     banded = _lsh_banded(df, "id", "v", id_col, vec_col, planes, dim, tables).persist()
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -411,10 +425,11 @@ def embedding_neardup_pairs_lsh(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
+    out = (
         cand.select(
             "id_a", "id_b",
             (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
+    return _attach_cached(out, [banded])

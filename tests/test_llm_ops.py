@@ -153,8 +153,9 @@ def test_embed_neardup_lsh_recall(spark, sf_small):
 
 def test_minhash_verified_exact_jaccard(docs):
     """Verified pipeline: candidate pairs carry EXACT jaccard values
-    (cross-checked against the direct computation) and still recover
-    the injected mutants."""
+    (cross-checked against the direct computation in the SAME
+    3-gram-shingle space the estimator targets) and still recover the
+    injected mutants."""
     full = _with_mutants(docs)
     verified = D.minhash_verified_neardup_pairs(full, jaccard_threshold=0.5)
     got = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
@@ -166,7 +167,7 @@ def test_minhash_verified_exact_jaccard(docs):
         (r.id_a, r.id_b): r.jaccard
         for r in D.jaccard_pairs(full.filter(
             (F.col("doc_id") < 5) | ((F.col("doc_id") >= 200000) & (F.col("doc_id") < 200005))
-        )).collect()
+        ), shingle_n=3).collect()
     }
     for pair in got:
         if pair in direct:
