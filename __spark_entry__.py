@@ -1056,6 +1056,47 @@ def q_sorted_write(spark, sf_dir):
     )
 
 
+@_q("q_snapshot_lifecycle")  # rows-only: exercises versioned writes (M2/M3)
+def q_snapshot_lifecycle(spark, sf_dir):
+    """M2/M3: snapshot-versioned table lifecycle — three snapshot
+    commits (full write, retention rewrite, compaction rewrite), then
+    expire-snapshots keeps the last 2 and remove-orphans clears a
+    simulated crashed write.  Output proves: old snapshot readable
+    before expiry (time travel), expired after, row counts preserved
+    across rewrites."""
+    import os as _os
+    import tempfile
+
+    from real_timetransactionaldatalakehouse_spark import tablefmt as TF
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    tbl = tempfile.mkdtemp(prefix="versioned_tbl_")
+    n_all = ev.count()
+    TF.write_version(ev, tbl, expect_rows=n_all)
+    cut = ev.agg(F.expr("percentile(unix_seconds(ts), 0.5)")).first()[0]
+    kept = ev.filter(F.unix_seconds(F.col("ts")) >= F.lit(int(cut)))
+    TF.write_version(kept, tbl, expect_rows=kept.count())
+    TF.write_version(TF.read_table(spark, tbl).repartition(2), tbl)
+    v1_rows_pre_expiry = TF.read_table(spark, tbl, version=1).count()
+    _os.makedirs(_os.path.join(tbl, "_versions", ".tmp-v00000099"), exist_ok=True)
+    orphans = len(TF.remove_orphans(tbl)["removed"])
+    expired = TF.expire_snapshots(tbl, keep_last=2)
+    v1_gone = not _os.path.isdir(TF.version_path(tbl, 1))
+    return spark.createDataFrame(
+        [(
+            n_all,
+            v1_rows_pre_expiry,
+            TF.read_table(spark, tbl).count(),
+            TF.current_version(tbl),
+            len(expired["removed"]),
+            orphans,
+            v1_gone,
+        )],
+        "n_rows_v1 long, v1_readable_rows long, current_rows long, "
+        "current_version long, n_expired long, n_orphans long, v1_expired boolean",
+    )
+
+
 # =====================================================================
 # X. EXT — LLM-data-pipeline operators (SURVEY.md section 2 L)
 # =====================================================================

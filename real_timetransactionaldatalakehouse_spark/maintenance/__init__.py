@@ -16,7 +16,46 @@ import shutil
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import tablefmt
+
 TARGET_FILE_BYTES = 128 * 1024 * 1024  # reference compact_cold_data.py:28
+
+
+def _read_target(spark: SparkSession, path: str) -> DataFrame:
+    if tablefmt.is_versioned(path):
+        return tablefmt.read_table(spark, path)
+    return spark.read.parquet(path)
+
+
+def _safe_swap_rewrite(spark: SparkSession, path: str, out: DataFrame,
+                       expect_rows: int, suffix: str) -> None:
+    """Replace ``path``'s data with ``out``, never destroying the old
+    data before the new data is validated.
+
+    Versioned tables commit a new snapshot (pointer flip, old versions
+    retained).  Plain dirs write to tmp, verify the row count, then
+    swap via a ``.bak`` rename — a crash at any step leaves either the
+    old or the new data intact and recoverable, and a count mismatch
+    aborts BEFORE anything is deleted (the old rmtree-then-rename did
+    the destructive step first and could only report the loss)."""
+    if tablefmt.is_versioned(path):
+        tablefmt.write_version(out, path, expect_rows=expect_rows)
+        return
+    tmp = path.rstrip("/") + suffix
+    out.write.mode("overwrite").parquet(tmp)
+    got = spark.read.parquet(tmp).count()
+    if got != expect_rows:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"rewrite aborted: tmp has {got} rows, expected {expect_rows}; "
+            f"{path} untouched"
+        )
+    bak = path.rstrip("/") + ".bak"
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
 
 
 def table_stats(spark: SparkSession, path: str) -> DataFrame:
@@ -51,11 +90,17 @@ def compact(
     cold data only (reference: older than 1 h, compact_cold_data.py:25)
     — hot partitions are left untouched so the streaming writer never
     races the compactor.  Returns before/after stats; row count is
-    preserved by construction."""
-    df = spark.read.parquet(path)
+    preserved by construction: the cold/hot split is null-safe (a row
+    whose predicate evaluates NULL counts as hot, i.e. untouched), and
+    the swap validates the rewritten row count before anything is
+    replaced."""
+    df = _read_target(spark, path)
     n_before = df.count()
-    cold = df.filter(where) if where is not None else df
-    hot = df.filter(~where) if where is not None else None
+    # null-safe split: where=NULL rows are NOT cold — they stay in the
+    # hot (untouched) half instead of silently dropping out of both
+    cold_pred = F.coalesce(where, F.lit(False)) if where is not None else None
+    cold = df.filter(cold_pred) if cold_pred is not None else df
+    hot = df.filter(~cold_pred) if cold_pred is not None else None
 
     total_bytes = sum(
         os.path.getsize(os.path.join(r, n))
@@ -65,25 +110,35 @@ def compact(
     )
     n_files = max(1, round(total_bytes / target_file_bytes))
 
-    tmp = path.rstrip("/") + ".compact-tmp"
     packed = cold.repartition(n_files)
     out = packed.unionByName(hot) if hot is not None else packed
-    out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
-    n_after = spark.read.parquet(path).count()
+    _safe_swap_rewrite(spark, path, out, n_before, ".compact-tmp")
+    n_after = _read_target(spark, path).count()
     return {"rows_before": n_before, "rows_after": n_after, "files_target": n_files}
+
+
+def expire_snapshots(path: str, keep_last: int = 2) -> dict:
+    """M2: drop versioned-table snapshots older than the last
+    ``keep_last`` (current always kept) — reference
+    ``compact_cold_data.py:56-72`` expire_snapshots."""
+    return tablefmt.expire_snapshots(path, keep_last=keep_last)
+
+
+def remove_orphans(path: str) -> dict:
+    """M3: delete in-flight tmp dirs left by crashed writers —
+    reference ``compact_cold_data.py:74-92`` remove_orphan_files."""
+    return tablefmt.remove_orphans(path)
 
 
 def ttl_delete(spark: SparkSession, path: str, ts_col: str, cutoff) -> dict:
     """M4: retention delete — rewrite keeping rows newer than the
-    cutoff (reference DataModel_SchemaDesign.md:136, 7-day gold TTL)."""
-    df = spark.read.parquet(path)
+    cutoff (reference DataModel_SchemaDesign.md:136, 7-day gold TTL).
+    The rewrite validates the kept-row count before the swap, so a
+    failed write can never destroy the retained data."""
+    df = _read_target(spark, path)
     n_before = df.count()
     kept = df.filter(F.col(ts_col) >= F.lit(cutoff))
-    tmp = path.rstrip("/") + ".ttl-tmp"
-    kept.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
-    n_after = spark.read.parquet(path).count()
+    n_kept = kept.count()
+    _safe_swap_rewrite(spark, path, kept, n_kept, ".ttl-tmp")
+    n_after = _read_target(spark, path).count()
     return {"rows_before": n_before, "rows_after": n_after}

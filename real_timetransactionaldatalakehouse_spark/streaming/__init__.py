@@ -5,15 +5,19 @@ argument of the reference (PipelineArchitecture.md:209-213).
 """
 
 from .jobs import (
+    await_all,
     bronze_append_stream,
     dims_scd1_stream,
     gold_session_stream,
     gold_window_agg_stream,
+    time_partition_cols,
 )
 
 __all__ = [
+    "await_all",
     "bronze_append_stream",
     "gold_window_agg_stream",
     "gold_session_stream",
     "dims_scd1_stream",
+    "time_partition_cols",
 ]

@@ -20,7 +20,6 @@ Scale notes:
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,16 +27,47 @@ from pyspark.sql import functions as F
 
 from ..operators.merge import merge_upsert
 from ..operators.relational import tumbling_window_counts
+from .. import tablefmt
 
 
-def _run_stream(writer, checkpoint: str, available_now: bool = True):
+def _run_stream(writer, checkpoint: str, available_now: bool = True,
+                blocking: bool = True):
     q = writer.option("checkpointLocation", checkpoint)
     query = q.trigger(availableNow=True).start() if available_now else q.trigger(
         processingTime="10 seconds"
     ).start()
-    if available_now:
+    if available_now and blocking:
         query.awaitTermination()
     return query
+
+
+def await_all(spark: SparkSession, queries, timeout_sec: float = 300.0) -> None:
+    """T6: drive several concurrent streaming queries off one session —
+    loop ``awaitAnyTermination`` until every query has terminated
+    (reference runs bronze + dims + gold as separate Spark apps; in one
+    session this is the multi-query pattern)."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_sec
+    while any(q.isActive for q in queries):
+        remaining = deadline - _time.monotonic()
+        if remaining <= 0:
+            raise TimeoutError("streams still active past timeout")
+        spark.streams.awaitAnyTermination(int(max(remaining * 1000, 1)))
+        spark.streams.resetTerminated()
+    for q in queries:
+        if q.exception() is not None:
+            raise q.exception()
+
+
+def time_partition_cols(ts_col: str) -> list:
+    """Derived hidden-partition columns (reference
+    ``streaming_job.py:37`` partitions bronze by hours(event_ts)):
+    ``p_date`` (string date) + ``p_hour`` (0-23)."""
+    return [
+        F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("p_date"),
+        F.hour(F.col(ts_col)).alias("p_hour"),
+    ]
 
 
 def bronze_append_stream(
@@ -46,17 +76,25 @@ def bronze_append_stream(
     checkpoint: str,
     ts_col: str = "ts",
     available_now: bool = True,
+    blocking: bool = True,
 ):
     """Bronze: immutable append log (reference streaming_job.py:81-84,
     A4/A5/A7/T5).  Each micro-batch is sorted within partitions by the
     event-time column before append (write clustering) and stamped
-    with an ingest audit column (H4)."""
+    with an ingest audit column (H4).
+
+    The write is partitioned by derived ``p_date``/``p_hour`` columns
+    (O1 — reference hidden partitioning ``hours(event_timestamp)``,
+    streaming_job.py:37), so time-range serving queries prune files
+    instead of scanning the full log at 100x."""
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
         (
             batch.withColumn("ingested_at", F.current_timestamp())
+            .select("*", *time_partition_cols(ts_col))
             .sortWithinPartitions(ts_col)
             .write.mode("append")
+            .partitionBy("p_date", "p_hour")
             .parquet(out_path)
         )
 
@@ -64,6 +102,7 @@ def bronze_append_stream(
         stream_df.writeStream.foreachBatch(write_batch).outputMode("append"),
         checkpoint,
         available_now,
+        blocking,
     )
 
 
@@ -77,25 +116,41 @@ def gold_window_agg_stream(
     window: str = "1 minute",
     watermark: str = "10 seconds",
     available_now: bool = True,
+    blocking: bool = True,
+    n_buckets: int = 0,
 ):
     """Gold: tumbling-window conditional-count aggregation with event-
     time watermark, append output mode — the reference's
     stream_content.py:123-150 shape (T1/T2/T3).  Only watermark-
     finalized windows are emitted, so gold is an append-only metrics
-    log (O15)."""
+    log (O15).
+
+    Writes partition by ``p_date`` derived from window_start (O1 —
+    reference ``days(window_start)``, stream_content.py:26); with
+    ``n_buckets`` > 0 a hash bucket over the first group column is
+    added (reference ``bucket(16, video_id)``) so point lookups on the
+    key prune to one bucket file set per day."""
     agg = tumbling_window_counts(
         stream_df.withWatermark(ts_col, watermark), ts_col, window, group_cols, cases
     )
+    part_cols = ["p_date"]
+    agg = agg.withColumn("p_date", F.date_format(F.col("window_start"), "yyyy-MM-dd"))
+    if n_buckets:
+        agg = agg.withColumn(
+            "p_bucket", F.pmod(F.xxhash64(F.col(group_cols[0])), F.lit(n_buckets))
+        )
+        part_cols.append("p_bucket")
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
         batch.sortWithinPartitions("window_start", *group_cols).write.mode(
             "append"
-        ).parquet(out_path)
+        ).partitionBy(*part_cols).parquet(out_path)
 
     return _run_stream(
         agg.writeStream.foreachBatch(write_batch).outputMode("append"),
         checkpoint,
         available_now,
+        blocking,
     )
 
 
@@ -133,9 +188,15 @@ def gold_session_stream(
     )
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
-        batch.sortWithinPartitions(key_col, "session_start").write.mode(
-            "append"
-        ).parquet(out_path)
+        (
+            batch.withColumn(
+                "p_date", F.date_format(F.col("session_start"), "yyyy-MM-dd")
+            )
+            .sortWithinPartitions(key_col, "session_start")
+            .write.mode("append")
+            .partitionBy("p_date")
+            .parquet(out_path)
+        )
 
     return _run_stream(
         agg.writeStream.foreachBatch(write_batch).outputMode("append"),
@@ -160,36 +221,39 @@ def dims_scd1_stream(
     op-filter (B5), batch-scoped keep-latest dedup (T7/W1) and
     idempotent merge (exactly-once under replay).
 
-    The target is read-merged-overwritten per batch (the parquet
+    The target is a ``tablefmt`` versioned table: each batch
+    materializes a new snapshot from merge(current, updates) and flips
+    the pointer — readers never see a partial table and a crash
+    mid-write leaves the previous snapshot current (the parquet
     stand-in for MoR MERGE; swap in Delta MERGE via
-    operators.merge.delta_merge_available)."""
+    operators.merge.delta_merge).  Old snapshots stay readable until
+    ``tablefmt.expire_snapshots`` — the M2 job.
+
+    T8: the micro-batch DataFrame feeds two actions (the emptiness
+    probe and the merge write), so it is persisted for the batch's
+    lifetime (reference caches the batch df, streaming_job.py:75).
+    """
     spark = stream_df.sparkSession
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
         updates = batch.filter(F.col(op_col).isin(*allowed_ops)).drop(op_col)
-        if updates.isEmpty():
-            return
-        if os.path.exists(target_path):
-            target = spark.read.parquet(target_path)
-            merged = merge_upsert(
-                target, updates, key_cols, order_col=order_col,
-                update_cols=update_cols,
-            )
-        else:
-            from ..operators.relational import dedup_latest
+        updates.persist()
+        try:
+            if updates.isEmpty():
+                return
+            if tablefmt.is_versioned(target_path):
+                target = tablefmt.read_table(spark, target_path)
+                merged = merge_upsert(
+                    target, updates, key_cols, order_col=order_col,
+                    update_cols=update_cols,
+                )
+            else:
+                from ..operators.relational import dedup_latest
 
-            merged = dedup_latest(updates, key_cols, order_col)
-        # write-new-then-swap: the merge plan reads the current target,
-        # so the new version materializes to a side path first and then
-        # replaces the target atomically-enough for a single writer
-        # (a table format with snapshot commits does this for real).
-        import shutil
-
-        tmp = target_path.rstrip("/") + f".tmp-{epoch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(target_path):
-            shutil.rmtree(target_path)
-        os.rename(tmp, target_path)
+                merged = dedup_latest(updates, key_cols, order_col)
+            tablefmt.write_version(merged, target_path)
+        finally:
+            updates.unpersist()
 
     return _run_stream(
         stream_df.writeStream.foreachBatch(write_batch).outputMode("append"),

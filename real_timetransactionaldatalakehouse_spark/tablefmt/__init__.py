@@ -1,0 +1,153 @@
+"""Minimal snapshot-versioned parquet table layout (SURVEY.md section
+2 M2/M3; reference ``compact_cold_data.py:56-92`` expire-snapshots /
+remove-orphans semantics on plain parquet).
+
+Layout::
+
+    table/
+      _CURRENT                 text pointer, atomically replaced
+      _versions/v00000001/     immutable snapshot directories
+      _versions/v00000002/
+      _versions/.tmp-...       in-flight writes (orphaned on crash)
+
+This gives plain parquet the minimal snapshot semantics the reference
+gets from Iceberg:
+
+- readers resolve ``_CURRENT`` and only ever see a fully-written
+  snapshot (the pointer flips AFTER the new version is materialized
+  and validated — a crash mid-write leaves the old version current and
+  an orphan ``.tmp`` dir, never a half table);
+- old versions stay readable (time travel / rollback) until
+  ``expire_snapshots`` removes them;
+- ``remove_orphans`` deletes crashed ``.tmp`` dirs.
+
+Names starting with ``_`` are ignored by Spark's file index, so a
+naive ``spark.read.parquet(table)`` fails fast instead of silently
+double-reading versions — use ``read_table``.
+
+Single-writer-per-table is assumed (matching the reference's one
+streaming job + one maintenance job per table); multi-writer commit
+coordination is exactly what a real table format adds on top.
+
+At scale: the pointer file is O(1); version dirs are independent
+parquet tables, so writes/reads shuffle nothing extra and partition
+pruning inside a version works as for any parquet dir.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+VERSIONS_DIR = "_versions"
+CURRENT_FILE = "_CURRENT"
+
+
+def _versions_root(path: str) -> str:
+    return os.path.join(path, VERSIONS_DIR)
+
+
+def version_path(path: str, version: int) -> str:
+    return os.path.join(_versions_root(path), f"v{version:08d}")
+
+
+def list_versions(path: str) -> list[int]:
+    root = _versions_root(path)
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        if name.startswith("v") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def current_version(path: str) -> int | None:
+    ptr = os.path.join(path, CURRENT_FILE)
+    if not os.path.isfile(ptr):
+        return None
+    with open(ptr) as fh:
+        return int(fh.read().strip())
+
+
+def is_versioned(path: str) -> bool:
+    return current_version(path) is not None
+
+
+def read_table(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Read the current (or a pinned historical) snapshot."""
+    v = current_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no _CURRENT pointer under {path}")
+    return spark.read.parquet(version_path(path, v))
+
+
+def write_version(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    expect_rows: int | None = None,
+) -> int:
+    """Materialize ``df`` as the next snapshot and flip ``_CURRENT``.
+
+    The snapshot is written to a ``.tmp`` dir first; if ``expect_rows``
+    is given the tmp output is counted BEFORE anything becomes visible
+    and a mismatch aborts (tmp removed, pointer untouched) — the
+    row-preservation guard the old rmtree-then-rename swap lacked.
+    The pointer flip is ``os.replace`` (atomic on POSIX): a crash at
+    any step leaves the previous snapshot current.
+    """
+    n = (max(list_versions(path), default=0)) + 1
+    root = _versions_root(path)
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, f".tmp-v{n:08d}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    if expect_rows is not None:
+        got = df.sparkSession.read.parquet(tmp).count()
+        if got != expect_rows:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"versioned write aborted: tmp has {got} rows, expected {expect_rows}"
+            )
+    os.rename(tmp, version_path(path, n))
+    ptr_tmp = os.path.join(path, f".{CURRENT_FILE}.tmp")
+    with open(ptr_tmp, "w") as fh:
+        fh.write(str(n))
+    os.replace(ptr_tmp, os.path.join(path, CURRENT_FILE))
+    return n
+
+
+def expire_snapshots(path: str, keep_last: int = 2) -> dict:
+    """M2: delete snapshots older than the last ``keep_last`` (the
+    current version is always kept).  Reference
+    ``compact_cold_data.py:56-72``."""
+    cur = current_version(path)
+    versions = list_versions(path)
+    keep = set(versions[-keep_last:]) if keep_last > 0 else set()
+    if cur is not None:
+        keep.add(cur)
+    removed = []
+    for v in versions:
+        if v not in keep:
+            shutil.rmtree(version_path(path, v), ignore_errors=True)
+            removed.append(v)
+    return {"removed": removed, "kept": sorted(keep & set(versions))}
+
+
+def remove_orphans(path: str) -> dict:
+    """M3: delete in-flight ``.tmp`` dirs left by crashed writes.
+    Reference ``compact_cold_data.py:74-92``.  Never touches committed
+    version dirs or the pointer."""
+    root = _versions_root(path)
+    removed = []
+    if os.path.isdir(root):
+        for name in os.listdir(root):
+            if name.startswith(".tmp-"):
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+                removed.append(name)
+    return {"removed": removed}

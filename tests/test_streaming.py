@@ -195,7 +195,13 @@ def test_dims_scd1_stream_and_idempotence(spark, tmp_path):
         stream, target, ckpt, key_cols=["user_id"], order_col="ts_ms",
         update_cols=["ltv_segment", "is_creator", "ts_ms"],
     )
-    dim = {r.user_id: r for r in spark.read.parquet(target).collect()}
+    from real_timetransactionaldatalakehouse_spark import tablefmt as TF
+
+    # versioned target: one snapshot per non-empty micro-batch, current
+    # pointer resolves the latest; the pre-merge snapshot stays readable
+    assert TF.current_version(target) == 2
+    assert TF.read_table(spark, target, version=1).count() == 5
+    dim = {r.user_id: r for r in TF.read_table(spark, target).collect()}
     assert len(dim) == 5
     assert dim["u1"].ltv_segment == "High_Potential"  # in-batch dedup kept latest
     assert dim["u1"].is_creator is True
@@ -203,7 +209,7 @@ def test_dims_scd1_stream_and_idempotence(spark, tmp_path):
     assert dim["u2"].ltv_segment == "VIP"
     assert dim["u3"].ltv_segment == "Standard"  # 'd' op filtered
     # merge idempotence: re-applying batch2 changes nothing
-    target_df = spark.read.parquet(target)
+    target_df = TF.read_table(spark, target)
     updates = df1.filter(F.col("op").isin("c", "u")).drop("op")
     again = merge_upsert(
         target_df, updates, ["user_id"], order_col="ts_ms",
