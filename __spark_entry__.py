@@ -298,12 +298,20 @@ SELECT COUNT(*) AS n_rows,
 FROM lineitem
 """)
 def q_agg_global(spark, sf_dir):
-    """G4: global no-group aggregation (reference Dashboard.md:46)."""
-    return _t(spark, sf_dir, "lineitem").agg(
+    """G4: global no-group aggregation (reference Dashboard.md:46).
+
+    The distinct count runs as its own aggregation joined back to the
+    plain aggregates: combining COUNT(DISTINCT) with other aggregates
+    makes Catalyst Expand every input row per aggregate group (2x the
+    scanned rows through the decimal sum — measured 0.93s vs 0.43s at
+    sf0.1); two single-row aggregates cross-joined skip the Expand."""
+    li = _t(spark, sf_dir, "lineitem")
+    plain = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("l_orderkey").alias("n_orders"),
         LF.dsum("l_extendedprice").alias("total_price"),
     )
+    distinct = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    return plain.crossJoin(distinct).select("n_rows", "n_orders", "total_price")
 
 
 @_q("q_agg_max_ts", """

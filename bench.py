@@ -4,13 +4,21 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+   "queries": {name: sec, ...}, "queries_steady": {...},
+   "queries_oracle": {...}, "sf": 0.1}
 
 Execution is forced through the noop sink (full plan runs, nothing
 collected to the driver) — the honest way to time a distributed plan.
 Batch profile: AQE on, runtime partition coalescing, broadcast joins
 (SURVEY.md section 4; the reference's 8-partition small-cluster
 constants O5-O7 are deliberately not used).
+
+``queries_oracle`` records the DuckDB wall time of each bench query's
+declared oracle SQL on the SAME parquet at the same sf — the in-repo
+audit trail for the "steady within 2x of the single-node baseline"
+gate.  Oracles with quadratic all-pairs shape are skipped at bench sf
+(listed under ``oracle_skipped`` — DuckDB needs minutes for the
+12.6M-pair Jaccard; the scale comparison is meaningless there).
 """
 
 from __future__ import annotations
@@ -93,6 +101,35 @@ def main() -> None:
         timings[name] = round(run_once(name), 4)
         steady[name] = round(run_once(name), 4)
 
+    # DuckDB single-node oracle timings over the same parquet (the
+    # baseline proxy: BASELINE.md documents that the reference
+    # publishes no per-query numbers)
+    ORACLE_SKIP = {
+        "q_neardup_minhash": "all-pairs exact-Jaccard oracle is O(n^2); minutes at sf>=0.1",
+    }
+    oracle: dict[str, float] = {}
+    try:
+        import duckdb
+
+        from real_timetransactionaldatalakehouse_spark import TPCH_TABLES
+
+        osql = entry.oracle_sql()
+        con = duckdb.connect()
+        for t in TPCH_TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        for name in BENCH_QUERIES:
+            if name in ORACLE_SKIP or name not in osql:
+                continue
+            t0 = time.perf_counter()
+            con.execute(osql[name]).fetchall()
+            oracle[name] = round(time.perf_counter() - t0, 4)
+        con.close()
+    except Exception:
+        pass  # bench must still print its line if DuckDB is absent
+
+    covered = [n for n in oracle if n in steady]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_wall",
@@ -101,6 +138,13 @@ def main() -> None:
         "queries": timings,
         "queries_steady": steady,
         "value_steady": round(sum(steady.values()), 4),
+        "queries_oracle": oracle,
+        "value_oracle": round(sum(oracle.values()), 4),
+        "steady_oracle_covered": round(sum(steady[n] for n in covered), 4),
+        "steady_vs_oracle_ratio": round(
+            sum(steady[n] for n in covered) / max(sum(oracle.values()), 1e-9), 3
+        ),
+        "oracle_skipped": ORACLE_SKIP,
         "sf": float(sf) if sf else None,
     }
     print(json.dumps(out))

@@ -1,0 +1,142 @@
+"""Catalog façade (SURVEY.md section 2 A8): ``schema.table`` names
+over the path-addressed storage layer — the engine analogue of the
+reference's ``catalog.schema.table`` namespace management
+(``streaming_job.py:18-61`` CREATE NAMESPACE / CREATE TABLE).
+
+State is one JSON file under the warehouse root — metadata is O(name
+count), never data-sized, and a catalog lookup costs one dict probe.
+Tables are either plain parquet dirs (append logs) or
+``tablefmt``-versioned (merged state), so ``read`` resolves snapshot
+pointers transparently; a real deployment swaps this file for a
+metastore/REST catalog without touching callers.
+
+``register_views`` exposes catalog tables as Spark temp views so the
+serving layer's SQL (``serving/__init__.py``) resolves names through
+the catalog instead of raw paths.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import tablefmt
+
+CATALOG_FILE = "_catalog.json"
+
+
+class Catalog:
+    """Single-writer JSON-backed ``schema.table`` -> path registry."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+        self._state_path = os.path.join(warehouse, CATALOG_FILE)
+        self._state = self._load()
+
+    # -- state ---------------------------------------------------------
+    def _load(self) -> dict:
+        if os.path.isfile(self._state_path):
+            with open(self._state_path) as fh:
+                return json.load(fh)
+        return {"schemas": {}}
+
+    def _save(self) -> None:
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self._state, fh, indent=1, sort_keys=True)
+        os.replace(tmp, self._state_path)
+
+    @staticmethod
+    def _split(name: str) -> tuple[str, str]:
+        schema, _, table = name.partition(".")
+        if not table:
+            raise ValueError(f"table name must be schema.table, got {name!r}")
+        return schema, table
+
+    # -- namespaces ----------------------------------------------------
+    def create_namespace(self, schema: str) -> None:
+        self._state["schemas"].setdefault(schema, {"tables": {}})
+        self._save()
+
+    def drop_namespace(self, schema: str) -> None:
+        tables = self._state["schemas"].get(schema, {}).get("tables", {})
+        if tables:
+            raise ValueError(f"namespace {schema} is not empty: {sorted(tables)}")
+        self._state["schemas"].pop(schema, None)
+        self._save()
+
+    def namespaces(self) -> list[str]:
+        return sorted(self._state["schemas"])
+
+    # -- tables --------------------------------------------------------
+    def create_table(
+        self,
+        name: str,
+        path: str | None = None,
+        versioned: bool = False,
+        partition_by: list[str] | None = None,
+    ) -> str:
+        """Register a table (creating its namespace if needed) and
+        return its storage path (default ``warehouse/schema/table``)."""
+        schema, table = self._split(name)
+        self.create_namespace(schema)
+        p = path or os.path.join(self.warehouse, schema, table)
+        self._state["schemas"][schema]["tables"][table] = {
+            "path": p,
+            "versioned": versioned,
+            "partition_by": partition_by or [],
+        }
+        self._save()
+        return p
+
+    def drop_table(self, name: str, purge: bool = False) -> None:
+        schema, table = self._split(name)
+        meta = self._state["schemas"].get(schema, {}).get("tables", {}).pop(table, None)
+        self._save()
+        if purge and meta and os.path.isdir(meta["path"]):
+            shutil.rmtree(meta["path"])
+
+    def tables(self, schema: str) -> list[str]:
+        return sorted(self._state["schemas"].get(schema, {}).get("tables", {}))
+
+    def meta(self, name: str) -> dict:
+        schema, table = self._split(name)
+        try:
+            return self._state["schemas"][schema]["tables"][table]
+        except KeyError:
+            raise KeyError(f"unknown table {name}") from None
+
+    def table_path(self, name: str) -> str:
+        return self.meta(name)["path"]
+
+    # -- IO ------------------------------------------------------------
+    def read(self, name: str) -> DataFrame:
+        m = self.meta(name)
+        if m["versioned"]:
+            return tablefmt.read_table(self.spark, m["path"])
+        return self.spark.read.parquet(m["path"])
+
+    def write(self, name: str, df: DataFrame, mode: str = "append") -> None:
+        """Append/overwrite through the table's declared layout:
+        versioned tables commit a snapshot (mode ignored — each commit
+        is a full new version); plain tables write parquet with the
+        registered partition columns."""
+        m = self.meta(name)
+        if m["versioned"]:
+            tablefmt.write_version(df, m["path"], partition_by=m["partition_by"] or None)
+            return
+        writer = df.write.mode(mode)
+        if m["partition_by"]:
+            writer = writer.partitionBy(*m["partition_by"])
+        writer.parquet(m["path"])
+
+    def register_views(self, schema: str) -> None:
+        """Expose every table of a namespace as ``schema_table`` temp
+        views for SQL serving."""
+        for table in self.tables(schema):
+            self.read(f"{schema}.{table}").createOrReplaceTempView(f"{schema}_{table}")

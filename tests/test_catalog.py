@@ -1,0 +1,81 @@
+"""Catalog façade (A8): schema.table round trips, versioned tables
+resolved through the registry, serving views resolving via catalog
+names instead of raw paths."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from real_timetransactionaldatalakehouse_spark.catalog import Catalog  # noqa: E402
+from real_timetransactionaldatalakehouse_spark import tablefmt as TF  # noqa: E402
+from real_timetransactionaldatalakehouse_spark.medallion import build_gold_window_stats  # noqa: E402
+from real_timetransactionaldatalakehouse_spark.serving import (  # noqa: E402
+    register_gold_views_from_catalog,
+    velocity_view,
+)
+from real_timetransactionaldatalakehouse_spark.sources import load_table  # noqa: E402
+
+
+def test_catalog_round_trip(spark, sf_small, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ev = load_table(spark, sf_small, "events").select("event_id", "user_id")
+    cat.create_table("bronze.events")
+    cat.write("bronze.events", ev)
+    assert cat.read("bronze.events").count() == ev.count()
+    assert cat.tables("bronze") == ["events"]
+    assert cat.namespaces() == ["bronze"]
+    # registry survives a new Catalog instance (state file)
+    cat2 = Catalog(spark, str(tmp_path / "wh"))
+    assert cat2.read("bronze.events").count() == ev.count()
+    cat2.drop_table("bronze.events", purge=True)
+    assert cat2.tables("bronze") == []
+    assert not os.path.isdir(cat2.warehouse + "/bronze/events")
+    with pytest.raises(KeyError):
+        cat2.read("bronze.events")
+
+
+def test_catalog_versioned_and_partitioned_tables(spark, sf_small, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ev = load_table(spark, sf_small, "events").select("event_id", "ts", "user_id")
+    # versioned: each write commits a snapshot
+    cat.create_table("dims.users", versioned=True)
+    cat.write("dims.users", ev.limit(100))
+    cat.write("dims.users", ev.limit(10))
+    assert cat.read("dims.users").count() == 10
+    assert TF.current_version(cat.table_path("dims.users")) == 2
+    # partitioned plain table: layout column reaches the directory level
+    cat.create_table("bronze.ev", partition_by=["p_date"])
+    cat.write("bronze.ev", ev.withColumn("p_date", F.to_date("ts").cast("string")))
+    sub = os.listdir(cat.table_path("bronze.ev"))
+    assert any(d.startswith("p_date=") for d in sub)
+
+
+def test_namespace_guard(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_table("gold.t1")
+    with pytest.raises(ValueError):
+        cat.drop_namespace("gold")
+    cat.drop_table("gold.t1")
+    cat.drop_namespace("gold")
+    assert cat.namespaces() == []
+    with pytest.raises(ValueError):
+        cat.create_table("no_schema_part")
+
+
+def test_serving_views_resolve_via_catalog(spark, sf_small, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    events = load_table(spark, sf_small, "events")
+    gold = build_gold_window_stats(events)
+    cat.create_table("gold.stats_1min")
+    cat.write("gold.stats_1min", gold)
+    register_gold_views_from_catalog(spark, cat, dim_table=None)
+    as_of = str(events.agg(F.max("ts")).first()[0])
+    v = velocity_view(spark, as_of, lookback_minutes=10**6)
+    assert v.count() > 0
+    assert {"user_id", "velocity"} <= set(v.columns)
