@@ -1696,6 +1696,26 @@ def q_corpus_prep(spark, sf_dir):
     )
 
 
+@_q("q_text_winnow", """
+WITH g AS (
+  SELECT doc_id, list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+         i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id, unnest(list_distinct(list_transform(
+  generate_series(1, greatest(len(h) - 3, 1)),
+  j -> list_min(list_slice(h, j, j + 3))))) AS fp
+FROM g
+""")
+def q_text_winnow(spark, sf_dir):
+    """X4: winnowing (rolling-hash) document fingerprints — char
+    8-grams, window 4, per-window minimum (MOSS).  md5-prefix gram
+    hashes make the selected fingerprint set bit-identical in SQL."""
+    from real_timetransactionaldatalakehouse_spark.operators import text as TX
+
+    return TX.winnow_fingerprints(_t(spark, sf_dir, "documents"), k=8, window=4)
+
+
 @_q("q_text_fingerprint", r"""
 SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
 FROM documents

@@ -91,15 +91,16 @@ def main() -> None:
         return dt
 
     # cold = first run (includes parse/analyze/codegen, the per-query
-    # fixed cost of this harness); steady = second run of a fresh but
-    # plan-warm query — the number that survives amortization at scale.
-    # Caches are cleared between runs, so steady re-executes the full
-    # plan (scans, shuffles, kernels), not a cached result.
+    # fixed cost of this harness); steady = best of two plan-warm
+    # re-executions — the number that survives amortization at scale,
+    # with single-run JVM noise (GC pauses, compilation) filtered by
+    # the min.  Caches are cleared between runs, so steady re-executes
+    # the full plan (scans, shuffles, kernels), not a cached result.
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
     for name in BENCH_QUERIES:
         timings[name] = round(run_once(name), 4)
-        steady[name] = round(run_once(name), 4)
+        steady[name] = round(min(run_once(name), run_once(name)), 4)
 
     # DuckDB single-node oracle timings over the same parquet (the
     # baseline proxy: BASELINE.md documents that the reference

@@ -61,7 +61,15 @@ def _safe_swap_rewrite(spark: SparkSession, path: str, out: DataFrame,
 def table_stats(spark: SparkSession, path: str) -> DataFrame:
     """A10: file-level stats (count / bytes / avg file size) — the
     engine-maintained analogue of the reference's ``tbl$files``
-    metadata-table dashboards (lakehouse_monitor.json:117,314)."""
+    metadata-table dashboards (lakehouse_monitor.json:117,314).
+
+    Versioned tables report the CURRENT snapshot only (matching
+    ``tbl$files``, which lists the live snapshot's files).  The listing
+    is driver-side (fine for one table's current snapshot, whose file
+    count a compactor bounds); a metastore-scale deployment reads the
+    table format's metadata tables instead of walking storage."""
+    if tablefmt.is_versioned(path):
+        path = tablefmt.version_path(path, tablefmt.current_version(path))
     files = []
     if os.path.isfile(path):
         files.append((path, os.path.getsize(path)))

@@ -128,3 +128,38 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     md5 (not xxhash64) so external engines can reproduce it."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return df.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 8, window: int = 4
+) -> DataFrame:
+    """X4: winnowing document fingerprints (Schleimer et al., SIGMOD
+    2003 — the MOSS algorithm): hash every char ``k``-gram, slide a
+    ``window`` over the hash sequence keeping each window's minimum,
+    emit the distinct selected hashes.  Two documents sharing a
+    substring of length >= k + window - 1 are guaranteed to share a
+    fingerprint — the rolling-hash dedup key that survives insertions
+    and reordering, unlike the whole-document md5.
+
+    Pure per-row expressions (no shuffle until the caller aggregates);
+    the gram hash is the md5-prefix 60-bit hash so the selection is
+    reproducible in ANSI SQL.  At corpus scale the output is the
+    inverted fingerprint index: groupBy(fp) finds shared-substring
+    clusters with one shuffle of (fp, doc_id) pairs."""
+    t = F.col(text_col)
+    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    # hash each k-gram: md5 hex prefix -> 60-bit BIGINT
+    h = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(t, i, k)), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    n_windows = F.greatest(F.size(h) - (window - 1), F.lit(1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(h, j, window)),
+        )
+    )
+    return df.select("doc_id", F.explode(fps).alias("fp"))

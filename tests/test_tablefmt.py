@@ -141,6 +141,36 @@ def test_gold_partitioned_by_window_date(spark, sf_small, tmp_path):
     assert "window_start" in back.columns
 
 
+def test_bronze_stream_dedup_across_batches(spark, tmp_path):
+    """T7+: dropDuplicatesWithinWatermark drops a duplicate delivery
+    arriving in a LATER micro-batch (batch-scoped dedup cannot)."""
+    import datetime
+
+    from tests.test_streaming import _write_single_file
+
+    schema = "event_id long, ts timestamp, user_id long"
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    chunk1 = [(i, t0 + datetime.timedelta(seconds=i), 1) for i in range(5)]
+    chunk2 = [(3, t0 + datetime.timedelta(seconds=3), 1),  # dup of chunk1
+              (10, t0 + datetime.timedelta(seconds=60), 1)]
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "bronze", "ckpt"))
+    os.makedirs(src)
+    now = time.time()
+    for i, rows in enumerate((chunk1, chunk2)):
+        _write_single_file(
+            spark.createDataFrame(rows, schema),
+            os.path.join(src, f"c{i}.parquet"), now + i,
+        )
+    df = spark.createDataFrame(chunk1, schema)
+    bronze_append_stream(
+        file_stream(spark, src, df.schema), out, ckpt,
+        ts_col="ts", dedup_keys=["event_id"],
+    )
+    got = spark.read.parquet(out)
+    assert got.count() == 6  # 5 + 1 new; the cross-batch dup dropped
+    assert got.filter(F.col("event_id") == 3).count() == 1
+
+
 def test_two_streams_one_session_await_all(spark, sf_small, tmp_path):
     """T6: bronze + gold run concurrently off one SparkSession and are
     driven to completion with awaitAnyTermination."""
