@@ -40,6 +40,11 @@ def _q(name: str, oracle: str | None = None):
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # queries are self-contained (each reads its tables from
+            # parquet): drop any intermediate a previous query left
+            # cached so a long driver session never accumulates
+            # executor memory across the declared surface
+            spark.catalog.clearCache()
             return fn(spark, sf_dir)
 
         _QUERIES[name] = wrapped

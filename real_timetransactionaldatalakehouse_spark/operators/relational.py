@@ -165,11 +165,16 @@ def global_rank(df: DataFrame, order_cols: list[str], rank_col: str = "pos",
         spark.createDataFrame(offsets, "__pid int, __offset long")
     )
     w = Window.partitionBy("__pid").orderBy(*cols)
-    return (
+    out = (
         with_pid.join(off_df, "__pid")
         .withColumn(rank_col, F.row_number().over(w) + F.col("__offset"))
         .drop("__pid", "__offset")
     )
+    # expose the required cache (see comment above) so long-lived
+    # sessions can release it: operators.dedup.release_cached(out)
+    from .dedup import _attach_cached
+
+    return _attach_cached(out, [with_pid])
 
 
 # ------------------------------------------------------------ aggregates (D*)

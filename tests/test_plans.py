@@ -112,3 +112,40 @@ def test_salted_topk_equals_plain(spark, sf_medium):
     a = sorted(map(str, plain.collect()))
     b = sorted(map(str, salted.collect()))
     assert a == b
+
+
+def test_banded_dedup_is_bucket_local(spark, sf_medium):
+    """The minhash/simhash candidate stage must NOT be a join: pairs
+    are generated inside each bucket row (one groupBy shuffle), so the
+    plan has no Join node at all and a bounded number of exchanges
+    (spread repartition, bucket groupBy, pair-dedup)."""
+    for name in ("q_neardup_minhash", "q_simhash_neardup"):
+        plan = P.formatted_plan(_Q[name](spark, sf_medium))
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+        n_exchanges = plan.count("Exchange ")
+        assert n_exchanges <= 4, f"{name}: {n_exchanges} exchanges"
+
+
+def test_partitioned_bronze_scan_prunes_in_plan(spark, tmp_path):
+    """O1 contract at the plan level: a p_date/p_hour predicate shows
+    up as PartitionFilters on the scan, not a post-scan Filter."""
+    import datetime
+
+    from real_timetransactionaldatalakehouse_spark.sources import file_stream
+    from real_timetransactionaldatalakehouse_spark.streaming import bronze_append_stream
+    from tests.test_streaming import _write_chunks
+
+    schema = "event_id long, ts timestamp, user_id long"
+    t0 = datetime.datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [(i, t0 + datetime.timedelta(hours=i % 2, minutes=i), 1) for i in range(8)],
+        schema,
+    )
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "bronze", "ckpt"))
+    _write_chunks(df, src, 1, "ts")
+    bronze_append_stream(file_stream(spark, src, df.schema), out, ckpt, ts_col="ts")
+    plan = P.formatted_plan(
+        spark.read.parquet(out).filter("p_hour = 1").select("event_id")
+    )
+    assert "PartitionFilters" in plan and "p_hour" in plan, plan
