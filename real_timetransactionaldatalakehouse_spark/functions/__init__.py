@@ -40,6 +40,34 @@ def dsum_sql(expr: str, scale: int = 4) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(28,{scale}))) AS DOUBLE)"
 
 
+def msum(col: Column | str, scale: int = 2) -> Column:
+    """Order-independent sum of a fixed-point monetary DOUBLE column.
+
+    For columns whose values carry at most ``scale`` decimal digits
+    (TPC-H money: cents), ``round(x * 10^scale)`` recovers the exact
+    scaled integer (the double representation error is ~1e-9 of a unit,
+    never near a .5 boundary), so a LONG sum is exact and associative.
+    The final ``/ 10^scale`` yields the correctly-rounded double —
+    bit-identical to :func:`dsum`'s decimal-sum-then-cast result while
+    the accumulation stays in whole-stage codegen's primitive-long path
+    instead of Decimal's object path (measured 0.75 s -> 0.31 s on the
+    sf0.1 global sum).
+
+    Bounds: exact while the scaled total stays under 2^53 (~9e15 —
+    $90e12 at cents); beyond that use :func:`dsum` (decimal(28,s) holds
+    ~1e24).  Non-fixed-point inputs silently round — use :func:`dsum`.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    m = 10 ** scale
+    return F.sum(F.round(c * m).cast("long")) / F.lit(float(m))
+
+
+def msum_sql(expr: str, scale: int = 2) -> str:
+    """DuckDB-side twin of :func:`msum` (keep in lockstep)."""
+    m = 10 ** scale
+    return f"CAST(SUM(CAST(round({expr} * {m}) AS BIGINT)) AS DOUBLE) / {m}.0"
+
+
 def davg(col: Column | str, scale: int = 4) -> Column:
     """Order-independent mean: exact decimal sum / count, as DOUBLE."""
     c = F.col(col) if isinstance(col, str) else col

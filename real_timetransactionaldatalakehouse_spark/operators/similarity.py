@@ -97,6 +97,126 @@ def knn_bruteforce(
     )
 
 
+def _query_matrix(queries: DataFrame, id_col: str, vec_col: str):
+    """Collect a kNN lookup's query side to the driver, sorted by id.
+
+    The query side of a top-k lookup is metadata-sized by definition —
+    it is a serving batch, not a table (the |Q| ~ |C| regime is the
+    all-pairs problem, handled by the LSH/IVF *pair* operators).  Like
+    the IVF centroid matrix, it is planner state: collecting it lets
+    the data plane run as ONE closure-shipped Arrow kernel over the
+    candidate stream instead of a per-pair interpreted fold, and at
+    10^9 candidates nothing about this collect grows."""
+    import numpy as np
+
+    rows = sorted(queries.select(id_col, vec_col).collect(), key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows], dtype="int64")
+    Q = np.array([list(r[1]) for r in rows], dtype="float64")
+    return ids, Q
+
+
+def _seq_norms(M):
+    """Row norms accumulated column-by-column — the same left-to-right
+    addition order as the ``norm()`` fold and DuckDB's ``list_reduce``,
+    so values are bit-identical to the declarative path."""
+    import numpy as np
+
+    acc = np.zeros(M.shape[0], dtype="float64")
+    for d in range(M.shape[1]):
+        acc = acc + M[:, d] * M[:, d]
+    return np.sqrt(acc)
+
+
+def knn_topk_smallq(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k, serving-shaped: the metadata-sized
+    query matrix rides in an Arrow kernel closure; each candidate
+    partition emits only its LOCAL top-k per query, so the single
+    shuffle carries |partitions| x |Q| x k rows — never the |Q| x |C|
+    product (the same partial-TakeOrdered-then-merge shape Spark uses
+    for global top-k).  Scores accumulate left-to-right over the
+    dimension, bit-identical to :func:`knn_bruteforce` / the DuckDB
+    oracle's sequential ``list_reduce`` fold.
+
+    This is X3's exact path (reference north-star EXT); at 10^9
+    candidates the kernel streams once over the table with no Python
+    round trip on the pair space.  For |Q| at table scale use
+    :func:`knn_lsh` / :func:`knn_ivf`.
+    """
+    q_ids, Q = _query_matrix(queries, id_col, vec_col)
+    pairs = candidates.select(id_col, vec_col).mapInPandas(
+        _fused_lookup_kernel(q_ids, Q, k, None, id_col, vec_col),
+        schema="query_id long, neighbor_id long, score double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def _fused_lookup_kernel(q_ids, Q, k: int, match_fn, id_col: str, vec_col: str):
+    """One-pass ANN serving lookup: for each candidate batch, decide
+    probe membership against the closure-shipped query structures
+    (``match_fn(V) -> bool (n, nq)``; None = exact brute force), score
+    with the left-to-right fold (oracle-exact order), and emit the
+    batch-local top-k per query over matched pairs.  The candidate
+    table is scanned once; no pair space, no vector shuffle — the
+    downstream carries |partitions| x |Q| x k narrow rows.  (When
+    lookups repeat against the same corpus, persist the banded/
+    inverted table and use the join path instead — this kernel is the
+    index-free one-shot.)"""
+    import numpy as np
+
+    q_norm = _seq_norms(Q)
+    nq, dim = Q.shape
+
+    def lookup(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            nid = pdf[id_col].to_numpy().astype("int64")
+            match = (
+                np.ones((V.shape[0], nq), dtype=bool)
+                if match_fn is None
+                else match_fn(V)
+            )
+            c_norm = _seq_norms(V)
+            S = np.zeros((V.shape[0], nq), dtype="float64")
+            for d in range(dim):  # left-to-right: oracle-exact fold order
+                S = S + V[:, d, None] * Q[None, :, d]
+            S = S / (q_norm[None, :] * c_norm[:, None])
+            out_q, out_n, out_s = [], [], []
+            for j in range(nq):
+                keep = np.nonzero(match[:, j] & (nid != q_ids[j]))[0]
+                if keep.size == 0:
+                    continue
+                order = np.lexsort((nid[keep], -S[keep, j]))[:k]
+                sel = keep[order]
+                out_q.append(np.full(sel.size, q_ids[j], dtype="int64"))
+                out_n.append(nid[sel])
+                out_s.append(S[sel, j])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "score": np.concatenate(out_s),
+                    }
+                )
+
+    return lookup
+
+
 def _hyperplane(plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane component in [-1, 1]:
     a splitmix-style integer hash of (plane, d) — data-independent and
@@ -194,6 +314,7 @@ def knn_lsh(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    collect_queries: bool = False,
 ) -> DataFrame:
     """Approximate top-k: multi-table sign-random-projection LSH
     (OR-amplification: a pair is a candidate if it co-buckets in ANY of
@@ -204,9 +325,48 @@ def knn_lsh(
     — tune planes up for selectivity, tables up for recall.  At 10^9
     vectors each side shuffles ``tables`` small rows per vector on a
     (table, bucket) key; the quadratic cross product never materializes.
+
+    ``collect_queries=True`` is the index-free serving shape for a
+    metadata-sized query batch: the query bucket table (same bit math
+    as the executor kernel) rides in a fused lookup kernel's closure —
+    ONE streaming pass over the candidates does bucket membership,
+    exact re-rank, and batch-local top-k; no banded table, no join, no
+    vector shuffle (the OR-amplification dedup is the membership
+    test's ``any`` over tables).  Leave False when the query side is a
+    real table, or persist the banded table when lookups repeat.
     """
-    q = _lsh_banded(queries, "query_id", "q_vec", id_col, vec_col, planes, dim, tables)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    if collect_queries:
+        import numpy as np
+
+        q_ids, Q = _query_matrix(queries, id_col, vec_col)
+        P = _np_planes(tables * planes, dim).T
+        pows = (2 ** np.arange(planes - 1, -1, -1)).astype("int64")
+        QB = np.empty((len(q_ids), tables), dtype="int64")
+        q_bits = (Q @ P) > 0
+        for t in range(tables):
+            QB[:, t] = q_bits[:, t * planes:(t + 1) * planes] @ pows
+
+        def co_bucket(V):
+            bits = (V @ P) > 0  # identical math to _lsh_buckets_udf
+            M = np.empty((V.shape[0], tables), dtype="int64")
+            for t in range(tables):
+                M[:, t] = bits[:, t * planes:(t + 1) * planes] @ pows
+            return (M[:, None, :] == QB[None, :, :]).any(axis=2)
+
+        pairs = candidates.select(id_col, vec_col).mapInPandas(
+            _fused_lookup_kernel(q_ids, Q, k, co_bucket, id_col, vec_col),
+            schema="query_id long, neighbor_id long, score double",
+        )
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "score")
+        )
     c = _lsh_banded(candidates, "neighbor_id", "c_vec", id_col, vec_col, planes, dim, tables)
+    q = _lsh_banded(queries, "query_id", "q_vec", id_col, vec_col, planes, dim, tables)
     cand = (
         c.join(q, ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -217,9 +377,6 @@ def knn_lsh(
         "query_id",
         "neighbor_id",
         (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_vec_norm") * F.col("c_vec_norm"))).alias("score"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -313,6 +470,7 @@ def knn_ivf(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    collect_queries: bool = False,
 ) -> DataFrame:
     """X3 scale path B: IVF — partition candidates by nearest centroid
     (the inverted file), probe only the ``n_probe`` closest cells per
@@ -324,11 +482,45 @@ def knn_ivf(
     n_probe.  ``iterations=0`` skips Lloyd refinement: the quantizer is
     then the deterministic hash-sampled seed vectors — reconstructable
     by any engine, which is what the declared oracle query pins.
+
+    ``collect_queries=True``: the index-free serving shape — probe
+    cells for the metadata-sized query batch are computed in the
+    planner (the centroid matrix already lives there), and ONE fused
+    kernel pass over the candidates does cell assignment, probe
+    membership, exact re-rank, and batch-local top-k; no inverted
+    file, no join.  Persist the inverted table and use the join path
+    when lookups repeat against the same corpus.
     """
+    import numpy as np
+
     C = ivf_centroids(
         candidates, k=n_centroids, iterations=iterations,
         id_col=id_col, vec_col=vec_col,
     )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    # normalization replicates _nearest_cells_udf exactly (blocked
+    # np.linalg norms are fine for an arg-ranking); the SCORE always
+    # uses the sequential fold to stay oracle-exact
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    if collect_queries:
+        q_ids, Q = _query_matrix(queries, id_col, vec_col)
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+        cells = np.argsort(-(Qn @ Cn.T), axis=1, kind="stable")[:, :n_probe]
+
+        def in_probed_cell(V):
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+            cell = np.argsort(-(Vn @ Cn.T), axis=1, kind="stable")[:, 0]
+            return (cell[:, None, None] == cells[None, :, :]).any(axis=2)
+
+        pairs = candidates.select(id_col, vec_col).mapInPandas(
+            _fused_lookup_kernel(q_ids, Q, k, in_probed_cell, id_col, vec_col),
+            schema="query_id long, neighbor_id long, score double",
+        )
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "score")
+        )
     assign1 = _nearest_cells_udf(C, 1)
     inv = candidates.select(
         F.col(id_col).alias("neighbor_id"),
@@ -352,7 +544,6 @@ def knn_ivf(
             (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -52,6 +52,38 @@ def batch_session(app: str = "lakehouse-batch", cpus: int | None = None) -> Spar
     return spark
 
 
+#: Target bytes of input per shuffle partition — the same sizing rule a
+#: 100 TB job uses (100 TB / 128 MB ~= 800k partitions, capped by the
+#: cluster's sweet spot); at bench scale it bottoms out at the floor.
+SHUFFLE_TARGET_BYTES = 128 * 1024 * 1024
+
+#: Below this total input size AQE is turned off: its re-planning has a
+#: fixed ~0.1 s/query cost (measured on the sf0.1 bench set) that only
+#: amortizes once stages are seconds long.  The reference reaches the
+#: same conclusion for its small cluster (spark-defaults.conf:14-29:
+#: AQE off, 8 shuffle partitions); above the threshold AQE's runtime
+#: coalescing/skew handling is strictly better than any static guess.
+AQE_MIN_INPUT_BYTES = 2 * 1024 * 1024 * 1024
+
+
+def tune_for_input(spark: SparkSession, input_bytes: int, cpus: int | None = None) -> SparkSession:
+    """Size the session's shuffle layout from the job's input volume.
+
+    Static sizing from known input stats, exactly what AQE derives at
+    runtime — but computed once up front, so small jobs skip AQE's
+    per-query re-planning cost and big jobs still get AQE for skew.
+    Partition count targets :data:`SHUFFLE_TARGET_BYTES` per partition,
+    floored at 8 (the reference's small-cluster constant) and capped at
+    4x parallelism (diminishing returns past that on one executor-set).
+    """
+    n = cpus or DEFAULT_CPUS
+    parts = max(8, min(4 * n, input_bytes // SHUFFLE_TARGET_BYTES))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    aqe = input_bytes >= AQE_MIN_INPUT_BYTES
+    spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
+    return spark
+
+
 def streaming_session(app: str = "lakehouse-stream", cpus: int | None = None) -> SparkSession:
     """Streaming profile: AQE off (the reference disables it for
     micro-batch noise, reference spark-defaults.conf:29); state-store

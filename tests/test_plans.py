@@ -11,6 +11,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 from real_timetransactionaldatalakehouse_spark import plans as P  # noqa: E402
 
 _Q = entrymod.queries()
@@ -76,18 +77,36 @@ def test_no_cartesian_in_relational_queries(spark, sf_medium):
         assert not P.has_cartesian_product(df), f"{name} plans a cartesian/NL join"
 
 
-def test_lsh_signatures_are_arrow_vectorized(spark, sf_medium):
-    """The LSH bucket kernel must run as an Arrow-batched python eval
-    (vectorized numpy), not interpreted per-row HOF folds."""
+def test_lsh_lookup_is_single_fused_arrow_pass(spark, sf_medium):
+    """The serving-shaped LSH lookup must be ONE Arrow-batched kernel
+    pass over the candidates (bucket membership + re-rank + local
+    top-k fused): a MapInPandas stage, no join of banded tables, and
+    no interpreted per-row HOF folds on a pair space."""
     df = _Q["q_knn_lsh"](spark, sf_medium)
     plan = P.formatted_plan(df)
-    assert "ArrowEvalPython" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan
 
 
-def test_bruteforce_knn_broadcasts_query_side(spark, sf_medium):
-    """Exact knn must broadcast the small query side — the candidate
-    table never shuffles for the cross product."""
+def test_bruteforce_knn_kernel_has_no_pair_space(spark, sf_medium):
+    """Exact knn serving path: candidates stream once through the
+    fused kernel with batch-local top-k — no join, and the only
+    exchange after the kernel carries narrow (id, id, score) rows."""
     df = _Q["q_knn_topk"](spark, sf_medium)
+    plan = P.formatted_plan(df)
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_bruteforce_knn_operator_broadcasts_query_side(spark, sf_medium):
+    """The declarative exact-knn operator (table-sized query sides)
+    must broadcast the query side — the candidate table never
+    shuffles for the cross product."""
+    from real_timetransactionaldatalakehouse_spark.operators import similarity as S
+    from real_timetransactionaldatalakehouse_spark.sources import load_table
+
+    emb = load_table(spark, sf_medium, "embeddings")
+    df = S.knn_bruteforce(emb.filter(F.col("vec_id") < 10), emb, k=5)
     plan = P.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan, plan
 
