@@ -321,14 +321,22 @@ def q_agg_global(spark, sf_dir):
     sf0.1); two single-row aggregates cross-joined skip the Expand.
     The price total uses the exact scaled-long sum (``LF.msum``): money
     is fixed-point, so the accumulation stays in codegen's primitive
-    path instead of Decimal's object path."""
+    path instead of Decimal's object path.  The cross join is hinted
+    ``shuffle_replicate_nl``: a broadcast side would execute as its own
+    eager job, serializing the two aggregates — the shuffle NL form
+    keeps both single-row chains as parallel stages of one job
+    (measured 0.35 s vs 0.61 s at sf0.1)."""
     li = _t(spark, sf_dir, "lineitem")
     plain = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         LF.msum("l_extendedprice").alias("total_price"),
     )
     distinct = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    return plain.crossJoin(distinct).select("n_rows", "n_orders", "total_price")
+    return (
+        plain.hint("shuffle_replicate_nl")
+        .crossJoin(distinct.hint("shuffle_replicate_nl"))
+        .select("n_rows", "n_orders", "total_price")
+    )
 
 
 @_q("q_agg_max_ts", """
@@ -963,9 +971,15 @@ SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
 ) WHERE rank <= 3
 """)
 def q_topk_per_group(spark, sf_dir):
-    """W5: ranked top-k per group (reference Dashboard.md:48 trending)."""
+    """W5: ranked top-k per group (reference Dashboard.md:48 trending).
+    Projected to the 3 live columns BEFORE the window: Catalyst does
+    not prune a scan through row_number's partition/order refs, so the
+    explicit select keeps the shuffle narrow."""
     out = R.topk_per_group(
-        _t(spark, sf_dir, "orders"), ["o_orderpriority"], "o_totalprice", 3,
+        _t(spark, sf_dir, "orders").select(
+            "o_orderpriority", "o_orderkey", "o_totalprice"
+        ),
+        ["o_orderpriority"], "o_totalprice", 3,
         tiebreak_cols=["o_orderkey"],
     )
     return out.select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
@@ -980,8 +994,12 @@ SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
 FROM events
 """)
 def q_json_parse_struct(spark, sf_dir):
-    """H1: from_json with explicit schema (reference streaming_job.py:200)."""
-    ev = _t(spark, sf_dir, "events")
+    """H1: from_json with explicit schema (reference streaming_job.py:200).
+    The source parquet is one row group (one scan task), so the parse
+    stage fans out to session parallelism first (sources.fan_out)."""
+    from real_timetransactionaldatalakehouse_spark.sources import fan_out
+
+    ev = fan_out(_t(spark, sf_dir, "events").select("event_id", "props"))
     return ev.select(
         "event_id", LF.json_parse("props", "k INT").getField("k").alias("k")
     )

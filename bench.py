@@ -83,10 +83,15 @@ def main() -> None:
     tune_for_input(spark, input_bytes)
     qs = entry.queries()
 
-    # JVM/codegen warmup on the smallest sf, plus one Arrow-UDF call so
-    # the reusable Python workers exist before anything is timed
-    qs["q_agg_global"](spark, "/root/testdata/sf0.001").collect()
-    qs["q_neardup_minhash"](spark, "/root/testdata/sf0.001").collect()
+    # JVM warmup on the smallest sf: touch each execution family once
+    # (hash agg, shuffle, window sort, broadcast join, Arrow workers)
+    # so the first timed query isn't paying one-off JVM initialization
+    # (codegen compiler, shuffle machinery, Python worker spawn)
+    for wq in (
+        "q_agg_global", "q_window_tumbling_1min", "q_join_inner_equi",
+        "q_orderby_limit_topk", "q_dedup_latest", "q_neardup_minhash",
+    ):
+        qs[wq](spark, "/root/testdata/sf0.001").collect()
 
     def run_df(df) -> float:
         t0 = time.perf_counter()

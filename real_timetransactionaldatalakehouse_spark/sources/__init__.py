@@ -10,11 +10,12 @@ The reference reads Kafka (``streaming_job.py:190-196``) and Iceberg
   section 5.2).
 """
 
-from .tables import load_table, load_tables, register_views
+from .tables import fan_out, load_table, load_tables, register_views
 from .filestream import file_stream
 from .cdc import parse_cdc_envelope
 
 __all__ = [
+    "fan_out",
     "load_table",
     "load_tables",
     "register_views",

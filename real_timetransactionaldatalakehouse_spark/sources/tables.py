@@ -39,6 +39,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition an under-split source before expensive
+    per-row map work (JSON parse, regex, kernel stages).
+
+    Parquet row groups are Spark's minimum split unit; a file written
+    as one row group (this testdata; also gzip text, small Kafka
+    topics) scans as ONE task, serializing whatever map work follows.
+    A repartition to the session's shuffle parallelism costs one
+    narrow exchange and unlocks the cluster for the expensive stage —
+    the standard move whenever upstream produced fewer splits than
+    cores.  On a well-split 100 TB table the exchange is unnecessary —
+    size ``partitions`` from the source's actual split count."""
+    n = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
 
