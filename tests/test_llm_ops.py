@@ -172,3 +172,38 @@ def test_minhash_verified_exact_jaccard(docs):
     for pair in got:
         if pair in direct:
             assert got[pair] == direct[pair]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_fused_lsh_lookup_equals_banded_join(spark, sf_small):
+    """The serving-shaped fused LSH kernel (collect_queries=True) must
+    produce EXACTLY the banded-join path's output: same buckets, same
+    candidates, same bit-identical scores, same ranks."""
+    emb = load_table(spark, sf_small, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    fused = S.knn_lsh(q, emb, k=5, planes=4, tables=16, collect_queries=True)
+    joined = S.knn_lsh(q, emb, k=5, planes=4, tables=16, collect_queries=False)
+    assert _rows(fused) == _rows(joined)
+
+
+def test_fused_ivf_lookup_equals_inverted_join(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    fused = S.knn_ivf(q, emb, k=5, n_centroids=16, n_probe=4, iterations=0,
+                      collect_queries=True)
+    joined = S.knn_ivf(q, emb, k=5, n_centroids=16, n_probe=4, iterations=0,
+                       collect_queries=False)
+    assert _rows(fused) == _rows(joined)
+
+
+def test_smallq_topk_equals_bruteforce(spark, sf_small):
+    """Fused exact kNN == declarative broadcast-NL kNN, bit-for-bit
+    (same left-to-right fold order in the kernel)."""
+    emb = load_table(spark, sf_small, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    fused = S.knn_topk_smallq(q, emb, k=5)
+    brute = S.knn_bruteforce(q, emb, k=5)
+    assert _rows(fused) == _rows(brute)

@@ -50,3 +50,36 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.schema is not None
+
+
+def test_msum_equals_dsum_on_money(spark, sf_small):
+    """Scaled-long money sum must be bit-identical to the decimal
+    accumulation path on 2-decimal fixed-point columns."""
+    from real_timetransactionaldatalakehouse_spark import functions as LF
+    from real_timetransactionaldatalakehouse_spark.sources import load_table
+
+    li = load_table(spark, sf_small, "lineitem")
+    m, d = li.agg(
+        LF.msum("l_extendedprice").alias("m"), LF.dsum("l_extendedprice").alias("d")
+    ).collect()[0]
+    assert m == d
+
+
+def test_tune_for_input_sizing(spark):
+    """Partition count follows the 128 MB/partition rule with the
+    8-partition floor; AQE toggles at the documented threshold."""
+    from real_timetransactionaldatalakehouse_spark import session as SS
+
+    SS.tune_for_input(spark, 20_000_000, cpus=32)  # 20 MB -> floor
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    SS.tune_for_input(spark, 100 * 128 * 1024 * 1024, cpus=32)  # 100 partitions' worth
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "100"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    SS.tune_for_input(spark, 10**15, cpus=32)  # 1 PB -> capped at 4x cpus
+    assert spark.conf.get("spark.sql.shuffle.partitions") == str(4 * 32)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    # restore the conftest profile
+    SS.tune_for_input(spark, 0, cpus=32)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
