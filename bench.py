@@ -103,29 +103,18 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         return dt
 
-    # cold = first run of a freshly declared plan (parse/analyze/
-    # optimize/codegen included — the per-query fixed cost of this
-    # harness); steady = best of three re-executions of the SAME
-    # declared DataFrame — plan-warm in the literal sense: driver-side
-    # analysis is done once (as in any long-running job), while every
-    # run still executes the full physical plan (scans, shuffles,
-    # kernels — caches are cleared between runs, nothing is a cached
-    # result).  min-of-3 filters single-run JVM noise (GC pauses,
-    # compilation).
-    timings: dict[str, float] = {}
-    steady: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        df = qs[name](spark, SF_DIR)
-        timings[name] = round(run_df(df), 4)
-        steady[name] = round(min(run_df(df) for _ in range(3)), 4)
-
     # DuckDB single-node oracle timings over the same parquet (the
     # baseline proxy: BASELINE.md documents that the reference
-    # publishes no per-query numbers)
+    # publishes no per-query numbers).  Each query's oracle is timed
+    # IMMEDIATELY after its Spark timings (min-of-2, symmetric with
+    # Spark's min-of-N): interleaving keeps both sides of the ratio in
+    # the same host-load window, so noisy-neighbor drift hits
+    # numerator and denominator together instead of biasing one.
     ORACLE_SKIP = {
         "q_neardup_minhash": "all-pairs exact-Jaccard oracle is O(n^2); minutes at sf>=0.1",
     }
     oracle: dict[str, float] = {}
+    con = osql = None
     try:
         import duckdb
 
@@ -137,15 +126,36 @@ def main() -> None:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
             )
-        for name in BENCH_QUERIES:
-            if name in ORACLE_SKIP or name not in osql:
-                continue
-            t0 = time.perf_counter()
-            con.execute(osql[name]).fetchall()
-            oracle[name] = round(time.perf_counter() - t0, 4)
-        con.close()
     except Exception:
-        pass  # bench must still print its line if DuckDB is absent
+        con = None  # bench must still print its line if DuckDB is absent
+
+    # cold = first run of a freshly declared plan (parse/analyze/
+    # optimize/codegen included — the per-query fixed cost of this
+    # harness); steady = best of five re-executions of the SAME
+    # declared DataFrame — plan-warm in the literal sense: driver-side
+    # analysis is done once (as in any long-running job), while every
+    # run still executes the full physical plan (scans, shuffles,
+    # kernels — caches are cleared between runs, nothing is a cached
+    # result).  min-of-5 filters single-run JVM noise (GC pauses,
+    # compilation, noisy-neighbor CPU stalls on a shared host).
+    timings: dict[str, float] = {}
+    steady: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = qs[name](spark, SF_DIR)
+        timings[name] = round(run_df(df), 4)
+        steady[name] = round(min(run_df(df) for _ in range(5)), 4)
+        if con is not None and name in osql and name not in ORACLE_SKIP:
+            try:
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    con.execute(osql[name]).fetchall()
+                    best = min(best, time.perf_counter() - t0)
+                oracle[name] = round(best, 4)
+            except Exception:
+                pass
+    if con is not None:
+        con.close()
 
     covered = [n for n in oracle if n in steady]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

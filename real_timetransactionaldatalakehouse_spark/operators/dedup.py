@@ -184,12 +184,17 @@ def minhash_neardup_pairs(
     quadratic partition through a single executor.
     """
     rows_per_band = num_hashes // bands
-    # 1) spread rows across cores (small corpora arrive as one split);
+    # 1) spread rows to the session's tuned shuffle layout (small
+    #    corpora arrive as one split; shuffle.partitions tracks input
+    #    size, so Arrow kernel batches stay full instead of paying
+    #    per-partition Python round-trip overhead on slivers);
     # 2) token hashing stays JVM-native (one xxhash64 per token); the
     #    rolling-shingle + all-seeds minima run in one Arrow batch
     #    kernel (see _minhash_sig_udf — the HOF formulation interprets
     #    num_hashes x |shingles| lambda steps per row)
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    spread = df.repartition(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    )
     hashed = spread.select(
         F.col(id_col).alias("id"),
         F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("th"),
@@ -366,7 +371,9 @@ def simhash_neardup_pairs(
     pipeline (signature -> banding -> hamming) an exact DuckDB twin.
     """
     hash_fn = TOKEN_HASHES[token_hash]
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    spread = df.repartition(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    )
     hashed = spread.select(
         F.col(id_col).alias("id"),
         F.transform(F.array_distinct(tokens(text_col)), hash_fn).alias("th"),
