@@ -45,6 +45,7 @@ def asof_join(
     timeline_ts: str,
     value_cols: list[str],
     fact_tiebreaks: list[str] | None = None,
+    dedup_keep_max: bool = False,
 ) -> DataFrame:
     """J5: point-in-time enrichment — each fact row gets the latest
     timeline values with ``timeline_ts <= fact_ts`` (reference Silver
@@ -57,8 +58,20 @@ def asof_join(
     running frame.  One shuffle on ``key``; no range-join explosion —
     this is the formulation that survives 100 TB facts x mutable dims.
 
-    ``timeline`` must be unique per (key, timeline_ts).
+    ``timeline`` must be unique per (key, timeline_ts) — unless
+    ``dedup_keep_max`` is set, which admits duplicate (key, ts)
+    timeline rows and resolves each group to its MAX value by adding
+    the (single, non-null) value column to the window's tie-sort: the
+    running ``last`` then lands on the max row of the newest timestamp.
+    That folds the ``GROUP BY key, ts -> MAX(value)`` pre-aggregation
+    the caller would otherwise run — one whole shuffle+agg stage less.
     """
+    if dedup_keep_max and len(value_cols) != 1:
+        raise ValueError(
+            "dedup_keep_max resolves ties by sorting on the value column; "
+            "with several value columns that lexicographic order is not "
+            "the per-column MAX — pre-aggregate the timeline instead"
+        )
     f_cols = [c for c in fact.columns]
     t = timeline.select(
         F.col(key),
@@ -74,9 +87,11 @@ def asof_join(
         *[F.lit(None).cast(timeline.schema[c].dataType).alias(c) for c in value_cols],
         *[F.col(c).alias(f"__f_{c}") for c in f_cols],
     )
-    order = [F.col("__ts").asc(), F.col("__side").asc()] + [
-        F.col(f"__f_{c}").asc_nulls_first() for c in (fact_tiebreaks or [])
-    ]
+    order = (
+        [F.col("__ts").asc(), F.col("__side").asc()]
+        + ([F.col(value_cols[0]).asc()] if dedup_keep_max else [])
+        + [F.col(f"__f_{c}").asc_nulls_first() for c in (fact_tiebreaks or [])]
+    )
     w = (
         Window.partitionBy(key)
         .orderBy(*order)

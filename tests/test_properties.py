@@ -17,6 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from real_timetransactionaldatalakehouse_spark.operators.merge import merge_upsert  # noqa: E402
 from real_timetransactionaldatalakehouse_spark.operators.relational import (  # noqa: E402
     dedup_latest,
+    dedup_latest_agg,
+    latest_non_null,
+    latest_non_null_agg,
     sessionize,
 )
 
@@ -112,6 +115,36 @@ def test_dedup_latest_picks_max_order_tuple(spark, data):
 
 
 @SETTINGS
+@given(data=rows)
+def test_dedup_latest_agg_equals_window_form(spark, data):
+    """The max_by aggregation form is a physical-strategy swap, not a
+    semantic one: same rows out as the ROW_NUMBER window form, null
+    tiebreaks included (struct ordering sorts nulls first == DESC
+    NULLS LAST)."""
+    df = _df(spark, data)
+    win = {tuple(r) for r in dedup_latest(df, ["k"], "ts", tiebreak_cols=["v"]).collect()}
+    agg = {tuple(r) for r in dedup_latest_agg(df, ["k"], "ts", tiebreak_cols=["v"]).collect()}
+    assert agg == win
+
+
+@SETTINGS
+@given(data=rows)
+def test_latest_non_null_agg_equals_window_form(spark, data):
+    """One-row-per-key conditional max_by == window IGNORE-NULLS fill
+    followed by keep-latest."""
+    df = _df(spark, data)
+    filled = latest_non_null(df, ["k"], "ts", ["v"], tiebreak_cols=["v"])
+    # NB: tiebreak on the *original* v is unavailable after the fill
+    # overwrites it, so compare on a schema where ties cannot happen:
+    # dedupe (k, ts) first to make order unambiguous.
+    uniq = df.groupBy("k", "ts").agg(F.max("v").alias("v"))
+    filled = latest_non_null(uniq, ["k"], "ts", ["v"])
+    win = {(r.k, r.v) for r in dedup_latest(filled, ["k"], "ts").select("k", "v").collect()}
+    agg = {tuple(r) for r in latest_non_null_agg(uniq, ["k"], "ts", ["v"]).collect()}
+    assert agg == win
+
+
+@SETTINGS
 @given(data=st.lists(
     st.tuples(st.integers(0, 3), st.integers(0, 10**5)), min_size=1, max_size=30
 ))
@@ -177,3 +210,56 @@ def test_asof_join_matches_bruteforce(spark, facts, timeline):
         assert got[(k, t, i)] == want, (
             f"fact ({k},{t},{i}): got {got[(k, t, i)]}, want {want} from {sorted(cand)}"
         )
+
+
+# timeline with duplicate (key, ts) rows allowed — the dedup_keep_max mode
+dup_timeline_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # key
+        st.integers(min_value=0, max_value=50),  # ts
+        st.integers(min_value=-9, max_value=9),  # value (non-null)
+    ),
+    min_size=0, max_size=25,
+)
+
+
+@SETTINGS
+@given(facts=fact_rows, timeline=dup_timeline_rows)
+def test_asof_join_dedup_keep_max_folds_preagg(spark, facts, timeline):
+    """dedup_keep_max on a duplicated timeline == pre-aggregating the
+    timeline with GROUP BY (key, ts) -> MAX(value) first: the window's
+    value tie-sort must land the running last() on the max row of the
+    newest eligible timestamp."""
+    f = spark.createDataFrame(
+        [(k, t, i) for k, t, i in facts] or [(None, None, None)],
+        "k int, ts int, fid int",
+    ).filter(F.col("fid").isNotNull())
+    tl = spark.createDataFrame(
+        [(k, t, v) for k, t, v in timeline] or [(None, None, None)],
+        "k int, tts int, val int",
+    ).filter(F.col("val").isNotNull())
+    out = asof_join(
+        f, tl, key="k", fact_ts="ts", timeline_ts="tts",
+        value_cols=["val"], fact_tiebreaks=["fid"], dedup_keep_max=True,
+    )
+    got = {(r.k, r.ts, r.fid): r.val for r in out.collect()}
+    assert len(got) == len({(k, t, i) for k, t, i in facts}), "row count drift"
+    best: dict[tuple[int, int], int] = {}
+    for k, tt, v in timeline:
+        key = (k, tt)
+        best[key] = v if key not in best else max(best[key], v)
+    for k, t, i in facts:
+        cand = [(tt, v) for (kk, tt), v in best.items() if kk == k and tt <= t]
+        want = max(cand)[1] if cand else None
+        assert got[(k, t, i)] == want, (
+            f"fact ({k},{t},{i}): got {got[(k, t, i)]}, want {want} from {sorted(cand)}"
+        )
+
+
+def test_asof_join_dedup_keep_max_rejects_multi_value(spark):
+    f = spark.createDataFrame([(1, 1, 1)], "k int, ts int, fid int")
+    tl = spark.createDataFrame([(1, 0, 1, 2)], "k int, tts int, a int, b int")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="dedup_keep_max"):
+        asof_join(f, tl, key="k", fact_ts="ts", timeline_ts="tts",
+                  value_cols=["a", "b"], dedup_keep_max=True)
