@@ -354,9 +354,16 @@ def simhash_neardup_pairs(
     max_bucket: int = 256,
     token_hash: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash near-dup: 4x16-bit chunk banding (two signatures within
-    hamming distance d<=... share at least one exact chunk for d<=3 per
-    chunk on average) -> candidate join -> exact hamming filter.
+    """SimHash near-dup: 4x16-bit chunk banding -> candidate join ->
+    exact hamming filter.
+
+    Recall bound (pigeonhole): with 4 chunks, two signatures at hamming
+    distance d <= 3 ALWAYS share an untouched chunk and are guaranteed
+    candidates.  For 4 <= d <= max_hamming a pair is found unless its
+    differing bits spread across all four chunks (e.g. d=4 split
+    1/1/1/1) — a known, documented recall gap of chunk banding; the
+    standard fix when it matters is more chunks (8x8-bit guarantees
+    d <= 7) or multi-probe, both at higher candidate volume.
 
     ``max_bucket`` drops chunk buckets with more members than the cap
     before the self-join: a chunk value shared by hundreds of documents

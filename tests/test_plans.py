@@ -59,6 +59,26 @@ def test_group_agg_is_partial_final(spark, sf_medium):
     assert P.has_partial_aggregation(df), P.formatted_plan(df)
 
 
+def test_topk_window_group_limit_partial(spark, sf_medium):
+    """W5: the rank<=k filter must be pushed below the exchange as a
+    partial WindowGroupLimit — the shuffle then carries at most k rows
+    per group per map task instead of the whole table."""
+    df = _Q["q_topk_per_group"](spark, sf_medium)
+    plan = P.formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
+
+
+def test_keep_latest_declared_as_partial_agg(spark, sf_medium):
+    """W1 fast path: the declared keep-latest query must plan as
+    partial+final max_by aggregation (shuffle carries one candidate
+    per key per task), not as a full-sort window."""
+    df = _Q["q_dedup_latest"](spark, sf_medium)
+    plan = P.formatted_plan(df)
+    assert P.has_partial_aggregation(df), plan
+    assert "Window" not in plan, plan
+
+
 def test_whole_stage_codegen_covers_hot_path(spark, sf_medium):
     df = _Q["q_agg_conditional_counts"](spark, sf_medium)
     df.collect()  # AQE shows WholeStageCodegen spans only in the final plan
