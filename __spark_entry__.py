@@ -1780,6 +1780,94 @@ def q_text_fingerprint(spark, sf_dir):
     return TX.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+@_q("q_split_assign", """
+WITH b AS (
+  SELECT lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split-v1'), 1, 15))::BIGINT % 1000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 900 THEN 'train'
+            WHEN bucket < 950 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n
+FROM b GROUP BY 1, 2
+""")
+def q_split_assign(spark, sf_dir):
+    """EXT curation: deterministic train/val/test assignment by hash
+    bucket of the stable doc id (sampling.hash_split) — map-only, no
+    rand(), stable under reprocessing/appends/retries (the property
+    that prevents contamination-by-retry).  Aggregated per (split,
+    lang) so the oracle checks the full assignment."""
+    from real_timetransactionaldatalakehouse_spark.operators import sampling as S
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        S.hash_split(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q("q_balance_cap", """
+SELECT doc_id, source, lang, n_chars FROM (
+  SELECT doc_id, source, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source, lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 5
+""")
+def q_balance_cap(spark, sf_dir):
+    """EXT curation: per-(source, lang) balancing cap — keep at most 5
+    docs per cell in deterministic preference order, so no crawl
+    domain dominates the mixture (sampling.cap_per_group).  Plans as
+    partial WindowGroupLimit: shuffle carries <= k rows per group per
+    map task."""
+    from real_timetransactionaldatalakehouse_spark.operators import sampling as S
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang", "n_chars")
+    return S.cap_per_group(
+        docs, ["source", "lang"], "n_chars", 5, tiebreak_cols=["doc_id"]
+    )
+
+
+@_q("q_decontaminate", """
+WITH fp AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(h) - 7, 1)),
+    j -> list_min(list_slice(h, j, j + 7))))) AS fp
+  FROM (
+    SELECT doc_id, list_transform(generate_series(1, greatest(length(text) - 23, 1)),
+           i -> ('0x' || substr(md5(substr(text, i, 24)), 1, 15))::BIGINT) AS h
+    FROM documents
+  )
+), bench_fp AS (
+  SELECT DISTINCT fp FROM fp WHERE doc_id % 20 = 0
+), contaminated AS (
+  SELECT DISTINCT f.doc_id FROM fp f JOIN bench_fp b ON f.fp = b.fp
+  WHERE f.doc_id % 20 <> 0
+)
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id % 20 <> 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+""")
+def q_decontaminate(spark, sf_dir):
+    """EXT curation: benchmark decontamination — drop corpus docs
+    sharing any winnowing fingerprint with the eval set (every 20th
+    doc stands in for the benchmark).  24-char grams with an 8-hash
+    window: any shared substring >= 31 chars is guaranteed flagged,
+    while the short stock phrases the synthetic corpus repeats stay
+    below the bar (k=8 grams mark the entire corpus contaminated —
+    tune k to the verbatim-overlap length that matters).  Fingerprints
+    shuffle, documents never do; the benchmark side broadcasts
+    (sampling.decontaminate)."""
+    from real_timetransactionaldatalakehouse_spark.operators import sampling as S
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    return S.decontaminate(corpus, benchmark, k=24, window=8).select("doc_id", "n_chars")
+
+
 _MULTIMODAL_ORACLE = """
 WITH m AS (
   SELECT doc_id AS media_id,

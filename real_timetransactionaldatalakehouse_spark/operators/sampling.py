@@ -1,0 +1,113 @@
+"""Corpus curation operators for training-data pipelines (EXT,
+SURVEY.md section 2 X): deterministic split assignment, per-group
+balancing caps, and benchmark decontamination.
+
+These are the steps between "deduped corpus" and "training shards" in
+an LLM data pipeline.  The design constraints at 100 TB:
+
+- splits must be DETERMINISTIC functions of a stable id — never
+  ``rand()`` — so reprocessing a partition, adding a source, or
+  re-running a failed task cannot move a document across the
+  train/eval boundary (the classic contamination-by-retry bug);
+- balancing caps are top-k-per-group, which Spark executes with a
+  partial WindowGroupLimit below the exchange — the shuffle carries at
+  most k rows per group per map task;
+- decontamination joins on winnowing fingerprints (60-bit ints), so
+  the wide stage moves fingerprints, never documents, and the
+  benchmark side is small enough to broadcast.
+
+All hashing is the md5-prefix 60-bit form (``dedup._md5_60``) so every
+operator here has an exact ANSI-SQL / DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .relational import topk_per_group
+from .text import winnow_fingerprints
+
+
+def split_bucket(id_col, seed: str = "split-v1", buckets: int = 1000):
+    """Deterministic bucket in [0, buckets) from a stable id: the
+    md5-prefix hash of ``id || ':' || seed``.  Changing ``seed``
+    produces an independent re-split; same seed is stable forever.
+    DuckDB twin: ``('0x' || substr(md5(id || ':' || seed), 1, 15))
+    ::BIGINT % buckets``."""
+    key = F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: str = "split-v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test by default)
+    by deterministic hash bucket — map-only, no shuffle, stable under
+    reprocessing and appends.  ``weights`` maps split name to a
+    fraction; fractions are cumulated over the dict's insertion order
+    onto 1000 hash buckets."""
+    weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {weights}")
+    bucket = split_bucket(id_col, seed)
+    expr = None
+    hi = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        hi += weights[name]
+        cond = bucket < int(round(hi * 1000))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out_col, expr)
+
+
+def cap_per_group(df: DataFrame, group_cols: list[str], order_col: str,
+                  k: int, tiebreak_cols: list[str] | None = None,
+                  desc: bool = True) -> DataFrame:
+    """Per-group balancing cap: keep at most ``k`` rows per group in a
+    deterministic preference order (e.g. cap each (source, lang) cell
+    so one crawl domain cannot dominate a mixture).  Executes as
+    top-k-per-group — partial WindowGroupLimit keeps the shuffle at
+    k rows per group per map task regardless of group skew."""
+    return topk_per_group(
+        df, group_cols, order_col, k, tiebreak_cols=tiebreak_cols, desc=desc
+    ).drop("rank")
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Remove corpus documents sharing any winnowing fingerprint with a
+    benchmark/eval set — the overlap step of training-data
+    decontamination.  Winnowing guarantees any shared substring of
+    length >= k + window - 1 chars produces a shared fingerprint, so
+    verbatim eval leakage of that length cannot survive.
+
+    Plan shape: both sides reduce to (fp, id) pairs; the benchmark
+    side (eval sets are thousands of docs, not billions) broadcasts
+    into a semi-join marking contaminated ids, then a broadcast
+    anti-join keeps the clean corpus.  Fingerprints (60-bit ints)
+    shuffle; documents never do.
+    """
+    def fps(df: DataFrame) -> DataFrame:
+        # winnow_fingerprints keys on "doc_id" — normalize the id name
+        src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        return winnow_fingerprints(src, text_col, k=k, window=window)
+
+    b_fp = fps(benchmark).select("fp").distinct()
+    contaminated = (
+        fps(corpus).join(F.broadcast(b_fp), "fp", "left_semi")
+        .select(F.col("doc_id").alias(id_col)).distinct()
+    )
+    return corpus.join(F.broadcast(contaminated), id_col, "left_anti")

@@ -207,3 +207,68 @@ def test_smallq_topk_equals_bruteforce(spark, sf_small):
     fused = S.knn_topk_smallq(q, emb, k=5)
     brute = S.knn_bruteforce(q, emb, k=5)
     assert _rows(fused) == _rows(brute)
+
+
+# ----------------------------------------------------------- curation (X)
+
+from real_timetransactionaldatalakehouse_spark.operators import sampling as SP  # noqa: E402
+
+
+def test_hash_split_deterministic_and_complete(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents").select("doc_id")
+    a = SP.hash_split(docs, "doc_id")
+    b = SP.hash_split(docs, "doc_id")
+    ra = sorted((r.doc_id, r.split) for r in a.collect())
+    rb = sorted((r.doc_id, r.split) for r in b.collect())
+    assert ra == rb, "split assignment must be deterministic"
+    n = docs.count()
+    by = dict(a.groupBy("split").count().rdd.map(tuple).collect())
+    assert sum(by.values()) == n, "every row gets exactly one split"
+    assert set(by) <= {"train", "val", "test"}
+    # 90/5/5 within tolerance on a small corpus
+    assert by.get("train", 0) > 0.8 * n
+
+
+def test_hash_split_seed_changes_assignment_weights_guarded(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents").select("doc_id")
+    a = {(r.doc_id, r.split) for r in SP.hash_split(docs, "doc_id", seed="v1").collect()}
+    b = {(r.doc_id, r.split) for r in SP.hash_split(docs, "doc_id", seed="v2").collect()}
+    assert a != b, "different seeds must re-split"
+    with pytest.raises(ValueError, match="sum to 1"):
+        SP.hash_split(docs, "doc_id", weights={"train": 0.5, "val": 0.1})
+
+
+def test_cap_per_group_bounds_every_group(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    capped = SP.cap_per_group(docs, ["source", "lang"], "n_chars", 3,
+                              tiebreak_cols=["doc_id"])
+    sizes = capped.groupBy("source", "lang").count().collect()
+    assert all(r["count"] <= 3 for r in sizes)
+    # kept rows are the max-n_chars rows of their group
+    full = docs.select("source", "lang", "n_chars", "doc_id").collect()
+    best: dict[tuple, list] = {}
+    for r in full:
+        best.setdefault((r.source, r.lang), []).append((-r.n_chars, r.doc_id))
+    for key, items in best.items():
+        items.sort()
+        want = {d for _, d in items[:3]}
+        got = {r.doc_id for r in capped.collect()
+               if (r.source, r.lang) == key}
+        assert got == want
+
+
+def test_decontaminate_removes_planted_overlap(spark):
+    probe = "zqxj" * 12  # 48-char string, not in any synthetic doc
+    corpus = spark.createDataFrame(
+        [(1, "clean document about nothing in particular at all"),
+         (2, "prefix " + probe + " suffix"),
+         (3, "another clean one with plenty of words to spare here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "eval question containing " + probe + " verbatim")],
+        "doc_id long, text string",
+    )
+    kept = SP.decontaminate(corpus, bench, k=24, window=8)
+    ids = {r.doc_id for r in kept.collect()}
+    assert ids == {1, 3}, f"doc 2 shares a 48-char substring, got {ids}"
