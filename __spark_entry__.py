@@ -1868,6 +1868,62 @@ def q_decontaminate(spark, sf_dir):
     return S.decontaminate(corpus, benchmark, k=24, window=8).select("doc_id", "n_chars")
 
 
+@_q("q_stratified_sample", """
+WITH b AS (
+  SELECT doc_id, lang, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample-v1'), 1, 15))::BIGINT % 1000 AS bucket
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n
+FROM b
+WHERE bucket < (CASE lang WHEN 'en' THEN 250 WHEN 'zh' THEN 500 ELSE 1000 END)
+GROUP BY lang
+""")
+def q_stratified_sample(spark, sf_dir):
+    """EXT curation: deterministic per-stratum downsampling — keep 25%
+    of 'en', 50% of 'zh', all of the rest, by hash bucket of the doc
+    id (sampling.stratified_sample).  Unlike df.sample, the keep set
+    is a pure function of (id, seed): re-running any partition
+    reproduces the identical sample.  Aggregated per lang so the
+    oracle checks the exact keep set."""
+    from real_timetransactionaldatalakehouse_spark.operators import sampling as S
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    kept = S.stratified_sample(
+        docs, ["lang"], {("en",): 0.25, ("zh",): 0.50}, seed="sample-v1"
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q("q_vocab_topn", """
+SELECT token, n, rank FROM (
+  SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rank
+  FROM (
+    SELECT token, COUNT(*) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ) GROUP BY token
+  )
+) WHERE rank <= 100
+""")
+def q_vocab_topn(spark, sf_dir):
+    """EXT curation: corpus vocabulary — top-100 tokens by frequency
+    (the seed step of vocab/BPE training).  explode -> partial+final
+    count (shuffle carries (token, partial_count)) -> TakeOrdered
+    top-k; the full token set never sorts globally.  The final
+    row_number ranks the 100 surviving rows in one partition — that
+    window never sees the corpus."""
+    from real_timetransactionaldatalakehouse_spark.operators import text as TX
+
+    counts = TX.token_counts(_t(spark, sf_dir, "documents"))
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(100)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("n").desc(), F.col("token").asc())
+        ),
+    )
+
+
 _MULTIMODAL_ORACLE = """
 WITH m AS (
   SELECT doc_id AS media_id,

@@ -67,6 +67,40 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    rates: dict[tuple, float] | float,
+    id_col: str = "doc_id",
+    seed: str = "sample-v1",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a hash-chosen
+    fraction of rows per stratum (e.g. cap overrepresented languages
+    in a mixture).  Same determinism argument as :func:`hash_split`
+    — the keep/drop decision is a pure function of (id, seed), so
+    re-running any partition reproduces the identical sample, and a
+    row's fate never depends on partition layout or visit order
+    (``df.sample`` cannot promise either).  ``rates`` maps a stratum
+    key tuple to its keep-rate, or is a single float for all strata.
+    Map-only; no shuffle."""
+    bucket = split_bucket(id_col, seed)
+    if isinstance(rates, float):
+        keep = bucket < int(round(rates * 1000))
+    else:
+        keep = None
+        for key, rate in rates.items():
+            key = key if isinstance(key, tuple) else (key,)
+            match = None
+            for c, v in zip(strata_cols, key):
+                cond = F.col(c) == F.lit(v)
+                match = cond if match is None else match & cond
+            thresh = bucket < int(round(rate * 1000))
+            keep = F.when(match, thresh) if keep is None else keep.when(match, thresh)
+        keep = keep.otherwise(bucket < int(round(default_rate * 1000)))
+    return df.filter(keep)
+
+
 def cap_per_group(df: DataFrame, group_cols: list[str], order_col: str,
                   k: int, tiebreak_cols: list[str] | None = None,
                   desc: bool = True) -> DataFrame:

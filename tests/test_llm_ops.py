@@ -272,3 +272,17 @@ def test_decontaminate_removes_planted_overlap(spark):
     kept = SP.decontaminate(corpus, bench, k=24, window=8)
     ids = {r.doc_id for r in kept.collect()}
     assert ids == {1, 3}, f"doc 2 shares a 48-char substring, got {ids}"
+
+
+def test_stratified_sample_deterministic_subset(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "lang")
+    a = {r.doc_id for r in SP.stratified_sample(docs, ["lang"], {("en",): 0.3}).collect()}
+    b = {r.doc_id for r in SP.stratified_sample(docs, ["lang"], {("en",): 0.3}).collect()}
+    assert a == b, "sample must be deterministic"
+    all_ids = {r.doc_id for r in docs.collect()}
+    assert a <= all_ids
+    non_en = {r.doc_id for r in docs.filter(F.col("lang") != "en").collect()}
+    assert non_en <= a, "default rate 1.0 keeps every non-en row"
+    # widening the rate only ADDS rows (hash buckets nest)
+    wider = {r.doc_id for r in SP.stratified_sample(docs, ["lang"], {("en",): 0.6}).collect()}
+    assert a <= wider, "nested rates must produce nested samples"
