@@ -159,11 +159,15 @@ def main() -> None:
 
     covered = [n for n in oracle if n in steady]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    ratios = {
+        n: round(steady[n] / max(oracle[n], 1e-9), 2) for n in covered
+    }
+    worst5 = dict(sorted(ratios.items(), key=lambda kv: -kv[1])[:5])
+    detail = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
-        "queries": timings,
+        "queries_cold": timings,
         "queries_steady": steady,
         "value_steady": round(sum(steady.values()), 4),
         "queries_oracle": oracle,
@@ -172,10 +176,36 @@ def main() -> None:
         "steady_vs_oracle_ratio": round(
             sum(steady[n] for n in covered) / max(sum(oracle.values()), 1e-9), 3
         ),
+        "steady_vs_oracle_per_query": ratios,
         "oracle_skipped": ORACLE_SKIP,
         "sf": float(sf) if sf else None,
     }
-    print(json.dumps(out))
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+
+    # The driver captures only the LAST ~2000 chars of stdout and JSON-parses
+    # the final line (r2's line outgrew that window -> "parsed": null).  Print
+    # ONE compact line: headline totals + per-query steady secs, dropping the
+    # per-query dict first if the line would overflow the capture window.
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": steady,
+        "value_steady": detail["value_steady"],
+        "value_oracle": detail["value_oracle"],
+        "steady_vs_oracle_ratio": detail["steady_vs_oracle_ratio"],
+        "worst5_vs_oracle": worst5,
+        "sf": detail["sf"],
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1800:
+        out.pop("queries")
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -111,8 +111,20 @@ def _query_matrix(queries: DataFrame, id_col: str, vec_col: str):
 
     rows = sorted(queries.select(id_col, vec_col).collect(), key=lambda r: r[0])
     ids = np.array([r[0] for r in rows], dtype="int64")
+    if not rows:  # keep Q 2-D so downstream `nq, dim = Q.shape` holds
+        return ids, np.zeros((0, 1), dtype="float64")
     Q = np.array([list(r[1]) for r in rows], dtype="float64")
     return ids, Q
+
+
+def _empty_topk(df: DataFrame) -> DataFrame:
+    """Empty result with the kNN output schema — the fused serving
+    kernels short-circuit to this when the collected query batch is
+    empty (matching :func:`knn_bruteforce`, whose join path yields no
+    rows naturally)."""
+    return df.sparkSession.createDataFrame(
+        [], "query_id long, neighbor_id long, rank int, score double"
+    )
 
 
 def _seq_norms(M):
@@ -149,6 +161,8 @@ def knn_topk_smallq(
     :func:`knn_lsh` / :func:`knn_ivf`.
     """
     q_ids, Q = _query_matrix(queries, id_col, vec_col)
+    if len(q_ids) == 0:
+        return _empty_topk(candidates)
     pairs = candidates.select(id_col, vec_col).mapInPandas(
         _fused_lookup_kernel(q_ids, Q, k, None, id_col, vec_col),
         schema="query_id long, neighbor_id long, score double",
@@ -342,6 +356,8 @@ def knn_lsh(
         import numpy as np
 
         q_ids, Q = _query_matrix(queries, id_col, vec_col)
+        if len(q_ids) == 0:
+            return _empty_topk(candidates)
         P = _np_planes(tables * planes, dim).T
         pows = (2 ** np.arange(planes - 1, -1, -1)).astype("int64")
         QB = np.empty((len(q_ids), tables), dtype="int64")
@@ -504,6 +520,8 @@ def knn_ivf(
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
     if collect_queries:
         q_ids, Q = _query_matrix(queries, id_col, vec_col)
+        if len(q_ids) == 0:
+            return _empty_topk(candidates)
         Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
         cells = np.argsort(-(Qn @ Cn.T), axis=1, kind="stable")[:, :n_probe]
 

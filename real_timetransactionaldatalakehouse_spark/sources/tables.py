@@ -36,6 +36,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in nano_cols:
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
+    # Naive parquet timestamps (isAdjustedToUTC=false) infer as
+    # TIMESTAMP_NTZ on Spark 4, which rejects numeric casts and diverges
+    # from the engine's single-timestamp-type contract.  Normalize to
+    # TimestampType at the read boundary: the session zone is pinned UTC
+    # everywhere (``pin_utc``/``_q``), so the wall-clock values are
+    # unchanged — same semantics DuckDB applies to the same files.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -53,7 +53,10 @@ def await_all(spark: SparkSession, queries, timeout_sec: float = 300.0) -> None:
         remaining = deadline - _time.monotonic()
         if remaining <= 0:
             raise TimeoutError("streams still active past timeout")
-        spark.streams.awaitAnyTermination(int(max(remaining * 1000, 1)))
+        # awaitAnyTermination takes SECONDS (PySpark converts to ms
+        # internally); cap the poll at 1 s so the deadline is rechecked
+        # promptly even while streams stay active
+        spark.streams.awaitAnyTermination(min(max(remaining, 0.001), 1.0))
         spark.streams.resetTerminated()
     for q in queries:
         if q.exception() is not None:

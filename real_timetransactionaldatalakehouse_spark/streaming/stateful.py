@@ -87,8 +87,16 @@ def ewma_by_key(
             last_s = int(pd.Timestamp(row[ts_col]).value // 1_000_000_000)
         state.update((n, ew, last_s))
         if watermark is not None:
-            # expire once the event-time watermark passes the last event
-            state.setTimeoutTimestamp(last_s * 1000)
+            # Expire once the event-time watermark passes the last event.
+            # The timeout must be STRICTLY above the current watermark:
+            # last_s truncates to whole seconds, so an event that passed
+            # the late-data filter can still truncate below the watermark
+            # (e.g. watermark 100500 ms, event 100600 ms -> 100000 ms), and
+            # setTimeoutTimestamp throws for timestamps <= watermark,
+            # killing the query.  Round the event second UP and clamp to
+            # watermark + 1 ms.
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max((last_s + 1) * 1000, wm_ms + 1))
         yield pd.DataFrame(
             [{key_col: k, "n_events": n, "ewma": ew, "last_ts_s": last_s}]
         )

@@ -286,3 +286,20 @@ def test_stratified_sample_deterministic_subset(spark, sf_small):
     # widening the rate only ADDS rows (hash buckets nest)
     wider = {r.doc_id for r in SP.stratified_sample(docs, ["lang"], {("en",): 0.6}).collect()}
     assert a <= wider, "nested rates must produce nested samples"
+
+
+def test_fused_kernels_empty_query_side(spark, sf_small):
+    """An empty query batch must short-circuit to an empty result with
+    the kNN output schema (regression: the fused kernels crashed on
+    ``nq, dim = Q.shape`` when the collected query matrix was 1-D
+    empty, while knn_bruteforce returned empty)."""
+    emb = load_table(spark, sf_small, "embeddings")
+    q0 = emb.filter(F.col("vec_id") < 0)  # empty
+    for df in (
+        S.knn_topk_smallq(q0, emb, k=5),
+        S.knn_lsh(q0, emb, k=5, planes=4, tables=4, collect_queries=True),
+        S.knn_ivf(q0, emb, k=5, n_centroids=8, n_probe=2, iterations=0,
+                  collect_queries=True),
+    ):
+        assert df.count() == 0
+        assert df.columns == ["query_id", "neighbor_id", "rank", "score"]

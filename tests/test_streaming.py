@@ -303,3 +303,78 @@ def test_concurrent_streams_one_session_await_all(spark, events_small, tmp_path)
     assert streamed, "concurrent gold stream emitted nothing"
     for k, v in streamed.items():
         assert batch[k] == v, f"stream/batch divergence at {k}"
+
+
+def test_ewma_stream_multibatch_replay_equals_batch_oracle(spark, tmp_path):
+    """Deterministic replay for the custom stateful operator: a 4-file
+    time-ordered replay (one micro-batch per file) with a SUB-SECOND
+    watermark offset must (a) not crash on the event-time timeout and
+    (b) fold to exactly :func:`ewma_batch_oracle`'s final state.
+
+    The data is crafted so batch 2's last event second truncates BELOW
+    the watermark batch 1 left behind (wm = 1.950s - 500ms = 1.450s;
+    event at 1.980s truncates to 1.000s) — the regression case where an
+    unclamped ``setTimeoutTimestamp(last_s * 1000)`` throws and kills
+    the query."""
+    from real_timetransactionaldatalakehouse_spark.streaming.stateful import (
+        ewma_batch_oracle,
+        ewma_by_key,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:01.900", 10.0, 1),
+        (2, "2024-01-01 00:00:01.950", 5.0, 2),
+        (1, "2024-01-01 00:00:01.980", 20.0, 3),
+        (2, "2024-01-01 00:00:02.100", 6.0, 4),
+        (1, "2024-01-01 00:00:10.000", 30.0, 5),
+        (3, "2024-01-01 00:00:10.200", 1.0, 6),
+        (1, "2024-01-01 00:00:10.500", 40.0, 7),
+        (3, "2024-01-01 00:00:10.900", 2.0, 8),
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "user_id long, ts_s string, value double, event_id long"
+        )
+        .select("user_id", F.to_timestamp("ts_s").alias("ts"), "value", "event_id")
+    )
+    src = str(tmp_path / "in")
+    _write_chunks(df, src, 4, ["ts", "event_id"])
+
+    emissions = []
+
+    def sink(batch_df, batch_id):
+        emissions.extend(batch_df.collect())
+
+    stream = file_stream(spark, src, df.schema)
+    out = ewma_by_key(
+        stream, "user_id", "ts", "value",
+        alpha=0.3, tiebreak_col="event_id", watermark="500 milliseconds",
+    )
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.exception() is None
+    # one micro-batch per file: the cross-batch state path really ran
+    assert len({r.n_events for r in emissions if r.user_id == 1}) > 1
+
+    # latest emission per key == batch oracle's final fold
+    latest = {}
+    for r in emissions:
+        if r.user_id not in latest or r.n_events > latest[r.user_id].n_events:
+            latest[r.user_id] = r
+    oracle = {
+        r.user_id: r
+        for r in ewma_batch_oracle(
+            df, "user_id", "ts", "value", alpha=0.3, tiebreak_col="event_id"
+        ).collect()
+    }
+    assert set(latest) == set(oracle) == {1, 2, 3}
+    for k in oracle:
+        assert latest[k].n_events == oracle[k].n_events
+        assert latest[k].last_ts_s == oracle[k].last_ts_s
+        assert latest[k].ewma == pytest.approx(oracle[k].ewma, abs=1e-12)
