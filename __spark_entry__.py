@@ -1152,6 +1152,128 @@ def q_snapshot_lifecycle(spark, sf_dir):
     )
 
 
+@_q("q_schema_evolution")  # rows-only: exercises metadata-only ALTER + time travel
+def q_schema_evolution(spark, sf_dir):
+    """Schema evolution (reference DataModel_SchemaDesign.md:127-129):
+    drifted JSON field read via get_json_object, promoted with a
+    metadata-only ADD COLUMN, values supplied by the next snapshot;
+    historical snapshots read the column as a typed null."""
+    import tempfile
+
+    from real_timetransactionaldatalakehouse_spark import tablefmt as TF
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "props")
+    tbl = tempfile.mkdtemp(prefix="schema_evo_")
+    n = ev.count()
+    TF.write_version(ev, tbl, expect_rows=n)
+    versions_before_alter = len(TF.list_versions(tbl))
+    TF.add_column(tbl, "k_val", "bigint")
+    nulls_after_alter = (
+        TF.read_table(spark, tbl).filter(F.col("k_val").isNull()).count()
+    )
+    promoted = ev.withColumn(
+        "k_val", F.get_json_object("props", "$.k").cast("bigint")
+    )
+    TF.write_version(promoted, tbl, expect_rows=n)
+    v1 = TF.read_table(spark, tbl, version=1)
+    cur = TF.read_table(spark, tbl)
+    return spark.createDataFrame(
+        [(
+            n,
+            versions_before_alter,  # == 1: ALTER wrote no snapshot
+            nulls_after_alter,  # == n: typed nulls pre-backfill
+            cur.filter(F.col("k_val").isNotNull()).count(),  # == n
+            v1.filter(F.col("k_val").isNull()).count(),  # time travel: == n
+            int(dict(v1.dtypes)["k_val"] == "bigint"),
+        )],
+        "n_rows long, versions_at_alter long, nulls_after_alter long, "
+        "typed_after_backfill long, timetravel_nulls long, timetravel_typed long",
+    )
+
+
+@_q("q_bucket_pruned_lookup")  # rows-only: plan/metric assertion surface
+def q_bucket_pruned_lookup(spark, sf_dir):
+    """Bucket-pruned point lookup (reference bucket(16, video_id),
+    stream_content.py:41): write events hash-bucketed on user_id, look
+    one key up through the constant-folded bucket predicate, prove the
+    scan pruned (numFiles below total) and returned the right rows."""
+    import os as _os
+    import tempfile
+
+    from real_timetransactionaldatalakehouse_spark.serving import bucket_pruned_lookup
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    out = tempfile.mkdtemp(prefix="bucketed_")
+    n_buckets = 16
+    (
+        ev.withColumn(
+            "p_bucket", F.pmod(F.xxhash64(F.col("user_id")), F.lit(n_buckets))
+        )
+        .write.mode("overwrite").partitionBy("p_bucket").parquet(out)
+    )
+    back = spark.read.parquet(out)
+    key = ev.agg(F.min("user_id")).first()[0]
+    looked = bucket_pruned_lookup(back, "user_id", key, n_buckets=n_buckets)
+    rows = looked.collect()
+    scan = looked._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    num_files = int(scan.metrics().apply("numFiles").value())
+    total_files = sum(
+        1 for _r, _d, ns in _os.walk(out) for f in ns if f.endswith(".parquet")
+    )
+    expected = ev.filter(F.col("user_id") == key).count()
+    return spark.createDataFrame(
+        [(len(rows), expected, num_files, total_files, num_files < total_files)],
+        "lookup_rows long, expected_rows long, files_scanned long, "
+        "files_total long, pruned boolean",
+    )
+
+
+_FRESHNESS_ORACLE = """
+WITH mx AS (
+  SELECT date_trunc('second', MAX(ts)) + INTERVAL 20 SECONDS AS as_of FROM events
+), rows_ AS (
+  SELECT 'bronze_events' AS tbl,
+         CAST(epoch(mx.as_of) AS BIGINT)
+           - CAST(epoch(date_trunc('second', MAX(e.ts))) AS BIGINT) AS lag_s
+  FROM events e, mx GROUP BY mx.as_of
+  UNION ALL
+  SELECT 'gold_stats_1min',
+         CAST(epoch(mx.as_of) AS BIGINT)
+           - CAST(epoch(date_trunc('second', MAX(date_trunc('minute', e.ts)))) AS BIGINT)
+  FROM events e, mx GROUP BY mx.as_of
+)
+SELECT tbl AS "table", lag_s,
+       CASE WHEN lag_s < 30 THEN 'green'
+            WHEN lag_s < 60 THEN 'yellow'
+            ELSE 'red' END AS band
+FROM rows_ ORDER BY 1
+"""
+
+
+@_q("q_freshness_view", _FRESHNESS_ORACLE)
+def q_freshness_view(spark, sf_dir):
+    """Freshness/alert serving view (reference lakehouse_monitor.json:
+    134-150,181): per-table ingest lag vs an as_of pinned 20 s past the
+    newest bronze event (deterministic, no now()), banded green/yellow/
+    red at the dashboard thresholds.  Gold freshness is measured on
+    window_start — the 1-minute tumbling bucket of the newest event."""
+    from real_timetransactionaldatalakehouse_spark.serving import freshness_alert_view
+
+    ev = _t(spark, sf_dir, "events")
+    gold = ev.groupBy(F.window("ts", "1 minute").alias("w")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.col("w.start").alias("window_start"))
+    import datetime as _dt
+
+    newest = ev.agg(F.date_trunc("second", F.max("ts"))).first()[0]
+    as_of = (newest + _dt.timedelta(seconds=20)).strftime("%Y-%m-%d %H:%M:%S")
+    return freshness_alert_view(
+        spark,
+        as_of,
+        {"bronze_events": (ev, "ts"), "gold_stats_1min": (gold, "window_start")},
+    ).orderBy("table")
+
+
 # =====================================================================
 # X. EXT — LLM-data-pipeline operators (SURVEY.md section 2 L)
 # =====================================================================

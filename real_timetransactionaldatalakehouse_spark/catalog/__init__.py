@@ -94,6 +94,23 @@ class Catalog:
         self._save()
         return p
 
+    def alter_table(self, name: str, add_columns: dict[str, str]) -> list[dict]:
+        """ALTER TABLE ADD COLUMN(S) — metadata-only schema evolution
+        for versioned tables (the reference's JSON-field promotion path,
+        ``DataModel_SchemaDesign.md:127-129``): no snapshot is
+        rewritten; all snapshots, historical included, read the new
+        columns as typed nulls until a write supplies values."""
+        m = self.meta(name)
+        if not m["versioned"]:
+            raise ValueError(
+                f"{name} is not a versioned table; schema evolution "
+                "needs snapshot metadata (create_table(versioned=True))"
+            )
+        fields: list[dict] = []
+        for col, dtype in add_columns.items():
+            fields = tablefmt.add_column(m["path"], col, dtype)
+        return fields
+
     def drop_table(self, name: str, purge: bool = False) -> None:
         schema, table = self._split(name)
         meta = self._state["schemas"].get(schema, {}).get("tables", {}).pop(table, None)

@@ -76,3 +76,77 @@ def freshness_view(spark: SparkSession, as_of: str) -> DataFrame:
                - CAST(date_trunc('second', MAX(window_start)) AS LONG) AS lag_s
         FROM gold_stats_1min
     """)
+
+
+#: Alert thresholds from the reference's Grafana gauge bands
+#: (lakehouse_monitor.json:134-150,181; Dashboard.md:83-97):
+#: green below 30 s of lag, yellow 30-60 s, red at 60 s and beyond.
+FRESHNESS_GREEN_S = 30
+FRESHNESS_RED_S = 60
+
+
+def freshness_alert_view(
+    spark: SparkSession,
+    as_of: str,
+    tables: dict[str, tuple[DataFrame, str]],
+) -> DataFrame:
+    """Per-table freshness lag + alert band — the reference's dashboard
+    alert row (``lakehouse_monitor.json:134-150``) as a declared
+    read-side surface.
+
+    ``tables`` maps a display name to ``(df, ts_col)`` — e.g. gold on
+    ``window_start`` and bronze on its ingest timestamp.  Each table
+    contributes one row: ``(table, lag_s, band)`` where band is
+    green (< 30 s), yellow (30-60 s) or red (>= 60 s, the page-someone
+    threshold).  Each input is a single MAX aggregation — partial agg
+    map-side, one row shuffled per table, any scale.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    outs = []
+    for name, (df, ts_col) in tables.items():
+        lag = (
+            F.lit(as_of).cast("timestamp").cast("long")
+            - F.date_trunc("second", F.max(F.col(ts_col))).cast("long")
+        )
+        outs.append(
+            df.agg(lag.alias("lag_s")).select(
+                F.lit(name).alias("table"),
+                F.col("lag_s"),
+                F.when(F.col("lag_s") < FRESHNESS_GREEN_S, F.lit("green"))
+                .when(F.col("lag_s") < FRESHNESS_RED_S, F.lit("yellow"))
+                .otherwise(F.lit("red"))
+                .alias("band"),
+            )
+        )
+    return reduce(DataFrame.unionAll, outs)
+
+
+def bucket_pruned_lookup(
+    df: DataFrame,
+    key_col: str,
+    key_value,
+    n_buckets: int = 16,
+    bucket_col: str = "p_bucket",
+) -> DataFrame:
+    """Point lookup on a hash-bucketed table that PRUNES to the key's
+    bucket (reference ``bucket(16, video_id)``, ``stream_content.py:41``).
+
+    The bucket id is the same ``pmod(xxhash64(key), n)`` expression the
+    gold writer used; over a literal key it constant-folds, so the
+    bucket predicate reaches the file index as a partition filter and
+    the scan touches 1/``n_buckets`` of the files (times the date
+    partitions in range).  The residual key equality still applies —
+    bucket membership is necessary, not sufficient.
+
+    The literal is cast to the key column's type BEFORE hashing:
+    xxhash64 is type-sensitive (hashing an int32 literal against an
+    int64-hashed bucket column would silently probe the wrong bucket).
+    """
+    from pyspark.sql import functions as F
+
+    key = F.lit(key_value).cast(dict(df.dtypes)[key_col])
+    bucket = F.pmod(F.xxhash64(key), F.lit(n_buckets))
+    return df.filter((F.col(bucket_col) == bucket) & (F.col(key_col) == key))

@@ -36,13 +36,16 @@ pruning inside a version works as for any parquet dir.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 VERSIONS_DIR = "_versions"
 CURRENT_FILE = "_CURRENT"
+SCHEMA_FILE = "_SCHEMA"
 
 
 def _versions_root(path: str) -> str:
@@ -76,12 +79,78 @@ def is_versioned(path: str) -> bool:
     return current_version(path) is not None
 
 
+# -- schema evolution (reference DataModel_SchemaDesign.md:127-129:
+# --   drifted JSON fields read via get_json_object, then promoted with
+# --   ALTER TABLE ADD COLUMN — a metadata-only commit)
+
+def declared_schema(path: str) -> list[dict] | None:
+    """The table's declared column list ``[{"name", "type"}]`` (DDL type
+    strings), or None for tables created before schema tracking."""
+    f = os.path.join(path, SCHEMA_FILE)
+    if not os.path.isfile(f):
+        return None
+    with open(f) as fh:
+        return json.load(fh)["fields"]
+
+
+def _save_schema(path: str, fields: list[dict]) -> None:
+    tmp = os.path.join(path, f".{SCHEMA_FILE}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"fields": fields}, fh, indent=1)
+    os.replace(tmp, os.path.join(path, SCHEMA_FILE))
+
+
+def _fields_of(df: DataFrame) -> list[dict]:
+    return [
+        {"name": f.name, "type": f.dataType.simpleString()}
+        for f in df.schema.fields
+    ]
+
+
+def add_column(path: str, name: str, dtype: str) -> list[dict]:
+    """ALTER TABLE ADD COLUMN: a metadata-only commit — no snapshot is
+    rewritten (O(1) regardless of table size, the Iceberg semantic the
+    reference leans on for JSON-field promotion).  Every snapshot —
+    current and historical — subsequently reads the new column as a
+    typed null until a later ``write_version`` supplies values."""
+    fields = declared_schema(path)
+    if fields is None:
+        raise FileNotFoundError(
+            f"no declared schema under {path} (write a version first)"
+        )
+    if any(f["name"] == name for f in fields):
+        raise ValueError(f"column {name!r} already exists")
+    fields = fields + [{"name": name, "type": dtype}]
+    _save_schema(path, fields)
+    return fields
+
+
+def _reconcile(df: DataFrame, fields: list[dict]) -> DataFrame:
+    """Project a snapshot onto the declared schema: missing columns
+    become typed nulls (added after the snapshot was written), columns
+    no longer declared are dropped.  Pure projection — pushdown and
+    pruning on the stored columns are untouched."""
+    have = set(df.columns)
+    return df.select(*[
+        F.col(f["name"]) if f["name"] in have
+        else F.lit(None).cast(f["type"]).alias(f["name"])
+        for f in fields
+    ])
+
+
 def read_table(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
-    """Read the current (or a pinned historical) snapshot."""
+    """Read the current (or a pinned historical) snapshot, reconciled
+    to the table's declared schema — a time-travel read after
+    ``add_column`` sees the new column as null, exactly like the
+    current snapshot."""
     v = current_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no _CURRENT pointer under {path}")
-    return spark.read.parquet(version_path(path, v))
+    df = spark.read.parquet(version_path(path, v))
+    fields = declared_schema(path)
+    if fields is not None:
+        df = _reconcile(df, fields)
+    return df
 
 
 def write_version(
@@ -115,6 +184,21 @@ def write_version(
                 f"versioned write aborted: tmp has {got} rows, expected {expect_rows}"
             )
     os.rename(tmp, version_path(path, n))
+    # schema-merge on write: initialize the declared schema on the first
+    # commit; later commits APPEND any new columns (mergeSchema-style
+    # evolution — existing columns keep their declared type and order,
+    # so old snapshots stay readable under the widened schema).  Updated
+    # before the pointer flip: a crash in between leaves the widened
+    # schema with the old snapshot current, which reads the new columns
+    # as nulls — never a half-visible state.
+    fields = declared_schema(path)
+    if fields is None:
+        _save_schema(path, _fields_of(df))
+    else:
+        known = {f["name"] for f in fields}
+        new = [f for f in _fields_of(df) if f["name"] not in known]
+        if new:
+            _save_schema(path, fields + new)
     ptr_tmp = os.path.join(path, f".{CURRENT_FILE}.tmp")
     with open(ptr_tmp, "w") as fh:
         fh.write(str(n))

@@ -79,3 +79,23 @@ def test_serving_views_resolve_via_catalog(spark, sf_small, tmp_path):
     v = velocity_view(spark, as_of, lookback_minutes=10**6)
     assert v.count() > 0
     assert {"user_id", "velocity"} <= set(v.columns)
+
+
+def test_catalog_alter_table_add_columns(spark, sf_small, tmp_path):
+    """A8 + schema evolution: ALTER through the catalog on a versioned
+    table; non-versioned tables are rejected (no snapshot metadata to
+    evolve)."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ev = load_table(spark, sf_small, "events").select("event_id", "props")
+    cat.create_table("silver.events", versioned=True)
+    cat.write("silver.events", ev)
+    fields = cat.alter_table("silver.events", {"k_val": "bigint", "tag": "string"})
+    assert [f["name"] for f in fields] == ["event_id", "props", "k_val", "tag"]
+    got = cat.read("silver.events")
+    assert dict(got.dtypes)["k_val"] == "bigint"
+    assert got.filter(F.col("k_val").isNotNull() | F.col("tag").isNotNull()).count() == 0
+
+    cat.create_table("bronze.plain")
+    cat.write("bronze.plain", ev)
+    with pytest.raises(ValueError, match="versioned"):
+        cat.alter_table("bronze.plain", {"x": "int"})

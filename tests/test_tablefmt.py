@@ -193,3 +193,128 @@ def test_two_streams_one_session_await_all(spark, sf_small, tmp_path):
     await_all(spark, [q1, q2], timeout_sec=180)
     assert spark.read.parquet(out1).count() == events.count()
     assert spark.read.parquet(out2).count() > 0
+
+
+def test_schema_evolution_add_column_time_travel(spark, sf_small, tmp_path):
+    """Reference DataModel_SchemaDesign.md:127-129: a drifted JSON field
+    is read via get_json_object, then promoted with ALTER TABLE ADD
+    COLUMN — metadata-only.  Old snapshots (current AND time-travel)
+    must read the new column as a typed null; a later write supplies
+    values without rewriting history."""
+    tbl = str(tmp_path / "tbl")
+    ev = load_table(spark, sf_small, "events").select(
+        "event_id", "ts", "user_id", "props"
+    )
+    TF.write_version(ev, tbl)
+
+    before = TF.list_versions(tbl)
+    TF.add_column(tbl, "k_val", "bigint")
+    # metadata-only: no new snapshot was written
+    assert TF.list_versions(tbl) == before
+
+    cur = TF.read_table(spark, tbl)
+    assert dict(cur.dtypes)["k_val"] == "bigint"
+    assert cur.filter(F.col("k_val").isNotNull()).count() == 0
+
+    # promote the JSON field into the typed column in a new snapshot
+    promoted = ev.withColumn(
+        "k_val", F.get_json_object("props", "$.k").cast("bigint")
+    )
+    TF.write_version(promoted, tbl)
+    v2 = TF.read_table(spark, tbl)
+    assert v2.filter(F.col("k_val").isNotNull()).count() == ev.count()
+
+    # time travel to the pre-evolution snapshot: same widened schema,
+    # typed nulls for the promoted column
+    v1 = TF.read_table(spark, tbl, version=1)
+    assert v1.columns == v2.columns
+    assert dict(v1.dtypes)["k_val"] == "bigint"
+    assert v1.filter(F.col("k_val").isNotNull()).count() == 0
+    assert v1.count() == ev.count()
+
+    # duplicate add rejected
+    with pytest.raises(ValueError, match="already exists"):
+        TF.add_column(tbl, "k_val", "bigint")
+
+
+def test_write_version_schema_merge(spark, sf_small, tmp_path):
+    """mergeSchema-style evolution: a write carrying a NEW column widens
+    the declared schema in the same commit; pre-existing snapshots read
+    the column as null."""
+    tbl = str(tmp_path / "tbl")
+    ev = load_table(spark, sf_small, "events").select("event_id", "user_id")
+    TF.write_version(ev, tbl)
+    TF.write_version(ev.withColumn("score", F.lit(1.5)), tbl)
+    names = [f["name"] for f in TF.declared_schema(tbl)]
+    assert names == ["event_id", "user_id", "score"]
+    v1 = TF.read_table(spark, tbl, version=1)
+    assert dict(v1.dtypes)["score"] == "double"
+    assert v1.filter(F.col("score").isNotNull()).count() == 0
+    assert TF.read_table(spark, tbl).filter(F.col("score") == 1.5).count() == ev.count()
+
+
+def test_bucket_pruned_point_lookup(spark, sf_small, tmp_path):
+    """Reference bucket(16, video_id) (stream_content.py:41): a point
+    lookup on the bucketed key must prune to ONE bucket's files per
+    date — PartitionFilters on p_bucket in the plan, scan numFiles
+    strictly below the table total — and return exactly the plain
+    filter's rows."""
+    from real_timetransactionaldatalakehouse_spark.serving import bucket_pruned_lookup
+
+    events = load_table(spark, sf_small, "events")
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "gold", "ckpt"))
+    _write_chunks(events, src, 1, "ts")
+    gold_window_agg_stream(
+        file_stream(spark, src, events.schema), out, ckpt,
+        ts_col="ts", group_cols=["user_id"],
+        cases={"views": F.col("event_type") == "view"},
+        n_buckets=4,
+    )
+    back = spark.read.parquet(out)
+    key = back.select("user_id").first()[0]
+    looked = bucket_pruned_lookup(back, "user_id", key, n_buckets=4)
+
+    plan = looked._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "p_bucket" in plan
+
+    expect = sorted(
+        tuple(r) for r in back.filter(F.col("user_id") == key).collect()
+    )
+    got = sorted(tuple(r) for r in looked.collect())
+    assert got == expect and got, "pruned lookup changed the result"
+
+    total_files = sum(
+        1 for _r, _d, ns in os.walk(out) for n in ns if n.endswith(".parquet")
+    )
+    scan = looked._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    num_files = scan.metrics().apply("numFiles").value()
+    assert num_files < total_files, f"scan read {num_files}/{total_files} files"
+
+
+def test_freshness_alert_view_bands(spark, tmp_path):
+    """Dashboard alert bands (lakehouse_monitor.json:134-150): lag < 30 s
+    green, 30-60 s yellow, >= 60 s red, one row per monitored table."""
+    from real_timetransactionaldatalakehouse_spark.serving import freshness_alert_view
+
+    def tbl(last_ts):
+        return spark.createDataFrame([(last_ts,)], "ts string").select(
+            F.to_timestamp("ts").alias("ts")
+        )
+
+    got = {
+        r.table: (r.lag_s, r.band)
+        for r in freshness_alert_view(
+            spark,
+            "2024-03-01 12:01:00",
+            {
+                "gold": (tbl("2024-03-01 12:00:50"), "ts"),   # 10 s lag
+                "bronze": (tbl("2024-03-01 12:00:15"), "ts"),  # 45 s
+                "dims": (tbl("2024-03-01 11:59:30"), "ts"),   # 90 s
+            },
+        ).collect()
+    }
+    assert got == {
+        "gold": (10, "green"),
+        "bronze": (45, "yellow"),
+        "dims": (90, "red"),
+    }
