@@ -346,6 +346,80 @@ def _simhash_sig_udf(bits: int = 64):
     return sig
 
 
+#: SWAR lane mask: 4 x 16-bit counting lanes per 64-bit accumulator.
+_SWAR_MASK = 0x0001000100010001
+
+
+def simhash_sigs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash: str = "xxhash64",
+) -> DataFrame:
+    """SimHash signatures ``(id, sig)`` computed entirely JVM-side in
+    whole-stage codegen — no Python worker in the plan.
+
+    Formulation: explode the distinct token hashes to rows, then ONE
+    hash aggregation per document computes 16 SWAR accumulators —
+    ``sum((h >> k) & 0x0001000100010001)`` packs the per-bit vote
+    counts for bits ``k, k+16, k+32, k+48`` into four 16-bit lanes of
+    one BIGINT — and the 64 majority bits are re-assembled in a single
+    projection.  Replaces the Arrow ``pandas_udf`` kernel, whose
+    serialization round trip has a fixed ~0.2 s cost per query at
+    bench scale and adds a Python dependency to an otherwise-codegen
+    plan; outputs are bit-identical (equivalence-tested).
+
+    The input is hash-repartitioned BY id for the map stage, so the
+    aggregation reuses that exchange: one shuffle total, carrying the
+    raw text bytes once.  Lane width bounds the vote count: documents
+    with more than 65535 DISTINCT tokens would overflow a lane; they
+    get a NULL signature (and are excluded from banding) — chunk such
+    documents upstream if they matter, or use the kernel path.
+    """
+    hash_fn = TOKEN_HASHES[token_hash]
+    spark = df.sparkSession
+    # map-stage parallelism targets cores (the md5/tokenize work is
+    # CPU-bound); reduce-side stages keep the session's data-sized
+    # shuffle partitioning
+    p = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    hashed = (
+        df.repartition(p, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+        )
+        .select("id", hash_fn(F.col("tok")).alias("h"))
+    )
+    aggs = hashed.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.shiftrightunsigned(F.col("h"), k).bitwiseAND(F.lit(_SWAR_MASK))
+            ).alias(f"acc{k}")
+            for k in range(16)
+        ],
+    )
+    terms = []
+    for b in range(64):
+        k, j = b % 16, b // 16
+        cnt = F.shiftrightunsigned(F.col(f"acc{k}"), 16 * j).bitwiseAND(F.lit(0xFFFF))
+        terms.append(
+            F.when(
+                cnt * 2 > F.col("n"),
+                F.lit(2**b if b < 63 else -(2**63)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    sig = terms[0]
+    for t in terms[1:]:
+        sig = sig + t
+    return aggs.select(
+        "id", F.when(F.col("n") <= 0xFFFF, sig).alias("sig")
+    ).filter(F.col("sig").isNotNull())
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -376,16 +450,13 @@ def simhash_neardup_pairs(
     ``token_hash``: "xxhash64" (default, fastest) or "md5_60" — the
     md5-prefix hash is reproducible in ANSI SQL, which gives the whole
     pipeline (signature -> banding -> hamming) an exact DuckDB twin.
+
+    Signatures come from :func:`simhash_sigs` (all-JVM SWAR
+    aggregation, one text shuffle); banding and pair generation add one
+    exchange each, so the whole operator is three shuffles and zero
+    Python stages.
     """
-    hash_fn = TOKEN_HASHES[token_hash]
-    spread = df.repartition(
-        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    )
-    hashed = spread.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.array_distinct(tokens(text_col)), hash_fn).alias("th"),
-    )
-    sig_df = hashed.select("id", _simhash_sig_udf()(F.col("th")).alias("sig"))
+    sig_df = simhash_sigs(df, text_col, id_col, token_hash)
     chunks = F.array(
         *[
             F.struct(

@@ -303,3 +303,21 @@ def test_fused_kernels_empty_query_side(spark, sf_small):
     ):
         assert df.count() == 0
         assert df.columns == ["query_id", "neighbor_id", "rank", "score"]
+
+
+def test_simhash_swar_equals_kernel(spark, sf_small):
+    """The all-JVM SWAR signature aggregation must be bit-identical to
+    the Arrow kernel formulation it replaced, for both token hashes."""
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    for th in ("xxhash64", "md5_60"):
+        hash_fn = D.TOKEN_HASHES[th]
+        kern = docs.select(
+            F.col("doc_id").alias("id"),
+            D._simhash_sig_udf()(
+                F.transform(F.array_distinct(D.tokens("text")), hash_fn)
+            ).alias("sig"),
+        )
+        swar = D.simhash_sigs(docs, token_hash=th)
+        a = {r.id: r.sig for r in kern.collect()}
+        b = {r.id: r.sig for r in swar.collect()}
+        assert a == b and a, th
