@@ -1274,6 +1274,37 @@ def q_freshness_view(spark, sf_dir):
     ).orderBy("table")
 
 
+_EWMA_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       list_reduce(
+         list(value::DOUBLE ORDER BY ts, event_id),
+         (a, b) -> 0.3 * b + 0.7 * a
+       ) AS ewma,
+       CAST(epoch(date_trunc('second', MAX(ts))) AS BIGINT) AS last_ts_s
+FROM events
+GROUP BY user_id
+"""
+
+
+@_q("q_ewma_state", _EWMA_ORACLE)
+def q_ewma_state(spark, sf_dir):
+    """Custom stateful operator's batch twin (streaming/stateful.py):
+    per-key EWMA folded in (ts, event_id) order — the exact final state
+    the streaming ``ewma_by_key`` reaches after full replay (pinned by
+    the multi-batch replay test).  The oracle replicates the identical
+    left-to-right double fold via list_reduce, so values match
+    bit-for-bit."""
+    from real_timetransactionaldatalakehouse_spark.streaming.stateful import (
+        ewma_batch_oracle,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return ewma_batch_oracle(
+        ev, "user_id", "ts", "value", alpha=0.3, tiebreak_col="event_id"
+    )
+
+
 # =====================================================================
 # X. EXT — LLM-data-pipeline operators (SURVEY.md section 2 L)
 # =====================================================================
@@ -2122,6 +2153,7 @@ _CHECK_FIRST: list[str] = [
     "q_schema_evolution",
     "q_bucket_pruned_lookup",
     "q_freshness_view",
+    "q_ewma_state",
     # rows-only infra (keep their rows-only rows visible each round)
     "q_agg_sketches",
     "q_table_stats",

@@ -118,7 +118,11 @@ def ewma_batch_oracle(df: DataFrame, key_col: str, ts_col: str,
     """Batch twin of :func:`ewma_by_key`'s FINAL state: fold the
     time-ordered per-key value sequence with ``aggregate`` — pure
     built-in expressions, one shuffle on the key.  Used by the
-    deterministic-replay test and the rows-only declared query."""
+    multi-batch deterministic-replay test
+    (``test_ewma_stream_multibatch_replay_equals_batch_oracle``) and
+    the oracle-checked declared query ``q_ewma_state`` (DuckDB
+    ``list_reduce`` replicates the identical left-to-right double
+    fold, so the hash compare is bit-exact)."""
     order_cols = [F.col(ts_col).asc()] + (
         [F.col(tiebreak_col).asc()] if tiebreak_col else []
     )
