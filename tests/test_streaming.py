@@ -215,7 +215,11 @@ def test_dims_scd1_stream_and_idempotence(spark, tmp_path):
         target_df, updates, ["user_id"], order_col="ts_ms",
         update_cols=["ltv_segment", "is_creator", "ts_ms"],
     )
-    assert sorted(map(str, again.collect())) == sorted(map(str, target_df.collect()))
+    # align column order before comparing: read_table canonicalizes to
+    # the declared schema order, merge output orders by its own select
+    assert sorted(map(str, again.select(*target_df.columns).collect())) == sorted(
+        map(str, target_df.collect())
+    )
 
 
 def test_session_stream_equals_batch_after_flush(spark, events_small, tmp_path):
