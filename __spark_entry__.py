@@ -1305,6 +1305,70 @@ def q_ewma_state(spark, sf_dir):
     )
 
 
+_REPETITION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pairs AS (
+  SELECT doc_id, t[i.i] || ' ' || t[i.i + 1] AS ng
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS i(i)
+  WHERE len(t) >= 2
+), counts AS (
+  SELECT doc_id, ng, COUNT(*) AS c FROM pairs GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_ngrams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       1.0 - (CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE))
+         AS dup_ngram_ratio,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_ngram_ratio
+FROM counts GROUP BY doc_id
+"""
+
+
+@_q("q_text_repetition", _REPETITION_ORACLE)
+def q_text_repetition(spark, sf_dir):
+    """X4: duplicate-bigram and top-bigram fractions per document — the
+    repetition filters of corpus-quality pipelines, as two partial-agg
+    shuffles of (id, ngram, count) rows."""
+    from real_timetransactionaldatalakehouse_spark.operators.text import (
+        repetition_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_stats(docs, n=2)
+
+
+_PACK_ORACLE = """
+WITH counted AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+), runs AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start
+  FROM counted
+)
+SELECT doc_id, n_tokens, start // 4096 AS pack_id, start % 4096 AS pack_pos
+FROM runs
+"""
+
+
+@_q("q_pack_sequences", _PACK_ORACLE)
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for pretraining shards: concat-and-chunk window
+    assignment over the id-ordered corpus, 4096-token windows, via the
+    two-phase distributed prefix sum (no single-partition window)."""
+    from real_timetransactionaldatalakehouse_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, budget=4096).select(
+        "doc_id", "n_tokens", "pack_id", "pack_pos"
+    )
+
+
 # =====================================================================
 # X. EXT — LLM-data-pipeline operators (SURVEY.md section 2 L)
 # =====================================================================
@@ -2154,6 +2218,8 @@ _CHECK_FIRST: list[str] = [
     "q_bucket_pruned_lookup",
     "q_freshness_view",
     "q_ewma_state",
+    "q_pack_sequences",
+    "q_text_repetition",
     # rows-only infra (keep their rows-only rows visible each round)
     "q_agg_sketches",
     "q_table_stats",

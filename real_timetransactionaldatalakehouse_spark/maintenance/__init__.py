@@ -58,26 +58,40 @@ def _safe_swap_rewrite(spark: SparkSession, path: str, out: DataFrame,
     shutil.rmtree(bak)
 
 
+def _list_parquet_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """Recursive parquet file listing through the Hadoop FileSystem
+    API — resolves whatever scheme the path carries (``file://``,
+    ``hdfs://``, ``s3a://``), so the maintenance jobs run unchanged
+    against an object store.  Driver-side by design: one table's
+    current snapshot has a compactor-bounded file count; a
+    metastore-scale deployment reads the table format's metadata
+    tables instead of listing storage."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    out: list[tuple[str, int]] = []
+    if not fs.exists(p):
+        return out
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().toUri().getPath()
+        if name.endswith(".parquet"):
+            out.append((name, st.getLen()))
+    return out
+
+
 def table_stats(spark: SparkSession, path: str) -> DataFrame:
     """A10: file-level stats (count / bytes / avg file size) — the
     engine-maintained analogue of the reference's ``tbl$files``
     metadata-table dashboards (lakehouse_monitor.json:117,314).
 
     Versioned tables report the CURRENT snapshot only (matching
-    ``tbl$files``, which lists the live snapshot's files).  The listing
-    is driver-side (fine for one table's current snapshot, whose file
-    count a compactor bounds); a metastore-scale deployment reads the
-    table format's metadata tables instead of walking storage."""
+    ``tbl$files``, which lists the live snapshot's files)."""
     if tablefmt.is_versioned(path):
         path = tablefmt.version_path(path, tablefmt.current_version(path))
-    files = []
-    if os.path.isfile(path):
-        files.append((path, os.path.getsize(path)))
-    for root, _dirs, names in os.walk(path):
-        for n in names:
-            if n.endswith(".parquet"):
-                p = os.path.join(root, n)
-                files.append((p, os.path.getsize(p)))
+    files = _list_parquet_files(spark, path)
     df = spark.createDataFrame(files or [("", 0)], "file string, bytes long")
     if not files:
         df = df.filter(F.col("file") != "")
@@ -110,12 +124,7 @@ def compact(
     cold = df.filter(cold_pred) if cold_pred is not None else df
     hot = df.filter(~cold_pred) if cold_pred is not None else None
 
-    total_bytes = sum(
-        os.path.getsize(os.path.join(r, n))
-        for r, _d, ns in os.walk(path)
-        for n in ns
-        if n.endswith(".parquet")
-    )
+    total_bytes = sum(b for _f, b in _list_parquet_files(spark, path))
     n_files = max(1, round(total_bytes / target_file_bytes))
 
     packed = cold.repartition(n_files)

@@ -145,3 +145,76 @@ def decontaminate(
         .select(F.col("doc_id").alias(id_col)).distinct()
     )
     return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    order_cols: list[str] | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign every document to the
+    fixed-size context window that holds its FIRST token when the
+    corpus is concatenated in a deterministic order — the standard
+    pretraining packing layout (documents stream into ``budget``-token
+    windows; the window id is the running token offset divided by the
+    budget).
+
+    Output: ``(id, n_tokens, pack_id, pack_pos)`` where ``pack_pos``
+    is the document's first-token offset inside its window.  Writers
+    shard by ``pack_id`` and emit windows independently.
+
+    Scale shape: the global running token sum uses the same two-phase
+    prefix-sum as :func:`relational.global_rank` — range-partition on
+    the order key, window-cumsum within partitions, add per-partition
+    offsets from a metadata-sized collect (one SUM row per partition).
+    No single-partition window anywhere; the only full-data pass is
+    the range shuffle.  ``order_cols`` must be a total order (default:
+    the unique id) so the layout is retry-stable, like every other
+    curation op here (no ``rand()``).
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _attach_cached
+    from .text import tokens
+
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    order = order_cols or [id_col]
+    cols = [F.col(c) for c in order]
+    n_tok = (
+        F.col(token_col) if token_col is not None
+        else F.size(tokens(text_col))
+    ).cast("long")
+    base = df.select(F.col(id_col), *[F.col(c) for c in order if c != id_col],
+                     n_tok.alias("n_tokens"))
+    ranged = base.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).persist()
+    # per-partition token totals -> exclusive prefix offsets (metadata-
+    # sized: one row per partition).  Persisted because RangePartitioner
+    # boundaries are sampled per job and must agree across both passes.
+    totals = sorted(
+        (r["__pid"], r["t"]) for r in
+        with_pid.groupBy("__pid").agg(F.sum("n_tokens").alias("t")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, t in totals:
+        offsets.append((pid, acc))
+        acc += int(t)
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "__pid int, __tok_offset long")
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    start = F.sum("n_tokens").over(w) + F.col("__tok_offset") - F.col("n_tokens")
+    out = (
+        with_pid.join(off_df, "__pid")
+        .withColumn("pack_id", F.floor(start / F.lit(budget)))
+        .withColumn("pack_pos", start % F.lit(budget))
+        .drop("__pid", "__tok_offset")
+    )
+    return _attach_cached(out, [with_pid])

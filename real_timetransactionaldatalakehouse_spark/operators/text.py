@@ -163,3 +163,50 @@ def winnow_fingerprints(
         )
     )
     return df.select("doc_id", F.explode(fps).alias("fp"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """X4: repetition quality signals — the duplicate-n-gram fraction
+    and top-n-gram fraction used by corpus-quality filters (a document
+    dominated by a repeated phrase scores high on both and gets
+    dropped or down-weighted).
+
+    Output per document: ``n_ngrams`` (total token n-grams),
+    ``n_distinct``, ``dup_ngram_ratio`` (= 1 - distinct/total) and
+    ``top_ngram_ratio`` (most frequent n-gram's share).  Documents
+    with fewer than ``n`` tokens emit no row (no n-grams to score).
+
+    Plan shape: n-grams are built per row with codegen expressions,
+    exploded, and counted with ONE (id, ngram) hash aggregation whose
+    partial phase collapses each document's repeats map-side; the
+    second (id) aggregation is partial too.  Only (id, ngram, count)
+    rows cross the wire — never documents — and no window function
+    appears, so the operator is two partial-agg shuffles at any corpus
+    size."""
+    toks = tokens(text_col)
+    n_grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(F.col(id_col), F.explode(n_grams).alias("ng"))
+    per_gram = exploded.groupBy(id_col, "ng").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c")
+    distinct = F.count(F.lit(1))
+    return per_gram.groupBy(id_col).agg(
+        total.cast("long").alias("n_ngrams"),
+        distinct.cast("long").alias("n_distinct"),
+        (F.lit(1.0) - distinct.cast("double") / total.cast("double")).alias(
+            "dup_ngram_ratio"
+        ),
+        (F.max("c").cast("double") / total.cast("double")).alias(
+            "top_ngram_ratio"
+        ),
+    )

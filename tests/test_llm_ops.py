@@ -321,3 +321,53 @@ def test_simhash_swar_equals_kernel(spark, sf_small):
         a = {r.id: r.sig for r in kern.collect()}
         b = {r.id: r.sig for r in swar.collect()}
         assert a == b and a, th
+
+
+def test_pack_sequences_layout(spark, sf_small):
+    """Concat-and-chunk packing invariants: starts are the exclusive
+    running token sum in id order; pack_id/pack_pos derive from the
+    budget; no single-partition window in the plan."""
+    from real_timetransactionaldatalakehouse_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    budget = 512
+    got = {
+        r.doc_id: r
+        for r in pack_sequences(docs, budget=budget, partitions=4).collect()
+    }
+    rows = sorted(
+        (r.doc_id, len(r.text.split(" "))) for r in docs.collect()
+    )
+    acc = 0
+    for doc_id, n_tok in rows:
+        r = got[doc_id]
+        assert r.n_tokens == n_tok
+        assert r.pack_id == acc // budget, doc_id
+        assert r.pack_pos == acc % budget, doc_id
+        acc += n_tok
+    assert len(got) == len(rows)
+
+
+def test_repetition_stats_values(spark):
+    """Hand-computed repetition ratios, short-doc exclusion included."""
+    from real_timetransactionaldatalakehouse_spark.operators.text import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),   # bigrams: ab ba ab ba -> 4 total, 2 distinct
+            (2, "x y z"),       # xy yz -> no repeats
+            (3, "solo"),        # < 2 tokens: no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df, n=2).collect()}
+    assert set(got) == {1, 2}
+    assert (got[1].n_ngrams, got[1].n_distinct) == (4, 2)
+    assert got[1].dup_ngram_ratio == pytest.approx(0.5)
+    assert got[1].top_ngram_ratio == pytest.approx(0.5)
+    assert (got[2].n_ngrams, got[2].n_distinct) == (2, 2)
+    assert got[2].dup_ngram_ratio == 0.0
