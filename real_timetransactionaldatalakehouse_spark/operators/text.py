@@ -170,6 +170,7 @@ def repetition_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 2,
+    repartition: bool = True,
 ) -> DataFrame:
     """X4: repetition quality signals — the duplicate-n-gram fraction
     and top-n-gram fraction used by corpus-quality filters (a document
@@ -181,13 +182,22 @@ def repetition_stats(
     ``top_ngram_ratio`` (most frequent n-gram's share).  Documents
     with fewer than ``n`` tokens emit no row (no n-grams to score).
 
-    Plan shape: n-grams are built per row with codegen expressions,
-    exploded, and counted with ONE (id, ngram) hash aggregation whose
-    partial phase collapses each document's repeats map-side; the
-    second (id) aggregation is partial too.  Only (id, ngram, count)
-    rows cross the wire — never documents — and no window function
-    appears, so the operator is two partial-agg shuffles at any corpus
-    size."""
+    Plan shape: ONE exchange total.  The id-keyed repartition that
+    fans the (single-split at bench scale) source out across cores is
+    a hash partitioning on ``id`` — which satisfies the clustered
+    distribution of BOTH downstream aggregations (``(id, ngram)`` and
+    ``(id)`` are supersets of the partitioning key), so the n-gram
+    explode, per-gram counting, and per-document ratios all run in the
+    same stage with no further shuffle.  Only the source rows cross
+    the wire; a well-split 100 TB table can pass ``repartition=False``
+    and run map-side from the scan."""
+    if repartition:
+        spark = df.sparkSession
+        p = max(
+            spark.sparkContext.defaultParallelism,
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+        )
+        df = df.repartition(p, id_col)
     toks = tokens(text_col)
     n_grams = F.when(
         F.size(toks) >= n,

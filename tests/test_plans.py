@@ -188,3 +188,30 @@ def test_partitioned_bronze_scan_prunes_in_plan(spark, tmp_path):
         spark.read.parquet(out).filter("p_hour = 1").select("event_id")
     )
     assert "PartitionFilters" in plan and "p_hour" in plan, plan
+
+
+def test_pack_sequences_no_single_partition_window(spark, sf_medium):
+    """X6 contract: the packing prefix sum must be the two-phase
+    range-partitioned form — no Exchange SinglePartition, no global
+    (empty-partition-spec) Window in the plan."""
+    plan = P.formatted_plan(_Q["q_pack_sequences"](spark, sf_medium))
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan  # the per-partition cumsum is still a window
+
+
+def test_repetition_stats_partial_aggs_no_window(spark, sf_medium):
+    """X4b contract: repetition ratios compile to partial+final hash
+    aggregations (map-side collapse of each document's repeated
+    n-grams) with no window function and no join."""
+    plan = P.formatted_plan(_Q["q_text_repetition"](spark, sf_medium))
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange ") <= 2, plan
+
+
+def test_simhash_plan_is_all_jvm(spark, sf_medium):
+    """The SWAR signature path keeps the whole simhash pipeline out of
+    Python: no ArrowEvalPython / BatchEvalPython stage anywhere."""
+    plan = P.formatted_plan(_Q["q_simhash_neardup"](spark, sf_medium))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
