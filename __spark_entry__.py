@@ -1305,6 +1305,35 @@ def q_ewma_state(spark, sf_dir):
     )
 
 
+@_q("q_snapshot_diff")  # rows-only: exercises incremental read between snapshots
+def q_snapshot_diff(spark, sf_dir):
+    """Incremental read (Iceberg changelog-scan analogue): diff two
+    snapshots of a versioned table row-level — inserts, updates and
+    deletes classified by a keyed full-outer join; one key shuffle."""
+    import tempfile
+
+    from real_timetransactionaldatalakehouse_spark import tablefmt as TF
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    tbl = tempfile.mkdtemp(prefix="snapdiff_")
+    TF.write_version(ev, tbl)
+    changed = (
+        ev.filter(F.col("event_id") % 10 != 0)  # delete 10%
+        .withColumn(
+            "value",
+            F.when(F.col("event_id") % 7 == 0, F.col("value") + 1).otherwise(
+                F.col("value")
+            ),
+        )
+    )
+    appended = ev.limit(5).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"), "user_id", "value"
+    )
+    TF.write_version(changed.unionByName(appended), tbl)
+    diff = TF.snapshot_diff(spark, tbl, 1, 2, key_cols=["event_id"])
+    return diff.groupBy("_change").agg(F.count(F.lit(1)).alias("n")).orderBy("_change")
+
+
 _REPETITION_ORACLE = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -2220,6 +2249,7 @@ _CHECK_FIRST: list[str] = [
     "q_ewma_state",
     "q_pack_sequences",
     "q_text_repetition",
+    "q_snapshot_diff",
     # rows-only infra (keep their rows-only rows visible each round)
     "q_agg_sketches",
     "q_table_stats",

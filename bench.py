@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     "q_text_langid",
     "q_text_quality",
     "q_text_fingerprint",
+    "q_text_repetition",
+    "q_pack_sequences",
+    "q_ewma_state",
 ]
 
 

@@ -235,3 +235,50 @@ def remove_orphans(path: str) -> dict:
                 shutil.rmtree(os.path.join(root, name), ignore_errors=True)
                 removed.append(name)
     return {"removed": removed}
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level changes between two snapshots — the engine analogue of
+    Iceberg's incremental read (changelog scan), which the reference's
+    downstream consumers use to avoid full-table re-reads.
+
+    With ``key_cols``: a full-outer join on the keys classifies each
+    row as ``insert`` (key only in ``to``), ``delete`` (only in
+    ``from``) or ``update`` (both sides present, any non-key column
+    changed); unchanged rows are dropped.  Without keys, set semantics:
+    rows added/removed by whole-row comparison.
+
+    One key shuffle of the two snapshots; the output carries the TO
+    side's columns (FROM side's for deletes).  At scale this is the
+    standard CDC-diff plan; a file-format with column-level delete
+    vectors would prune further.
+    """
+    to_v = current_version(path) if to_version is None else to_version
+    a = read_table(spark, path, version=from_version)
+    b = read_table(spark, path, version=to_v)
+    if not key_cols:
+        ins = b.exceptAll(a).withColumn("_change", F.lit("insert"))
+        dele = a.exceptAll(b).withColumn("_change", F.lit("delete"))
+        return ins.unionByName(dele)
+    val_cols = [c for c in b.columns if c not in key_cols]
+    af = a.select(*key_cols, F.struct(*val_cols).alias("_from"))
+    bf = b.select(*key_cols, F.struct(*val_cols).alias("_to"))
+    j = af.join(bf, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_from").isNull(), F.lit("insert"))
+        .when(F.col("_to").isNull(), F.lit("delete"))
+        .when(F.col("_from") != F.col("_to"), F.lit("update"))
+    )
+    j = j.withColumn("_change", change).filter(F.col("_change").isNotNull())
+    side = F.coalesce(F.col("_to"), F.col("_from"))
+    return j.select(
+        *key_cols,
+        *[side.getField(c).alias(c) for c in val_cols],
+        "_change",
+    )

@@ -318,3 +318,34 @@ def test_freshness_alert_view_bands(spark, tmp_path):
         "bronze": (45, "yellow"),
         "dims": (90, "red"),
     }
+
+
+def test_snapshot_diff_keyed_and_setwise(spark, tmp_path):
+    """Incremental read between snapshots: keyed diff classifies
+    insert/update/delete; set diff catches whole-row adds/removes."""
+    tbl = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, s string, v long"
+    )
+    v2 = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40)], "id long, s string, v long"
+    )
+    TF.write_version(v1, tbl)
+    TF.write_version(v2, tbl)
+
+    keyed = {
+        r.id: r._change
+        for r in TF.snapshot_diff(spark, tbl, 1, 2, key_cols=["id"]).collect()
+    }
+    assert keyed == {2: "update", 3: "delete", 4: "insert"}
+    # changed row carries the TO side's values
+    row2 = [
+        r for r in TF.snapshot_diff(spark, tbl, 1, key_cols=["id"]).collect()
+        if r.id == 2
+    ][0]
+    assert (row2.s, row2.v) == ("B", 20)
+
+    setwise = sorted(
+        (r.id, r._change) for r in TF.snapshot_diff(spark, tbl, 1, 2).collect()
+    )
+    assert setwise == [(2, "delete"), (2, "insert"), (3, "delete"), (4, "insert")]
