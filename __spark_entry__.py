@@ -1334,6 +1334,38 @@ def q_snapshot_diff(spark, sf_dir):
     return diff.groupBy("_change").agg(F.count(F.lit(1)).alias("n")).orderBy("_change")
 
 
+_PROFILE_ORACLE = """
+SELECT 'c_custkey' AS "column", COUNT(*) AS n_rows,
+       COUNT(c_custkey) AS n_nonnull, COUNT(DISTINCT c_custkey) AS n_distinct
+FROM customer
+UNION ALL
+SELECT 'c_name', COUNT(*), COUNT(c_name), COUNT(DISTINCT c_name) FROM customer
+UNION ALL
+SELECT 'c_nationkey', COUNT(*), COUNT(c_nationkey),
+       COUNT(DISTINCT c_nationkey) FROM customer
+UNION ALL
+SELECT 'c_acctbal', COUNT(*), COUNT(c_acctbal),
+       COUNT(DISTINCT c_acctbal) FROM customer
+UNION ALL
+SELECT 'c_mktsegment', COUNT(*), COUNT(c_mktsegment),
+       COUNT(DISTINCT c_mktsegment) FROM customer
+ORDER BY 1
+"""
+
+
+@_q("q_column_profile", _PROFILE_ORACLE)
+def q_column_profile(spark, sf_dir):
+    """ANALYZE-style column profile: per-column non-null and exact
+    distinct counts in ONE pass (single Expand-planned aggregation),
+    unpivoted to one row per column."""
+    from real_timetransactionaldatalakehouse_spark.maintenance import column_profile
+
+    cust = _t(spark, sf_dir, "customer")
+    return column_profile(
+        cust, ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    ).orderBy("column")
+
+
 _REPETITION_ORACLE = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -2250,6 +2282,7 @@ _CHECK_FIRST: list[str] = [
     "q_pack_sequences",
     "q_text_repetition",
     "q_snapshot_diff",
+    "q_column_profile",
     # rows-only infra (keep their rows-only rows visible each round)
     "q_agg_sketches",
     "q_table_stats",

@@ -159,3 +159,32 @@ def ttl_delete(spark: SparkSession, path: str, ts_col: str, cutoff) -> dict:
     _safe_swap_rewrite(spark, path, kept, n_kept, ".ttl-tmp")
     n_after = _read_target(spark, path).count()
     return {"rows_before": n_before, "rows_after": n_after}
+
+
+def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Column-level table profile — the ``ANALYZE TABLE ... COMPUTE
+    STATISTICS FOR COLUMNS`` analogue serving layout/optimizer
+    decisions (join-side choice, dictionary-encoding candidates,
+    null-heavy column pruning).
+
+    One pass over the data: every column's non-null and exact distinct
+    count ride in a single aggregation (Catalyst plans the multi-column
+    COUNT DISTINCT with one Expand, so the input is scanned once), and
+    the wide one-row result is unpivoted to ``(column, n_rows,
+    n_nonnull, n_distinct)`` rows with a metadata-sized stack — counts
+    only, so the profile is engine-neutral and oracle-exact (min/max
+    would drag engine-specific value formatting into the contract).
+    """
+    names = cols or df.columns
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    for c in names:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}" for c in names
+    )
+    return row.selectExpr(
+        f"stack({len(names)}, {stack_args}) as (column, n_nonnull, n_distinct)",
+        "__n as n_rows",
+    ).select("column", "n_rows", "n_nonnull", "n_distinct")

@@ -134,3 +134,17 @@ def test_serving_views(spark, sf_small):
     assert 0 < len(rows) <= 5
     f = SV.freshness_view(spark, as_of).collect()[0]
     assert f.lag_s > 0
+
+
+def test_column_profile_counts(spark):
+    """Profile counts: nulls excluded from n_nonnull, exact distincts,
+    one row per requested column."""
+    from real_timetransactionaldatalakehouse_spark.maintenance import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (3, "b")], "k long, s string"
+    )
+    got = {r.column: r for r in column_profile(df).collect()}
+    assert set(got) == {"k", "s"}
+    assert (got["k"].n_rows, got["k"].n_nonnull, got["k"].n_distinct) == (4, 4, 3)
+    assert (got["s"].n_rows, got["s"].n_nonnull, got["s"].n_distinct) == (4, 3, 2)
