@@ -263,3 +263,77 @@ def test_asof_join_dedup_keep_max_rejects_multi_value(spark):
     with _pytest.raises(ValueError, match="dedup_keep_max"):
         asof_join(f, tl, key="k", fact_ts="ts", timeline_ts="tts",
                   value_cols=["a", "b"], dedup_keep_max=True)
+
+
+doc_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1000),  # doc id (deduped below)
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "eee"]), min_size=0, max_size=12
+        ),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@SETTINGS
+@given(data=doc_rows)
+def test_pack_sequences_invariants(spark, data):
+    """Packing invariants over generated corpora: starts are the
+    exclusive prefix sums in id order, pack_pos < budget, pack ids
+    non-decreasing, token totals conserved."""
+    from real_timetransactionaldatalakehouse_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    docs = {i: toks for i, toks in data}  # dedupe ids, keep last
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs.items()],
+        "doc_id long, text string",
+    )
+    budget = 7
+    out = sorted(
+        (r.doc_id, r.n_tokens, r.pack_id, r.pack_pos)
+        for r in pack_sequences(df, budget=budget, partitions=3).collect()
+    )
+    assert [d for d, *_ in out] == sorted(docs)
+    acc = 0
+    last_pack = 0
+    for doc_id, n_tok, pack_id, pack_pos in out:
+        # split(" ") of "" yields [""] -> 1 token, matching the operator
+        expect_tok = len(docs[doc_id]) if docs[doc_id] else 1
+        assert n_tok == expect_tok
+        assert pack_id == acc // budget and pack_pos == acc % budget
+        assert 0 <= pack_pos < budget
+        assert pack_id >= last_pack
+        last_pack = pack_id
+        acc += n_tok
+
+
+@SETTINGS
+@given(data=doc_rows)
+def test_repetition_stats_invariants(spark, data):
+    """Repetition-ratio invariants: distinct <= total, ratios in [0,1],
+    top ratio >= 1/distinct share, short docs absent."""
+    from real_timetransactionaldatalakehouse_spark.operators.text import (
+        repetition_stats,
+    )
+
+    docs = {i: toks for i, toks in data}
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs.items()],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df, n=2).collect()}
+    for i, toks in docs.items():
+        n_tok = len(toks) if toks else 1
+        if n_tok < 2:
+            assert i not in got
+            continue
+        r = got[i]
+        assert r.n_ngrams == n_tok - 1
+        assert 1 <= r.n_distinct <= r.n_ngrams
+        assert 0.0 <= r.dup_ngram_ratio <= 1.0
+        assert r.top_ngram_ratio >= 1.0 / r.n_ngrams - 1e-12
+        assert abs(r.dup_ngram_ratio - (1.0 - r.n_distinct / r.n_ngrams)) < 1e-12
