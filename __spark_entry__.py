@@ -1334,6 +1334,57 @@ def q_snapshot_diff(spark, sf_dir):
     return diff.groupBy("_change").agg(F.count(F.lit(1)).alias("n")).orderBy("_change")
 
 
+# NB: a DuckDB list_reduce + struct_pack fold is NOT a faithful oracle
+# for multi-field state — v1.0.0 rebinds accumulator fields
+# sequentially inside the lambda (later fields read already-updated
+# values, observed empirically).  The recursive CTE replays the exact
+# recurrence row-by-row instead: same IEEE double ops in the same
+# order as the Spark struct fold, no lambda evaluation semantics.
+_EWMA_ANOMALY_ORACLE = """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, value::DOUBLE AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS cnt,
+         CAST(epoch(date_trunc('second',
+               MAX(ts) OVER (PARTITION BY user_id))) AS BIGINT) AS last_ts_s
+  FROM events
+), walk AS (
+  SELECT user_id, rn, cnt, last_ts_s, v AS ew, 0.0::DOUBLE AS vr,
+         1::BIGINT AS n, 0::BIGINT AS anom
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.cnt, o.last_ts_s,
+         w.ew + 0.3 * (o.v - w.ew),
+         0.7 * (w.vr + 0.3 * (o.v - w.ew) * (o.v - w.ew)),
+         w.n + 1,
+         w.anom + CASE WHEN w.n >= 3
+                        AND (o.v - w.ew) * (o.v - w.ew) > 9.0 * w.vr
+                       THEN 1 ELSE 0 END
+  FROM walk w JOIN ordered o ON o.user_id = w.user_id AND o.rn = w.rn + 1
+)
+SELECT user_id, n AS n_events, ew AS ewma, vr AS ew_var,
+       anom AS n_anomalies, last_ts_s
+FROM walk WHERE rn = cnt
+"""
+
+
+@_q("q_ewma_anomaly", _EWMA_ANOMALY_ORACLE)
+def q_ewma_anomaly(spark, sf_dir):
+    """Adaptive per-key anomaly counts over the EW mean/variance model
+    (streaming/stateful.py) — final state of the exact recurrence the
+    streaming operator folds, with a bit-exact DuckDB struct-fold
+    oracle (alpha=0.3, z=3, min_n=3)."""
+    from real_timetransactionaldatalakehouse_spark.streaming.stateful import (
+        ewma_anomaly_batch_oracle,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return ewma_anomaly_batch_oracle(
+        ev, "user_id", "ts", "value", alpha=0.3, z=3.0, min_n=3,
+        tiebreak_col="event_id",
+    )
+
+
 _PROFILE_ORACLE = """
 SELECT 'c_custkey' AS "column", COUNT(*) AS n_rows,
        COUNT(c_custkey) AS n_nonnull, COUNT(DISTINCT c_custkey) AS n_distinct
@@ -2283,6 +2334,7 @@ _CHECK_FIRST: list[str] = [
     "q_text_repetition",
     "q_snapshot_diff",
     "q_column_profile",
+    "q_ewma_anomaly",
     # rows-only infra (keep their rows-only rows visible each round)
     "q_agg_sketches",
     "q_table_stats",

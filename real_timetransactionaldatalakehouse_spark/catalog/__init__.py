@@ -80,9 +80,13 @@ class Catalog:
         path: str | None = None,
         versioned: bool = False,
         partition_by: list[str] | None = None,
+        properties: dict[str, str] | None = None,
     ) -> str:
         """Register a table (creating its namespace if needed) and
-        return its storage path (default ``warehouse/schema/table``)."""
+        return its storage path (default ``warehouse/schema/table``).
+        ``properties`` carries TBLPROPERTIES-style key/values (the
+        reference sets format-version, compression, commit-retention
+        there — ``streaming_job.py:18-61``)."""
         schema, table = self._split(name)
         self.create_namespace(schema)
         p = path or os.path.join(self.warehouse, schema, table)
@@ -90,9 +94,41 @@ class Catalog:
             "path": p,
             "versioned": versioned,
             "partition_by": partition_by or [],
+            "properties": dict(properties or {}),
         }
         self._save()
         return p
+
+    def set_properties(self, name: str, props: dict[str, str]) -> dict[str, str]:
+        """ALTER TABLE SET TBLPROPERTIES: merge key/values into the
+        table's property map (metadata-only)."""
+        m = self.meta(name)
+        merged = {**m.get("properties", {}), **props}
+        m["properties"] = merged
+        self._save()
+        return merged
+
+    def properties(self, name: str) -> dict[str, str]:
+        return dict(self.meta(name).get("properties", {}))
+
+    def rename_table(self, old: str, new: str) -> None:
+        """ALTER TABLE RENAME: re-point the registry entry (storage
+        path unchanged — a catalog rename, like Iceberg's)."""
+        schema_o, table_o = self._split(old)
+        schema_n, table_n = self._split(new)
+        meta = self._state["schemas"].get(schema_o, {}).get("tables", {}).pop(
+            table_o, None
+        )
+        if meta is None:
+            raise KeyError(f"unknown table {old}")
+        self.create_namespace(schema_n)
+        tables_n = self._state["schemas"][schema_n]["tables"]
+        if table_n in tables_n:
+            # restore before failing: a rejected rename must not drop the source
+            self._state["schemas"][schema_o]["tables"][table_o] = meta
+            raise ValueError(f"table {new} already exists")
+        tables_n[table_n] = meta
+        self._save()
 
     def alter_table(self, name: str, add_columns: dict[str, str]) -> list[dict]:
         """ALTER TABLE ADD COLUMN(S) — metadata-only schema evolution

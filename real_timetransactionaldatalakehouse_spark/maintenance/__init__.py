@@ -134,11 +134,16 @@ def compact(
     return {"rows_before": n_before, "rows_after": n_after, "files_target": n_files}
 
 
-def expire_snapshots(path: str, keep_last: int = 2) -> dict:
-    """M2: drop versioned-table snapshots older than the last
-    ``keep_last`` (current always kept) — reference
-    ``compact_cold_data.py:56-72`` expire_snapshots."""
-    return tablefmt.expire_snapshots(path, keep_last=keep_last)
+def expire_snapshots(
+    path: str, keep_last: int = 2, older_than_s: float | None = None
+) -> dict:
+    """M2: drop versioned-table snapshots beyond the last ``keep_last``
+    (current always kept; recent ones retained when ``older_than_s``
+    is set) — reference ``compact_cold_data.py:56-72``
+    expire_snapshots(retain_last, older_than)."""
+    return tablefmt.expire_snapshots(
+        path, keep_last=keep_last, older_than_s=older_than_s
+    )
 
 
 def remove_orphans(path: str) -> dict:

@@ -159,3 +159,164 @@ def ewma_batch_oracle(df: DataFrame, key_col: str, ts_col: str,
         fold.alias("ewma"),
         F.unix_timestamp(F.col("__max_ts")).alias("last_ts_s"),
     )
+
+
+def ewma_anomaly_by_key(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    z: float = 3.0,
+    min_n: int = 3,
+    tiebreak_col: str | None = None,
+    watermark: str | None = None,
+):
+    """Streaming per-key anomaly detection over an EW mean/variance
+    model — the alerting analogue of the reference's Grafana bands,
+    but per entity and adaptive: an event is anomalous when its
+    squared deviation from the EW mean exceeds ``z^2`` times the EW
+    variance (and at least ``min_n`` prior events exist, so cold keys
+    don't alert).
+
+    Recurrence per event (prev state ``ew``/``vr``/``n``)::
+
+        flag  if n >= min_n and (v-ew)^2 > z^2 * vr
+        ew' = ew + alpha * (v - ew)
+        vr' = (1-alpha) * (vr + alpha * (v - ew)^2)
+
+    Emits one row per key per micro-batch: ``(key, n_events, ewma,
+    ew_var, n_anomalies, last_ts_s)`` with monotonically increasing
+    ``n_events``; state is carried in the state store and expires via
+    the watermark-clamped event-time timeout (same discipline as
+    :func:`ewma_by_key`).  The batch twin
+    :func:`ewma_anomaly_batch_oracle` reproduces the fold exactly.
+    """
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType([
+        StructField(key_col, LongType()),
+        StructField("n_events", LongType()),
+        StructField("ewma", DoubleType()),
+        StructField("ew_var", DoubleType()),
+        StructField("n_anomalies", LongType()),
+        StructField("last_ts_s", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("n", LongType()),
+        StructField("ew", DoubleType()),
+        StructField("vr", DoubleType()),
+        StructField("anom", LongType()),
+        StructField("last_s", LongType()),
+    ])
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    one_minus, z2 = 1.0 - alpha, z * z
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+            yield  # pragma: no cover - makes this a generator
+
+        (k,) = key
+        n, ew, vr, anom, last_s = (
+            state.get if state.exists else (0, 0.0, 0.0, 0, 0)
+        )
+        batch = pd.concat(list(pdfs)).sort_values(order)
+        for _, row in batch.iterrows():
+            v = float(row[value_col])
+            if n == 0:
+                ew, vr, n = v, 0.0, 1
+            else:
+                d = v - ew
+                if n >= min_n and d * d > z2 * vr:
+                    anom += 1
+                ew = ew + alpha * d
+                vr = one_minus * (vr + alpha * d * d)
+                n += 1
+            last_s = int(pd.Timestamp(row[ts_col]).value // 1_000_000_000)
+        state.update((n, ew, vr, anom, last_s))
+        if watermark is not None:
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max((last_s + 1) * 1000, wm_ms + 1))
+        yield pd.DataFrame([{
+            key_col: k, "n_events": n, "ewma": ew, "ew_var": vr,
+            "n_anomalies": anom, "last_ts_s": last_s,
+        }])
+
+    src = stream_df
+    timeout = GroupStateTimeout.NoTimeout
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    return (
+        src.groupBy(key_col)
+        .applyInPandasWithState(update, out_schema, state_schema, "update", timeout)
+    )
+
+
+def ewma_anomaly_batch_oracle(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    z: float = 3.0,
+    min_n: int = 3,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Batch twin of :func:`ewma_anomaly_by_key`'s FINAL state: the
+    identical recurrence folded over the time-ordered sequence with a
+    struct-typed ``aggregate`` — same left-to-right double ops, so the
+    streaming replay, this twin, and the DuckDB ``list_reduce`` oracle
+    agree bit-for-bit."""
+    order_cols = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    from pyspark.sql.window import Window
+
+    ordered = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        *([F.col(tiebreak_col)] if tiebreak_col else []),
+        F.col(value_col).cast("double").alias("__v"),
+    ).withColumn(
+        "__rn",
+        F.row_number().over(Window.partitionBy(key_col).orderBy(*order_cols)),
+    )
+    seq = ordered.groupBy(key_col).agg(
+        F.array_sort(F.collect_list(F.struct("__rn", "__v"))).alias("__s"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_timestamp(F.max(F.col(ts_col))).alias("last_ts_s"),
+    )
+    a, om, z2 = F.lit(float(alpha)), F.lit(1.0 - alpha), F.lit(z * z)
+
+    def step(acc, x):
+        v = x["__v"]
+        first = acc["n"] == 0
+        d = v - acc["ew"]
+        flagged = (~first) & (acc["n"] >= min_n) & (d * d > z2 * acc["vr"])
+        return F.struct(
+            F.when(first, v).otherwise(acc["ew"] + a * d).alias("ew"),
+            F.when(first, F.lit(0.0)).otherwise(om * (acc["vr"] + a * d * d)).alias("vr"),
+            (acc["n"] + 1).alias("n"),
+            (acc["anom"] + F.when(flagged, 1).otherwise(0)).alias("anom"),
+        )
+
+    init = F.struct(
+        F.lit(0.0).alias("ew"), F.lit(0.0).alias("vr"),
+        F.lit(0).cast("long").alias("n"), F.lit(0).cast("long").alias("anom"),
+    )
+    fold = F.aggregate(F.col("__s"), init, step)
+    return seq.select(
+        F.col(key_col),
+        F.col("n_events"),
+        fold["ew"].alias("ewma"),
+        fold["vr"].alias("ew_var"),
+        fold["anom"].alias("n_anomalies"),
+        F.col("last_ts_s"),
+    )

@@ -206,15 +206,28 @@ def write_version(
     return n
 
 
-def expire_snapshots(path: str, keep_last: int = 2) -> dict:
-    """M2: delete snapshots older than the last ``keep_last`` (the
-    current version is always kept).  Reference
-    ``compact_cold_data.py:56-72``."""
+def expire_snapshots(
+    path: str, keep_last: int = 2, older_than_s: float | None = None
+) -> dict:
+    """M2: delete old snapshots — the reference's
+    ``expire_snapshots(retain_last=5, older_than=...)`` pair of bounds
+    (``compact_cold_data.py:56-72``): the last ``keep_last`` versions
+    are always retained, and with ``older_than_s`` set, versions
+    YOUNGER than that many seconds (by commit mtime) are also retained
+    even beyond ``keep_last``.  The current version is never expired.
+    """
+    import time as _time
+
     cur = current_version(path)
     versions = list_versions(path)
     keep = set(versions[-keep_last:]) if keep_last > 0 else set()
     if cur is not None:
         keep.add(cur)
+    if older_than_s is not None:
+        cutoff = _time.time() - older_than_s
+        for v in versions:
+            if os.path.getmtime(version_path(path, v)) >= cutoff:
+                keep.add(v)
     removed = []
     for v in versions:
         if v not in keep:

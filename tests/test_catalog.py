@@ -99,3 +99,45 @@ def test_catalog_alter_table_add_columns(spark, sf_small, tmp_path):
     cat.write("bronze.plain", ev)
     with pytest.raises(ValueError, match="versioned"):
         cat.alter_table("bronze.plain", {"x": "int"})
+
+
+def test_catalog_properties_and_rename(spark, sf_small, tmp_path):
+    """TBLPROPERTIES round trip + catalog rename (storage untouched)."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ev = load_table(spark, sf_small, "events").select("event_id")
+    cat.create_table("bronze.ev", properties={"format-version": "2"})
+    cat.write("bronze.ev", ev)
+    assert cat.properties("bronze.ev") == {"format-version": "2"}
+    merged = cat.set_properties("bronze.ev", {"write.parquet.compression-codec": "zstd"})
+    assert merged["format-version"] == "2" and len(merged) == 2
+    # persisted across instances
+    assert Catalog(spark, str(tmp_path / "wh")).properties("bronze.ev") == merged
+
+    path_before = cat.table_path("bronze.ev")
+    cat.rename_table("bronze.ev", "bronze.events_raw")
+    assert cat.table_path("bronze.events_raw") == path_before
+    assert cat.read("bronze.events_raw").count() == ev.count()
+    with pytest.raises(KeyError):
+        cat.meta("bronze.ev")
+    cat.create_table("bronze.other")
+    with pytest.raises(ValueError, match="already exists"):
+        cat.rename_table("bronze.events_raw", "bronze.other")
+    # failed rename leaves the source intact
+    assert cat.read("bronze.events_raw").count() == ev.count()
+
+
+def test_expire_snapshots_older_than_retains_recent(spark, sf_small, tmp_path):
+    """Age bound: young snapshots survive even beyond keep_last."""
+    import os as _os
+
+    from real_timetransactionaldatalakehouse_spark import maintenance as MT
+
+    tbl = str(tmp_path / "tbl")
+    ev = load_table(spark, sf_small, "events").select("event_id")
+    for n in (100, 50, 25):
+        TF.write_version(ev.limit(n), tbl)
+    # v1 is "old" (backdate mtime), v2/v3 recent
+    _os.utime(TF.version_path(tbl, 1), (1, 1))
+    res = MT.expire_snapshots(tbl, keep_last=1, older_than_s=3600)
+    assert res["removed"] == [1]
+    assert TF.list_versions(tbl) == [2, 3]

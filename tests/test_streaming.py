@@ -382,3 +382,69 @@ def test_ewma_stream_multibatch_replay_equals_batch_oracle(spark, tmp_path):
         assert latest[k].n_events == oracle[k].n_events
         assert latest[k].last_ts_s == oracle[k].last_ts_s
         assert latest[k].ewma == pytest.approx(oracle[k].ewma, abs=1e-12)
+
+
+def test_ewma_anomaly_stream_replay_equals_batch_oracle(spark, tmp_path):
+    """The anomaly detector's streaming fold must equal its batch twin
+    after a 3-file replay, including the anomaly count: values are
+    crafted so a spike lands after a stable run (flaggable, n >= 3)
+    and a cold key never flags."""
+    from real_timetransactionaldatalakehouse_spark.streaming.stateful import (
+        ewma_anomaly_batch_oracle,
+        ewma_anomaly_by_key,
+    )
+
+    vals = [
+        (1, 10.0), (1, 10.2), (2, 5.0),      # file 1
+        (1, 9.9), (1, 10.1), (2, 50.0),      # file 2 (key 2 still cold)
+        (1, 42.0), (1, 10.0), (2, 5.5),      # file 3: key 1 spikes
+    ]
+    rows = [
+        (k, f"2024-01-01 00:00:{i:02d}.500", v, i)
+        for i, (k, v) in enumerate(vals)
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "user_id long, ts_s string, value double, event_id long"
+        )
+        .select("user_id", F.to_timestamp("ts_s").alias("ts"), "value", "event_id")
+    )
+    src = str(tmp_path / "in")
+    _write_chunks(df, src, 3, ["ts", "event_id"])
+
+    emissions = []
+    q = (
+        ewma_anomaly_by_key(
+            file_stream(spark, src, df.schema),
+            "user_id", "ts", "value",
+            alpha=0.3, z=3.0, min_n=3,
+            tiebreak_col="event_id", watermark="500 milliseconds",
+        )
+        .writeStream.foreachBatch(lambda b, _i: emissions.extend(b.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.exception() is None
+
+    latest = {}
+    for r in emissions:
+        if r.user_id not in latest or r.n_events > latest[r.user_id].n_events:
+            latest[r.user_id] = r
+    oracle = {
+        r.user_id: r
+        for r in ewma_anomaly_batch_oracle(
+            df, "user_id", "ts", "value",
+            alpha=0.3, z=3.0, min_n=3, tiebreak_col="event_id",
+        ).collect()
+    }
+    assert set(latest) == set(oracle) == {1, 2}
+    for k in oracle:
+        assert latest[k].n_events == oracle[k].n_events
+        assert latest[k].n_anomalies == oracle[k].n_anomalies
+        assert latest[k].ewma == pytest.approx(oracle[k].ewma, abs=1e-12)
+        assert latest[k].ew_var == pytest.approx(oracle[k].ew_var, abs=1e-12)
+    assert latest[1].n_anomalies >= 1  # the crafted spike was flagged
+    assert latest[2].n_anomalies == 0  # cold key never flags (min_n)
