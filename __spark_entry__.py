@@ -1152,12 +1152,28 @@ def q_snapshot_lifecycle(spark, sf_dir):
     )
 
 
-@_q("q_schema_evolution")  # rows-only: exercises metadata-only ALTER + time travel
+# Version 1 pre-dates the ADD COLUMN, so reading it through the
+# evolved schema must yield a typed NULL for every row; version 2
+# backfills from the drifted JSON field.  Both reads project to a
+# fixed column list, so the evolved-read semantics (not just counts)
+# are oracle-checked against a plain SELECT with a NULL column.
+_SCHEMA_EVO_ORACLE = """
+SELECT 1 AS version, event_id, CAST(NULL AS BIGINT) AS k_val FROM events
+UNION ALL
+SELECT 2 AS version, event_id, CAST(props->>'$.k' AS BIGINT) AS k_val FROM events
+"""
+
+
+@_q("q_schema_evolution", _SCHEMA_EVO_ORACLE)
 def q_schema_evolution(spark, sf_dir):
     """Schema evolution (reference DataModel_SchemaDesign.md:127-129):
     drifted JSON field read via get_json_object, promoted with a
     metadata-only ADD COLUMN, values supplied by the next snapshot;
-    historical snapshots read the column as a typed null."""
+    historical snapshots read the column as a typed null.  Output is
+    the row-level union of the time-travel read (version 1, all-NULL
+    k_val) and the backfilled current read.  The metadata-only-ALTER
+    and declared-schema assertions stay in pytest
+    (tests/test_tablefmt.py)."""
     import tempfile
 
     from real_timetransactionaldatalakehouse_spark import tablefmt as TF
@@ -1166,29 +1182,16 @@ def q_schema_evolution(spark, sf_dir):
     tbl = tempfile.mkdtemp(prefix="schema_evo_")
     n = ev.count()
     TF.write_version(ev, tbl, expect_rows=n)
-    versions_before_alter = len(TF.list_versions(tbl))
     TF.add_column(tbl, "k_val", "bigint")
-    nulls_after_alter = (
-        TF.read_table(spark, tbl).filter(F.col("k_val").isNull()).count()
-    )
     promoted = ev.withColumn(
         "k_val", F.get_json_object("props", "$.k").cast("bigint")
     )
     TF.write_version(promoted, tbl, expect_rows=n)
     v1 = TF.read_table(spark, tbl, version=1)
     cur = TF.read_table(spark, tbl)
-    return spark.createDataFrame(
-        [(
-            n,
-            versions_before_alter,  # == 1: ALTER wrote no snapshot
-            nulls_after_alter,  # == n: typed nulls pre-backfill
-            cur.filter(F.col("k_val").isNotNull()).count(),  # == n
-            v1.filter(F.col("k_val").isNull()).count(),  # time travel: == n
-            int(dict(v1.dtypes)["k_val"] == "bigint"),
-        )],
-        "n_rows long, versions_at_alter long, nulls_after_alter long, "
-        "typed_after_backfill long, timetravel_nulls long, timetravel_typed long",
-    )
+    return v1.select(
+        F.lit(1).alias("version"), "event_id", "k_val"
+    ).unionByName(cur.select(F.lit(2).alias("version"), "event_id", "k_val"))
 
 
 @_q("q_bucket_pruned_lookup")  # rows-only: plan/metric assertion surface
@@ -1305,11 +1308,41 @@ def q_ewma_state(spark, sf_dir):
     )
 
 
-@_q("q_snapshot_diff")  # rows-only: exercises incremental read between snapshots
+# The two snapshots are DETERMINISTIC SELECTs over events (delete 10 %
+# by key, bump value where key % 7 == 0, append the 5 lowest keys
+# shifted by 10M), so the full-outer-join change classification has an
+# exact SQL twin and the driver hashes row-level diff output.
+_SNAPDIFF_ORACLE = """
+WITH base AS (
+  SELECT event_id, user_id, value FROM events
+), v2 AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 7 = 0 THEN value + 1 ELSE value END AS value
+  FROM base WHERE event_id % 10 <> 0
+  UNION ALL
+  SELECT event_id + 10000000 AS event_id, user_id, value
+  FROM (SELECT * FROM base ORDER BY event_id LIMIT 5)
+)
+SELECT * FROM (
+  SELECT COALESCE(b.event_id, a.event_id) AS event_id,
+         COALESCE(b.user_id, a.user_id) AS user_id,
+         COALESCE(b.value, a.value) AS value,
+         CASE WHEN a.event_id IS NULL THEN 'insert'
+              WHEN b.event_id IS NULL THEN 'delete'
+              WHEN a.value <> b.value OR a.user_id <> b.user_id THEN 'update'
+         END AS change
+  FROM base a FULL OUTER JOIN v2 b ON a.event_id = b.event_id
+) WHERE change IS NOT NULL
+"""
+
+
+@_q("q_snapshot_diff", _SNAPDIFF_ORACLE)
 def q_snapshot_diff(spark, sf_dir):
     """Incremental read (Iceberg changelog-scan analogue): diff two
     snapshots of a versioned table row-level — inserts, updates and
-    deletes classified by a keyed full-outer join; one key shuffle."""
+    deletes classified by a keyed full-outer join; one key shuffle.
+    Both snapshots are deterministic SELECTs over events so the diff
+    itself (not just its counts) is oracle-checked."""
     import tempfile
 
     from real_timetransactionaldatalakehouse_spark import tablefmt as TF
@@ -1326,12 +1359,12 @@ def q_snapshot_diff(spark, sf_dir):
             ),
         )
     )
-    appended = ev.limit(5).select(
+    appended = ev.orderBy("event_id").limit(5).select(
         (F.col("event_id") + 10_000_000).alias("event_id"), "user_id", "value"
     )
     TF.write_version(changed.unionByName(appended), tbl)
     diff = TF.snapshot_diff(spark, tbl, 1, 2, key_cols=["event_id"])
-    return diff.groupBy("_change").agg(F.count(F.lit(1)).alias("n")).orderBy("_change")
+    return diff.withColumnRenamed("_change", "change")
 
 
 # NB: a DuckDB list_reduce + struct_pack fold is NOT a faithful oracle
@@ -1461,7 +1494,9 @@ WITH counted AS (
            - n_tokens AS start
   FROM counted
 )
-SELECT doc_id, n_tokens, start // 4096 AS pack_id, start % 4096 AS pack_pos
+SELECT doc_id, n_tokens,
+       CAST(start // 4096 AS BIGINT) AS pack_id,
+       CAST(start % 4096 AS BIGINT) AS pack_pos
 FROM runs
 """
 
@@ -2295,72 +2330,72 @@ def q_multimodal_features(spark, sf_dir):
 # The driver certifies the FIRST 50 entries of queries() (r1/r2 evidence:
 # CORRECTNESS_r0{1,2}.json each hold exactly the first 50 registered names).
 # Registration order in this file is didactic (SURVEY section order), so we
-# re-rank here: queries that have never had a driver CORRECTNESS row (the
-# EXT/LLM-pipeline + curation families) and new round-3 surfaces go first,
-# then rows-only infra, then the complex relational queries; the simple
-# scan/filter family — green in r1+r2 and pinned by
-# tests/test_oracle_parity.py — rotates out of the window last.
+# re-rank here.  Round-4 rotation (VERDICT r3 "Next round" #2): the 32
+# queries last driver-certified in r1/r2 — the core relational / JSON /
+# rollup-pivot-cube-percentile families — fill the head of the window so
+# every declared query carries a fresh certification across r3+r4; after
+# them come the queries whose implementation or oracle changed this round
+# (pack oracle cast, minhash spread, simhash SWAR lanes, the new
+# snapshot-diff / schema-evolution oracles), then the rows-only infra.
+# The EXT/LLM family certified green in r3 rotates out of the window.
 _CHECK_FIRST: list[str] = [
-    # EXT: dedup / similarity / text / curation / multimodal (no driver row yet)
-    "q_dedup_exact",
+    # r1/r2-era core: scan / filter / project
+    "q_scan_project",
+    "q_scan_limit",
+    "q_project_cast",
+    "q_filter_eq",
+    "q_filter_in",
+    "q_filter_range",
+    "q_retention_filter",
+    "q_having_count",
+    "q_coalesce",
+    # r1/r2-era aggregates + sort + set
+    "q_agg_count_by_key",
+    "q_agg_global",
+    "q_agg_max_ts",
+    "q_orderby",
+    "q_orderby_limit_topk",
+    "q_union_all",
+    "q_agg_conditional_counts",
+    "q_rollup",
+    "q_pivot",
+    "q_cube",
+    "q_agg_percentile",
+    "q_agg_variance",
+    "q_agg_binned_heatmap",
+    # r1/r2-era joins
+    "q_join_inner_equi",
+    "q_join_left_enrich",
+    "q_join_broadcast",
+    "q_join_semi",
+    "q_join_anti",
+    # r1/r2-era JSON / temporal / string / array
+    "q_json_parse_struct",
+    "q_json_extract",
+    "q_ts_diff",
+    "q_string_funcs",
+    "q_array_explode",
+    # touched this round: oracle or implementation changed
+    "q_pack_sequences",
     "q_neardup_minhash",
     "q_neardup_verified",
     "q_simhash_neardup",
-    "q_jaccard_pairs",
-    "q_knn_topk",
-    "q_knn_lsh",
-    "q_knn_ivf",
-    "q_embed_neardup",
-    "q_embed_neardup_lsh",
-    "q_text_tokens",
-    "q_text_stats",
-    "q_text_langid",
-    "q_text_quality",
-    "q_corpus_prep",
-    "q_text_winnow",
-    "q_text_fingerprint",
-    "q_split_assign",
-    "q_balance_cap",
-    "q_decontaminate",
-    "q_stratified_sample",
-    "q_vocab_topn",
-    "q_multimodal_features",
-    # new round-3 surfaces
-    "q_schema_evolution",
-    "q_bucket_pruned_lookup",
-    "q_freshness_view",
-    "q_ewma_state",
-    "q_pack_sequences",
-    "q_text_repetition",
     "q_snapshot_diff",
-    "q_column_profile",
-    "q_ewma_anomaly",
+    "q_schema_evolution",
     # rows-only infra (keep their rows-only rows visible each round)
     "q_agg_sketches",
     "q_table_stats",
     "q_sorted_write",
     "q_snapshot_lifecycle",
-    # flagship + the complex relational surface
+    "q_bucket_pruned_lookup",
+    # flagship fill to 50
     "q_trending_velocity",
     "q_join_asof",
     "q_merge_upsert",
-    "q_cohort_retention",
     "q_dedup_latest",
-    "q_sessionize_lag",
-    "q_topk_per_group",
-    "q_first_value_ignore_nulls",
-    "q_max_over_partition",
     "q_window_tumbling_1min",
-    "q_window_sliding",
-    "q_agg_ratio_velocity",
-    "q_agg_count_distinct",
-    "q_agg_pct_threshold",
-    "q_rollup",
-    "q_cube",
-    "q_pivot",
-    "q_agg_percentile",
-    "q_agg_variance",
-    "q_agg_binned_heatmap",
+    "q_ewma_state",
+    "q_column_profile",
 ]
 
 

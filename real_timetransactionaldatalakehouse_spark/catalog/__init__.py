@@ -142,7 +142,9 @@ class Catalog:
                 f"{name} is not a versioned table; schema evolution "
                 "needs snapshot metadata (create_table(versioned=True))"
             )
-        fields: list[dict] = []
+        # seed with the current declared schema so a no-op call (empty
+        # add_columns) reports the real schema, not []
+        fields: list[dict] = tablefmt.declared_schema(m["path"]) or []
         for col, dtype in add_columns.items():
             fields = tablefmt.add_column(m["path"], col, dtype)
         return fields

@@ -76,7 +76,10 @@ def _list_parquet_files(spark: SparkSession, path: str) -> list[tuple[str, int]]
     it = fs.listFiles(p, True)
     while it.hasNext():
         st = it.next()
-        name = st.getPath().toUri().getPath()
+        # toString() keeps the fully-qualified URI (scheme + authority):
+        # on an object store the bucket (s3a://bucket/...) must stay in
+        # the file column or paths are ambiguous across buckets
+        name = st.getPath().toString()
         if name.endswith(".parquet"):
             out.append((name, st.getLen()))
     return out

@@ -186,7 +186,13 @@ def _partition_offset_expr(offsets: list[tuple[int, int]],
     hash join at bench scale (the join rebuilds its broadcast exchange
     every execution, ~0.25 s/run for a 32-row table).  Past
     ``inline_max`` the expression would bloat the plan (a 100 TB job
-    runs ~10^5 partitions), so the join path takes over."""
+    runs ~10^5 partitions), so the join path takes over.
+
+    The CASE fails LOUDLY on a pid absent from pass-1: correctness
+    rests on the persisted ranged frame keeping the same sampled
+    RangePartitioner boundaries across both passes, and if that cache
+    were evicted and boundaries resampled, a silent NULL offset would
+    corrupt every downstream position — raise instead."""
     if len(offsets) > inline_max:
         return None
     if not offsets:
@@ -194,6 +200,18 @@ def _partition_offset_expr(offsets: list[tuple[int, int]],
     e = F.when(F.col(pid_col) == offsets[0][0], F.lit(offsets[0][1]))
     for pid, off in offsets[1:]:
         e = e.when(F.col(pid_col) == pid, F.lit(off))
+    e = e.otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "two-phase prefix sum: partition id not seen in the "
+                    "offsets pass (cached range partitioning was lost and "
+                    "resampled); re-run or checkpoint the input: pid="
+                ),
+                F.col(pid_col).cast("string"),
+            )
+        ).cast("long")
+    )
     return e.cast("long")
 
 

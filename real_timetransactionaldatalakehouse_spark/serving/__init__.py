@@ -105,6 +105,8 @@ def freshness_alert_view(
 
     from pyspark.sql import functions as F
 
+    if not tables:
+        raise ValueError("tables must be non-empty: {name: (df, ts_col)}")
     outs = []
     for name, (df, ts_col) in tables.items():
         lag = (

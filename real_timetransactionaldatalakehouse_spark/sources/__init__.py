@@ -11,7 +11,12 @@ The reference reads Kafka (``streaming_job.py:190-196``) and Iceberg
 """
 
 from .tables import fan_out, load_table, load_tables, register_views
-from .filestream import file_stream
+from .filestream import (
+    file_stream,
+    kafka_reader_options,
+    kafka_stream,
+    parse_kafka_json,
+)
 from .cdc import parse_cdc_envelope
 
 __all__ = [
@@ -20,5 +25,8 @@ __all__ = [
     "load_tables",
     "register_views",
     "file_stream",
+    "kafka_reader_options",
+    "kafka_stream",
+    "parse_kafka_json",
     "parse_cdc_envelope",
 ]

@@ -371,3 +371,42 @@ def test_repetition_stats_values(spark):
     assert got[1].top_ngram_ratio == pytest.approx(0.5)
     assert (got[2].n_ngrams, got[2].n_distinct) == (2, 2)
     assert got[2].dup_ngram_ratio == 0.0
+
+
+def test_simhash_wide_doc_no_ansi_overflow_and_null_fallback(spark):
+    """ANSI-mode overflow regression (r3 ADVICE): a 65k-distinct-token
+    document drives per-bit vote counts past 32768 — with 16-bit SWAR
+    lanes the signed SUM threw ARITHMETIC_OVERFLOW *inside* the
+    documented supported range.  The 32-bit-lane accumulators must
+    (a) compute a signature for docs up to the 65535 cap without
+    raising, and (b) actually reach the documented NULL-signature
+    fallback (row filtered out) for docs beyond the cap."""
+    wide_ok = " ".join(f"t{i}" for i in range(65_000))
+    wide_over = " ".join(f"u{i}" for i in range(65_600))
+    df = spark.createDataFrame(
+        [(1, "small doc"), (2, wide_ok), (3, wide_over)],
+        "doc_id long, text string",
+    )
+    got = {r.id: r.sig for r in D.simhash_sigs(df).collect()}
+    assert set(got) == {1, 2}          # 3 dropped by the cap, not an error
+    assert got[2] is not None
+
+
+def test_simhash_wide_lane_counts_match_kernel(spark):
+    """The 2x32-bit lane re-assembly must stay bit-identical to the
+    Arrow kernel on a vote-heavy doc (counts far above one 16-bit
+    lane's old overflow point)."""
+    wide = " ".join(f"t{i}" for i in range(40_000))
+    df = spark.createDataFrame([(1, wide)], "doc_id long, text string")
+    swar = D.simhash_sigs(df).collect()[0].sig
+    kern = (
+        df.select(
+            F.col("doc_id").alias("id"),
+            D._simhash_sig_udf()(
+                F.transform(
+                    F.array_distinct(D.tokens("text")), lambda t: F.xxhash64(t)
+                )
+            ).alias("sig"),
+        ).collect()[0].sig
+    )
+    assert swar == kern

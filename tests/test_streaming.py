@@ -448,3 +448,51 @@ def test_ewma_anomaly_stream_replay_equals_batch_oracle(spark, tmp_path):
         assert latest[k].ew_var == pytest.approx(oracle[k].ew_var, abs=1e-12)
     assert latest[1].n_anomalies >= 1  # the crafted spike was flagged
     assert latest[2].n_anomalies == 0  # cold key never flags (min_n)
+
+
+def test_kafka_reader_options_reference_parity():
+    """A1: the option mapping must reproduce the reference's reader
+    config (streaming_job.py:190-196) without needing a broker."""
+    from real_timetransactionaldatalakehouse_spark.sources import kafka_reader_options
+
+    opts = kafka_reader_options("kafka:29092", "orders")
+    assert opts == {
+        "kafka.bootstrap.servers": "kafka:29092",
+        "subscribe": "orders",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "5000",
+    }
+    opts = kafka_reader_options(
+        "b:9092", "t", starting_offsets="latest",
+        max_offsets_per_trigger=None, fail_on_data_loss=False,
+        extra={"kafka.security.protocol": "SSL"},
+    )
+    assert "maxOffsetsPerTrigger" not in opts
+    assert opts["startingOffsets"] == "latest"
+    assert opts["failOnDataLoss"] == "false"
+    assert opts["kafka.security.protocol"] == "SSL"
+
+
+def test_parse_kafka_json_wire_decode(spark):
+    """A1: the wire-decode stage (value bytes -> from_json -> data.*,
+    kafka_ts) on a static frame carrying the Kafka wire columns."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from real_timetransactionaldatalakehouse_spark.sources import parse_kafka_json
+
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    wire = spark.createDataFrame(
+        [
+            (b'{"order_id": 7, "status": "NEW"}', t0),
+            (b'not json at all', t0),
+        ],
+        "value binary, timestamp timestamp",
+    )
+    out = parse_kafka_json(wire, "order_id long, status string")
+    assert out.columns == ["order_id", "status", "kafka_ts"]
+    rows = sorted(out.collect(), key=lambda r: (r.order_id is None, r.order_id or 0))
+    assert (rows[0].order_id, rows[0].status, rows[0].kafka_ts) == (7, "NEW", t0)
+    # malformed value degrades to NULL fields, never a query failure
+    assert rows[1].order_id is None and rows[1].status is None
