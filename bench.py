@@ -69,6 +69,11 @@ BENCH_QUERIES = [
     "q_text_repetition",
     "q_pack_sequences",
     "q_ewma_state",
+    # r4 additions (r3 VERDICT #7): r3 operators that missed the list
+    "q_ewma_anomaly",
+    "q_multimodal_features",
+    "q_column_profile",
+    "q_vocab_topn",
 ]
 
 

@@ -196,3 +196,58 @@ def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         f"stack({len(names)}, {stack_args}) as (column, n_nonnull, n_distinct)",
         "__n as n_rows",
     ).select("column", "n_rows", "n_nonnull", "n_distinct")
+
+
+def run_maintenance(
+    spark: SparkSession,
+    catalog,
+    tables: list[str] | None = None,
+    cold_where: dict[str, Column] | None = None,
+    keep_last: int = 5,
+    expire_older_than_s: float | None = None,
+    ttl: dict[str, tuple[str, object]] | None = None,
+) -> dict:
+    """M5 analogue: the reference's hourly maintenance run
+    (``dags/maintenance_dag.py:13-31`` scheduling
+    ``compact_cold_data.py``: per-table cold compaction, then global
+    expire-snapshots ``retain_last=5, older_than=...`` and orphan
+    removal) composed into ONE entry point over catalog tables — call
+    it from any scheduler (Airflow, cron, a streaming job's idle
+    trigger); the engine core stays scheduler-free, as SURVEY scopes.
+
+    Order matters and mirrors the reference script: compact FIRST
+    (writes a new snapshot on versioned tables), so expire-snapshots
+    afterwards can retire the pre-compaction layout; orphan removal
+    last sweeps tmp dirs from any writer that crashed mid-rewrite.
+
+    ``tables`` defaults to every table in every catalog namespace.
+    ``cold_where`` maps table name -> cold predicate (the reference
+    compacts only data older than 1 h so the streaming writer never
+    races the compactor); absent entries compact the whole table.
+    ``ttl`` maps table name -> (ts_col, cutoff) for retention deletes
+    (reference: 7-day gold TTL, DataModel_SchemaDesign.md:136).
+
+    Returns ``{table: {compact, expired, orphans, ttl}}`` — each step's
+    own report, so a scheduler can alert on any sub-step."""
+    if tables is None:
+        tables = [
+            f"{ns}.{t}" for ns in catalog.namespaces() for t in catalog.tables(ns)
+        ]
+    report: dict[str, dict] = {}
+    for name in tables:
+        meta = catalog.meta(name)
+        path = meta["path"]
+        r: dict = {}
+        r["compact"] = compact(
+            spark, path, where=(cold_where or {}).get(name)
+        )
+        if meta.get("versioned"):
+            r["expired"] = expire_snapshots(
+                path, keep_last=keep_last, older_than_s=expire_older_than_s
+            )
+            r["orphans"] = remove_orphans(path)
+        if ttl and name in ttl:
+            ts_col, cutoff = ttl[name]
+            r["ttl"] = ttl_delete(spark, path, ts_col, cutoff)
+        report[name] = r
+    return report

@@ -141,3 +141,50 @@ def test_expire_snapshots_older_than_retains_recent(spark, sf_small, tmp_path):
     res = MT.expire_snapshots(tbl, keep_last=1, older_than_s=3600)
     assert res["removed"] == [1]
     assert TF.list_versions(tbl) == [2, 3]
+
+
+def test_run_maintenance_composed(spark, sf_small, tmp_path):
+    """M5 analogue: one entry point composes compact -> expire ->
+    orphans -> ttl over catalog tables (reference maintenance_dag.py:
+    13-31 scheduling compact_cold_data.py), preserving rows, retiring
+    old snapshots, and sweeping crashed-write tmp dirs."""
+    import datetime
+
+    from real_timetransactionaldatalakehouse_spark import maintenance as MT
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ev = load_table(spark, sf_small, "events").select("event_id", "ts", "user_id")
+    cat.create_table("bronze.events", versioned=True)
+    # three snapshots so keep_last=2 has something to expire post-compact
+    cat.write("bronze.events", ev)
+    cat.write("bronze.events", ev)
+    cat.write("bronze.events", ev)
+    n = ev.count()
+    path = cat.table_path("bronze.events")
+    # simulated crashed write
+    os.makedirs(os.path.join(path, "_versions", ".tmp-v00000042"), exist_ok=True)
+    # plain (non-versioned) table rides the same run
+    cat.create_table("gold.flat")
+    cat.write("gold.flat", ev)
+
+    cutoff = datetime.datetime(2024, 1, 1)
+    report = MT.run_maintenance(
+        spark,
+        cat,
+        keep_last=2,
+        ttl={"bronze.events": ("ts", cutoff)},
+    )
+    assert set(report) == {"bronze.events", "gold.flat"}
+    r = report["bronze.events"]
+    # compaction preserved rows, then TTL kept only post-cutoff rows
+    assert r["compact"]["rows_before"] == r["compact"]["rows_after"] == n
+    kept = ev.filter(F.col("ts") >= F.lit(cutoff)).count()
+    assert r["ttl"]["rows_after"] == kept
+    assert cat.read("bronze.events").count() == kept
+    # snapshots beyond keep_last expired, orphan tmp dir swept
+    assert r["expired"]["removed"], r
+    assert ".tmp-v00000042" in r["orphans"]["removed"]
+    assert not os.path.isdir(os.path.join(path, "_versions", ".tmp-v00000042"))
+    # plain table: compacted only (no snapshot metadata steps)
+    assert "expired" not in report["gold.flat"]
+    assert report["gold.flat"]["compact"]["rows_after"] == n

@@ -83,3 +83,36 @@ def test_tune_for_input_sizing(spark):
     SS.tune_for_input(spark, 0, cpus=32)
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
+def test_sketch_error_bounds(spark, sf_medium):
+    """q_agg_sketches can never hash-match an oracle (sketch state is
+    engine-specific by construction) — pin its accuracy instead: HLL++
+    distinct within ~3x the rated 1% rsd of the exact count, t-digest
+    median within 1% relative error of the exact percentile, per group.
+    This is the declared rows-only gap's quantitative backstop."""
+    from real_timetransactionaldatalakehouse_spark.sources import load_table
+
+    li = load_table(spark, sf_medium, "lineitem")
+    from pyspark.sql import functions as F
+
+    approx = {
+        r.l_returnflag: r
+        for r in _QUERIES["q_agg_sketches"](spark, sf_medium).collect()
+    }
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("med_price"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact) and approx
+    for flag, e in exact.items():
+        a = approx[flag]
+        rel_distinct = abs(a.approx_orders - e.n_orders) / e.n_orders
+        assert rel_distinct < 0.03, (flag, a.approx_orders, e.n_orders)
+        rel_med = abs(a.approx_med_price - e.med_price) / e.med_price
+        assert rel_med < 0.01, (flag, a.approx_med_price, e.med_price)
