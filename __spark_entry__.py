@@ -1483,6 +1483,125 @@ def q_text_repetition(spark, sf_dir):
     return repetition_stats(docs, n=2)
 
 
+# Injected synthetic PII (the corpus itself is PII-free) so the
+# redaction actually fires; patterns come from operators.text
+# PII_PATTERNS verbatim (Java-regex/RE2-shared subset).
+_REDACT_ORACLE = """
+WITH pii AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com from 10.0.'
+              || (doc_id % 256) || '.7 call +1 555 867 53'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '@EMAIL@')) AS INTEGER) AS n_email,
+       CAST(len(regexp_extract_all(text, '@IPV4@')) AS INTEGER) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '@PHONE@')) AS INTEGER) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '@EMAIL@', '[email]', 'g'),
+           '@IPV4@', '[ipv4]', 'g'),
+           '@PHONE@', '[phone]', 'g')) AS fp
+FROM pii
+"""
+
+from real_timetransactionaldatalakehouse_spark.operators.text import (  # noqa: E402
+    PII_PATTERNS as _PII,
+)
+
+_REDACT_ORACLE = (
+    _REDACT_ORACLE
+    .replace("@EMAIL@", _PII["email"])
+    .replace("@IPV4@", _PII["ipv4"])
+    .replace("@PHONE@", _PII["phone"])
+)
+
+
+@_q("q_text_redact", _REDACT_ORACLE)
+def q_text_redact(spark, sf_dir):
+    """X4: PII scrubbing — emails / IPv4s / phone numbers replaced by
+    typed placeholders with per-document redaction counts (density
+    gating), all JVM-side regexp projection, zero shuffle.  Synthetic
+    PII is appended deterministically per doc so every pattern fires;
+    output carries the md5 of the redacted text (value-exact across
+    engines) instead of the kilobyte text body."""
+    from real_timetransactionaldatalakehouse_spark.operators.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".7 call +1 555 867 53"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+    out = redact_pii(docs, token="[{kind}]")
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", F.md5("text").alias("fp")
+    )
+
+
+# 20 overlapping windows spanning the corpus's full time range
+# (stride = span/20, length = 1.5x stride -> every event matches 1-2
+# windows at ANY sf) — deterministic intervals, so the bucketized
+# range join has a plain BETWEEN-join twin.
+_INTERVAL_JOIN_ORACLE = """
+WITH span AS (
+  SELECT epoch(MIN(ts)) AS t0,
+         (epoch(MAX(ts)) - epoch(MIN(ts))) / 20.0 AS stride
+  FROM events
+),
+iv AS (
+  SELECT i.i AS interval_id,
+         span.t0 + i.i * span.stride AS start_s,
+         span.t0 + i.i * span.stride + 1.5 * span.stride AS end_s
+  FROM span, (SELECT unnest(generate_series(0, 19)) AS i) i
+)
+SELECT e.event_id, iv.interval_id
+FROM events e JOIN iv
+  ON iv.start_s <= epoch(e.ts) AND epoch(e.ts) < iv.end_s
+"""
+
+
+@_q("q_join_interval", _INTERVAL_JOIN_ORACLE)
+def q_join_interval(spark, sf_dir):
+    """Range/interval join: events matched to overlapping 10-minute
+    windows via operators.joins.interval_join — time-bucketized to an
+    EQUI-join (hash join, work scales with overlap density), never the
+    BroadcastNestedLoop a raw non-equi join plans."""
+    from real_timetransactionaldatalakehouse_spark.operators.joins import (
+        interval_join,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    span = ev.agg(
+        F.min("ts").cast("double").alias("t0"),
+        ((F.max("ts").cast("double") - F.min("ts").cast("double")) / 20.0).alias(
+            "stride"
+        ),
+    )
+    iv = (
+        spark.range(20).withColumnRenamed("id", "interval_id")
+        .crossJoin(span)
+        .select(
+            "interval_id",
+            (F.col("t0") + F.col("interval_id") * F.col("stride")).alias("start_s"),
+            (
+                F.col("t0")
+                + F.col("interval_id") * F.col("stride")
+                + 1.5 * F.col("stride")
+            ).alias("end_s"),
+        )
+    )
+    pts = ev.select("event_id", F.col("ts").cast("double").alias("ts_s"))
+    # bucket near the window length: ~2 bucket rows per interval
+    return interval_join(pts, iv, "ts_s", "start_s", "end_s", bucket_s=600).select(
+        "event_id", "interval_id"
+    )
+
+
 _PACK_ORACLE = """
 WITH counted AS (
   SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
@@ -1812,6 +1931,87 @@ def q_neardup_verified(spark, sf_dir):
     return D.minhash_verified_neardup_pairs(
         docs.unionByName(mutated), jaccard_threshold=0.5
     )
+
+
+# Connected components over the exact >= 0.5 shingle-Jaccard pair
+# graph, as a recursive reachability CTE: min reachable id is the
+# cluster id, distinct reachable count is the component size.  The
+# corpus injects TWO mutants for docs 0-9 (drop last 2 and last 4
+# words) so clusters with real transitivity (size >= 3) exist.
+_NEARDUP_CLUSTERS_ORACLE = """
+WITH RECURSIVE all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1,
+             greatest(len(string_split(text, ' ')) - 2, 1)), ' ') AS text
+  FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1,
+             greatest(len(string_split(text, ' ')) - 4, 1)), ' ') AS text
+  FROM documents WHERE doc_id < 10
+),
+sh AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+             i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS s
+  FROM all_docs
+),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+    FROM sh a JOIN sh b ON a.id < b.id
+  ) WHERE jaccard >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS id, MIN(dst) AS cluster_id,
+       CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_members
+FROM reach GROUP BY src
+"""
+
+
+@_q("q_neardup_clusters", _NEARDUP_CLUSTERS_ORACLE)
+def q_neardup_clusters(spark, sf_dir):
+    """X2 terminal: near-dup CLUSTERS — verified MinHash pairs ->
+    hash-min connected components (operators/dedup.neardup_clusters);
+    cluster id = component min doc id, n_members = component size.
+    Docs 0-9 carry two mutants each, so size-3 components exercise the
+    transitive closure the pairwise queries cannot.  Pair-set equality
+    with the exact-Jaccard oracle follows the q_neardup_verified
+    argument (candidates-then-verify, total recall at these margins);
+    the component labeling on an equal pair graph is deterministic."""
+    from real_timetransactionaldatalakehouse_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+
+    def _mutant(max_id, offset, drop):
+        return docs.filter(F.col("doc_id") < max_id).select(
+            (F.col("doc_id") + offset).alias("doc_id"),
+            F.concat_ws(
+                " ", F.slice(toks, 1, F.greatest(F.size(toks) - drop, F.lit(1)))
+            ).alias("text"),
+        )
+
+    corpus = docs.unionByName(_mutant(20, 200000, 2)).unionByName(
+        _mutant(10, 300000, 4)
+    )
+    pairs = D.minhash_verified_neardup_pairs(corpus, jaccard_threshold=0.5)
+    return D.neardup_clusters(pairs)
 
 
 @_q("q_simhash_neardup", _SIMHASH_ORACLE)
@@ -2375,13 +2575,16 @@ _CHECK_FIRST: list[str] = [
     "q_ts_diff",
     "q_string_funcs",
     "q_array_explode",
-    # touched this round: oracle or implementation changed
+    # touched or added this round: oracle or implementation changed
     "q_pack_sequences",
     "q_neardup_minhash",
     "q_neardup_verified",
+    "q_neardup_clusters",
     "q_simhash_neardup",
     "q_snapshot_diff",
     "q_schema_evolution",
+    "q_text_redact",
+    "q_join_interval",
     # rows-only infra (keep their rows-only rows visible each round)
     "q_agg_sketches",
     "q_table_stats",
@@ -2393,9 +2596,6 @@ _CHECK_FIRST: list[str] = [
     "q_join_asof",
     "q_merge_upsert",
     "q_dedup_latest",
-    "q_window_tumbling_1min",
-    "q_ewma_state",
-    "q_column_profile",
 ]
 
 

@@ -586,3 +586,94 @@ def jaccard_pairs(
             (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
     )
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph — the step
+    that turns pairwise detections into actionable duplicate CLUSTERS
+    (a fuzzy-dedup pipeline keeps one document per component, so it
+    needs doc -> component, not pairs).
+
+    Hash-min label propagation: every node starts with its own id as
+    label; each round takes the min of its own and its neighbors'
+    labels; at fixpoint the label is the component's min id — a
+    deterministic, order-independent cluster id.  Rounds needed =
+    graph diameter, and near-dup components are dense (near-cliques:
+    mutual shingle overlap), so 2-3 rounds is typical; ``max_iter``
+    is a guard, not a budget.  For adversarial long-chain graphs
+    switch to pointer-jumping (large-star/small-star), which is
+    O(log n) rounds at higher per-round cost.
+
+    Scale shape per round: one edges->labels hash join + one groupBy
+    min — both shuffle on node id, and AQE coalesces as components
+    collapse.  The per-round convergence count is a scalar action, and
+    ``localCheckpoint`` truncates the iterative lineage so round k's
+    plan does not replay rounds 1..k-1.  Output: ``(id, cluster_id,
+    n_members)`` for every node in the pair graph (singletons never
+    enter ``pairs`` and are their own implicit cluster).
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src").agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+                (F.coalesce(F.col("nbr_min") < F.col("label"), F.lit(False))
+                 ).alias("__changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = stepped.filter("__changed").limit(1).count()
+        labels = stepped.drop("__changed")
+        if changed == 0:
+            break
+    edges.unpersist()
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        labels.join(sizes, "label")
+        .select("id", F.col("label").alias("cluster_id"), "n_members")
+    )
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Corpus-curation terminal for X2: remove every non-keeper member
+    of each near-dup cluster (keeper = the component's min id), so
+    mutual near-dups A~B~C keep exactly one document even when the
+    A~C pair itself was below threshold.  Pipeline: verified MinHash
+    pairs -> connected components -> anti-join the losers."""
+    pairs = minhash_verified_neardup_pairs(
+        df, text_col, id_col, jaccard_threshold=jaccard_threshold,
+        **minhash_kwargs,
+    )
+    losers = (
+        neardup_clusters(pairs)
+        .filter(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -106,3 +106,64 @@ def asof_join(
         *[F.col(f"__v_{c}").alias(c) for c in value_cols],
     )
     return out
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_s: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Range (interval) join: each point row matches every interval row
+    with ``start <= ts < end`` — the shape behind event-to-session and
+    reading-to-maintenance-window attribution queries.
+
+    Spark plans a raw non-equi join as BroadcastNestedLoop (or a
+    cartesian) — quadratic work the moment neither side fits in a
+    broadcast.  The scale formulation BUCKETIZES time: each interval
+    explodes to one row per ``bucket_s``-second bucket it overlaps
+    (``sequence(floor(start), floor(end))``), each point maps to its
+    single bucket, and the join becomes an EQUI-join on the bucket id
+    that Catalyst executes as a hash join; the exact ``start <= ts <
+    end`` predicate re-filters inside matched buckets.  Work scales
+    with overlap density, not |points| x |intervals|.
+
+    Choose ``bucket_s`` near the typical interval length: much smaller
+    multiplies the interval-side explode; much larger multiplies the
+    per-bucket candidate fan-in.  Degenerate long intervals (an
+    interval spanning 10^4 buckets) belong in a separate broadcast
+    pass — split by ``(end - start)`` first if the workload has them.
+    ``how="left"`` keeps unmatched points (one NULL-extended row,
+    standard left-join semantics) via an outer join on the bucketed
+    candidates followed by the range filter OR is-null.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    p_bucket = F.floor(F.col(ts_col).cast("double") / bucket_s)
+    i_buckets = F.sequence(
+        F.floor(F.col(start_col).cast("double") / bucket_s),
+        F.floor(F.col(end_col).cast("double") / bucket_s),
+    )
+    pts = points.withColumn("__bucket", p_bucket)
+    ivs = intervals.withColumn("__bucket", F.explode(i_buckets))
+    in_range = (F.col(start_col) <= F.col(ts_col)) & (
+        F.col(ts_col) < F.col(end_col)
+    )
+    if how == "inner":
+        return pts.join(ivs, "__bucket").filter(in_range).drop("__bucket")
+    # left: keep points with no in-range interval; candidates that
+    # matched the bucket but failed the range must not resurface as
+    # phantom NULL rows, so re-aggregate to point granularity
+    matched = pts.join(ivs, "__bucket").filter(in_range).drop("__bucket")
+    iv_cols = [c for c in intervals.columns]
+    missing = pts.join(
+        matched.select(*points.columns).distinct(),
+        on=points.columns,
+        how="left_anti",
+    ).drop("__bucket")
+    for c in iv_cols:
+        missing = missing.withColumn(c, F.lit(None).cast(intervals.schema[c].dataType))
+    return matched.unionByName(missing)

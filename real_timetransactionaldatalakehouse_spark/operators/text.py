@@ -220,3 +220,47 @@ def repetition_stats(
             "top_ngram_ratio"
         ),
     )
+
+
+#: PII patterns restricted to syntax shared verbatim by Java regex
+#: (Spark) and RE2 (DuckDB, Go) — no lookaround, no backrefs — so the
+#: redaction pipeline has exact cross-engine twins.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}[ -][0-9]{3,4}",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: list[str] | None = None,
+    token: str = "[{kind}]",
+    out_col: str | None = None,
+    count_cols: bool = True,
+) -> DataFrame:
+    """X4: PII scrubbing for training corpora — replace emails, IPv4
+    addresses and international phone numbers with typed placeholder
+    tokens, optionally counting the redactions per document (pipelines
+    drop or review documents past a PII-density threshold rather than
+    silently shipping heavily-redacted text).
+
+    Pure ``regexp_replace``/``regexp_count`` projection: JVM-side,
+    whole-stage codegen, zero shuffle — at 100 TB this runs entirely
+    map-side fused with the scan.  Patterns stick to the regex subset
+    Java and RE2 share, so results are engine-portable.
+    """
+    kinds = kinds or list(PII_PATTERNS)
+    out_col = out_col or text_col
+    redacted = F.col(text_col)
+    counts = []
+    for kind in kinds:
+        pat = PII_PATTERNS[kind]
+        if count_cols:
+            counts.append(
+                F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}")
+            )
+        redacted = F.regexp_replace(redacted, pat, token.format(kind=kind))
+    keep = [c for c in df.columns if c != text_col or out_col != text_col]
+    return df.select(*keep, redacted.alias(out_col), *counts)

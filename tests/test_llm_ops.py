@@ -410,3 +410,54 @@ def test_simhash_wide_lane_counts_match_kernel(spark):
         ).collect()[0].sig
     )
     assert swar == kern
+
+
+def test_neardup_clusters_transitive_chain(spark):
+    """Connected components must merge a chain A-B, B-C, C-D into ONE
+    cluster labeled by the min id, even though A-D was never a pair
+    (diameter 3 > 1 round, so this also exercises iteration), and keep
+    a disjoint pair separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.id: (r.cluster_id, r.n_members)
+           for r in D.neardup_clusters(pairs).collect()}
+    assert got == {
+        1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+        10: (10, 2), 11: (10, 2),
+    }
+
+
+def test_drop_near_duplicates_keeps_cluster_keeper(docs):
+    """The curation terminal keeps exactly one doc per near-dup
+    cluster: with two mutants per base doc, both mutants (higher ids)
+    disappear and every base doc survives."""
+    toks = F.split(F.col("text"), " ")
+
+    def mutant(n, offset, drop):
+        return docs.filter(F.col("doc_id") < n).select(
+            (F.col("doc_id") + offset).alias("doc_id"),
+            F.concat_ws(
+                " ", F.slice(toks, 1, F.greatest(F.size(toks) - drop, F.lit(1)))
+            ).alias("text"),
+        )
+
+    corpus = docs.unionByName(mutant(10, 200000, 2)).unionByName(
+        mutant(10, 300000, 4)
+    )
+    kept = D.drop_near_duplicates(corpus)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # no mutant survives (each is the higher id in its cluster), and
+    # every mutated base doc does (it is its cluster's min id)
+    assert not {i for i in ids if i >= 200000}
+    assert set(range(10)) <= ids
+    # base docs that fell to NATURAL near-dup clusters are exactly the
+    # non-keeper members of the base corpus's own pair graph
+    nat_losers = {
+        r.id
+        for r in D.neardup_clusters(
+            D.minhash_verified_neardup_pairs(docs, jaccard_threshold=0.5)
+        ).filter(F.col("id") != F.col("cluster_id")).collect()
+    }
+    base_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert ids == base_ids - nat_losers

@@ -337,3 +337,61 @@ def test_repetition_stats_invariants(spark, data):
         assert 0.0 <= r.dup_ngram_ratio <= 1.0
         assert r.top_ngram_ratio >= 1.0 / r.n_ngrams - 1e-12
         assert abs(r.dup_ngram_ratio - (1.0 - r.n_distinct / r.n_ngrams)) < 1e-12
+
+
+def test_interval_join_matches_naive_nonequi(spark):
+    """Bucketized range join must equal the naive non-equi join on a
+    frame small enough to brute-force, across bucket sizes (bucket
+    granularity must never change results), plus left-join semantics:
+    unmatched points survive exactly once with NULL interval columns."""
+    from real_timetransactionaldatalakehouse_spark.operators.joins import (
+        interval_join,
+    )
+
+    pts = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "pid long, ts double"
+    )
+    ivs = spark.createDataFrame(
+        [(0, 10.0, 25.0), (1, 20.0, 20.0), (2, 24.0, 55.5), (3, 200.0, 300.0)],
+        "iid long, lo double, hi double",
+    )
+    naive = sorted(
+        (r.pid, r.iid)
+        for r in pts.crossJoin(ivs)
+        .filter((F.col("lo") <= F.col("ts")) & (F.col("ts") < F.col("hi")))
+        .collect()
+    )
+    for bucket in (1, 7, 1000):
+        got = sorted(
+            (r.pid, r.iid)
+            for r in interval_join(pts, ivs, "ts", "lo", "hi", bucket_s=bucket).collect()
+        )
+        assert got == naive, bucket
+    left = interval_join(pts, ivs, "ts", "lo", "hi", bucket_s=7, how="left")
+    rows = left.collect()
+    matched = [(r.pid, r.iid) for r in rows if r.iid is not None]
+    unmatched = [r.pid for r in rows if r.iid is None]
+    assert sorted(matched) == naive
+    matched_pids = {p for p, _ in naive}
+    assert sorted(unmatched) == sorted(set(range(100)) - matched_pids)
+
+
+def test_redact_pii_patterns(spark):
+    """Each PII kind redacts independently with correct counts; clean
+    text passes through untouched."""
+    from real_timetransactionaldatalakehouse_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d+x@e-f.org, ip 192.168.0.1, tel +44 20 7946 0958"),
+            (2, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert (got[1].n_email, got[1].n_ipv4, got[1].n_phone) == (2, 1, 1)
+    assert "[email]" in got[1].text and "[ipv4]" in got[1].text
+    assert "[phone]" in got[1].text
+    assert "a@b.io" not in got[1].text and "192.168.0.1" not in got[1].text
+    assert got[2].text == "no pii here at all"
+    assert (got[2].n_email, got[2].n_ipv4, got[2].n_phone) == (0, 0, 0)
