@@ -1483,6 +1483,51 @@ def q_text_repetition(spark, sf_dir):
     return repetition_stats(docs, n=2)
 
 
+# SCD2 history from the per-user event_type change stream: collapse
+# consecutive unchanged types, then validity = [ts, next changed ts).
+_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), changed AS (
+  SELECT user_id, ts, event_id, event_type FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, event_type,
+       epoch(ts) AS from_s,
+       epoch(LEAD(ts) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id)) AS to_s,
+       (LEAD(ts) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id)) IS NULL AS is_current
+FROM changed
+"""
+
+
+@_q("q_scd2_history", _SCD2_ORACLE)
+def q_scd2_history(spark, sf_dir):
+    """SCD Type-2 dimension history (operators/merge.scd2_from_changes):
+    per-user event_type change stream -> validity intervals with
+    ``is_current`` — the "value at time t" layout the reference's SCD1
+    stream can't answer; one keyed window shuffle."""
+    from real_timetransactionaldatalakehouse_spark.operators.merge import (
+        scd2_from_changes,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    hist = scd2_from_changes(
+        ev, ["user_id"], "ts",
+        tiebreak_cols=["event_id"], drop_unchanged=["event_type"],
+    )
+    return hist.select(
+        "user_id", "event_type",
+        F.col("effective_from").cast("double").alias("from_s"),
+        F.col("effective_to").cast("double").alias("to_s"),
+        "is_current",
+    )
+
+
 # Injected synthetic PII (the corpus itself is PII-free) so the
 # redaction actually fires; patterns come from operators.text
 # PII_PATTERNS verbatim (Java-regex/RE2-shared subset).
@@ -2585,6 +2630,7 @@ _CHECK_FIRST: list[str] = [
     "q_schema_evolution",
     "q_text_redact",
     "q_join_interval",
+    "q_scd2_history",
     # rows-only infra (keep their rows-only rows visible each round)
     "q_agg_sketches",
     "q_table_stats",
@@ -2595,7 +2641,6 @@ _CHECK_FIRST: list[str] = [
     "q_trending_velocity",
     "q_join_asof",
     "q_merge_upsert",
-    "q_dedup_latest",
 ]
 
 

@@ -150,3 +150,48 @@ def delta_merge(
         .whenNotMatchedInsertAll()
         .execute()
     )
+
+
+def scd2_from_changes(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+    drop_unchanged: list[str] | None = None,
+) -> DataFrame:
+    """SCD Type-2 dimension history from a change stream: each (key,
+    ts) change row becomes a validity interval ``[effective_from,
+    effective_to)`` with ``is_current`` on the open row — the standard
+    slowly-changing-dimension layout the reference's SCD1 stream
+    (``stream_dims.py``, latest-state only) cannot answer "what was
+    the value at time t" queries with.  Point-in-time lookups then run
+    through :func:`~..joins.asof_join` (one keyed shuffle) or
+    :func:`~..joins.interval_join` on the validity range.
+
+    ``effective_to = lead(ts)`` per key: ONE window over the key
+    partition — one shuffle, state bounded by a key's change count,
+    any number of keys.  ``drop_unchanged`` lists the tracked attribute
+    columns; consecutive rows whose tracked values are all unchanged
+    are collapsed first (no zero-length version churn from upstream
+    duplicate emissions) via a lag-compare in the same window order —
+    Catalyst reuses the single sort+exchange for both windows.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    out = changes
+    if drop_unchanged:
+        same = F.lit(True)
+        for c in drop_unchanged:
+            same = same & F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+        out = out.withColumn("__dup", F.coalesce(same, F.lit(False))).filter(
+            ~F.col("__dup")
+        ).drop("__dup")
+    return (
+        out.withColumn("effective_from", F.col(ts_col))
+        .withColumn("effective_to", F.lead(F.col(ts_col)).over(w))
+        .withColumn("is_current", F.col("effective_to").isNull())
+    )

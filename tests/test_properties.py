@@ -395,3 +395,37 @@ def test_redact_pii_patterns(spark):
     assert "a@b.io" not in got[1].text and "192.168.0.1" not in got[1].text
     assert got[2].text == "no pii here at all"
     assert (got[2].n_email, got[2].n_ipv4, got[2].n_phone) == (0, 0, 0)
+
+
+def test_scd2_from_changes_intervals(spark):
+    """Hand-computed SCD2: consecutive unchanged values collapse, each
+    version's validity ends where the next begins, exactly one open
+    (is_current) row per key."""
+    from real_timetransactionaldatalakehouse_spark.operators.merge import (
+        scd2_from_changes,
+    )
+
+    rows = [
+        (1, 10.0, 100, "a"),
+        (1, 20.0, 101, "a"),   # unchanged -> collapsed
+        (1, 30.0, 102, "b"),
+        (1, 40.0, 103, "a"),   # back to a -> NEW version (not merged)
+        (2, 15.0, 200, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts double, eid long, v string")
+    hist = scd2_from_changes(
+        df, ["k"], "ts", tiebreak_cols=["eid"], drop_unchanged=["v"]
+    )
+    got = sorted(
+        (r.k, r.v, r.effective_from, r.effective_to, r.is_current)
+        for r in hist.collect()
+    )
+    assert got == [
+        (1, "a", 10.0, 30.0, False),
+        (1, "a", 40.0, None, True),
+        (1, "b", 30.0, 40.0, False),
+        (2, "x", 15.0, None, True),
+    ]
+    # exactly one current row per key
+    cur = hist.filter("is_current").groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in cur)
