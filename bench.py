@@ -74,6 +74,12 @@ BENCH_QUERIES = [
     "q_multimodal_features",
     "q_column_profile",
     "q_vocab_topn",
+    # r4 new-operator families (clusters excluded: its iterative
+    # convergence loop runs actions at plan-build time, so a
+    # declare-once/execute-N bench would time only the final join)
+    "q_scd2_history",
+    "q_join_interval",
+    "q_text_redact",
 ]
 
 

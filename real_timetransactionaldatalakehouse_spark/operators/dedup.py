@@ -537,15 +537,20 @@ def minhash_verified_neardup_pairs(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands,
         shingle_n=shingle_n, jaccard_threshold=est_gate,
     ).select("id_a", "id_b")
+    # persist the shingle table: the n-gram HOF build is the verify
+    # stage's dominant cost and BOTH join sides read it — without the
+    # cache Catalyst recomputes the transform per branch (measured 2x
+    # the whole verify wall at bench scale).  At corpus scale this is
+    # the materialized shingle index next to the signature index.
     toks = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(text_col, shingle_n)).alias("tok"),
-    )
+    ).persist()
     a = toks.select(F.col("id").alias("id_a"), F.col("tok").alias("tok_a"))
     b = toks.select(F.col("id").alias("id_b"), F.col("tok").alias("tok_b"))
     inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b")))
     union = F.size(F.array_union(F.col("tok_a"), F.col("tok_b")))
-    return (
+    out = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .select(
@@ -554,6 +559,7 @@ def minhash_verified_neardup_pairs(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
+    return _attach_cached(out, [toks])
 
 
 def jaccard_pairs(

@@ -239,3 +239,55 @@ def test_simhash_plan_is_all_jvm(spark, sf_medium):
     Python: no ArrowEvalPython / BatchEvalPython stage anywhere."""
     plan = P.formatted_plan(_Q["q_simhash_neardup"](spark, sf_medium))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_interval_join_is_hash_join_not_nested_loop(spark, sf_medium):
+    """Range-join contract: the bucketized formulation must compile to
+    an equi hash join on the bucket id — a raw non-equi join would plan
+    BroadcastNestedLoopJoin (quadratic once nothing fits in a
+    broadcast)."""
+    from real_timetransactionaldatalakehouse_spark.operators.joins import (
+        interval_join,
+    )
+    from real_timetransactionaldatalakehouse_spark.sources import load_table
+
+    ev = load_table(spark, sf_medium, "events")
+    pts = ev.select("event_id", F.col("ts").cast("double").alias("ts_s"))
+    ivs = spark.createDataFrame(
+        [(i, i * 600.0, i * 600.0 + 900.0) for i in range(50)],
+        "iid long, lo double, hi double",
+    )
+    plan = P.formatted_plan(interval_join(pts, ivs, "ts_s", "lo", "hi"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan, plan
+    # the declared query's plan: its point-interval join is hash too
+    # (the only nested loops are the 20x1 interval-builder cross join)
+    qplan = P.formatted_plan(_Q["q_join_interval"](spark, sf_medium))
+    assert "BroadcastHashJoin" in qplan, qplan
+    assert "CartesianProduct" not in qplan, qplan
+
+
+def test_scd2_single_window_exchange(spark, sf_medium):
+    """SCD2 contract: collapse + interval assignment share ONE keyed
+    exchange (the windows use the same partitioning), never a
+    single-partition window."""
+    plan = P.formatted_plan(_Q["q_scd2_history"](spark, sf_medium))
+    assert "SinglePartition" not in plan, plan
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges <= 2, f"{n_exchanges} exchanges:\n{plan}"
+
+
+def test_redact_pii_is_map_only(spark, sf_medium):
+    """Redaction contract: pure projection — zero exchanges, zero
+    Python stages; fuses with the scan in whole-stage codegen."""
+    from real_timetransactionaldatalakehouse_spark.operators.text import redact_pii
+    from real_timetransactionaldatalakehouse_spark.sources import load_table
+
+    docs = load_table(spark, sf_medium, "documents").select("doc_id", "text")
+    plan = P.formatted_plan(redact_pii(docs))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    # the '*' node prefix marks whole-stage-codegen stages in the
+    # formatted plan; the projection must be inside one
+    assert "* Project" in plan, plan
