@@ -206,6 +206,7 @@ def run_maintenance(
     keep_last: int = 5,
     expire_older_than_s: float | None = None,
     ttl: dict[str, tuple[str, object]] | None = None,
+    zorder: dict[str, list[str]] | None = None,
 ) -> dict:
     """M5 analogue: the reference's hourly maintenance run
     (``dags/maintenance_dag.py:13-31`` scheduling
@@ -226,6 +227,9 @@ def run_maintenance(
     races the compactor); absent entries compact the whole table.
     ``ttl`` maps table name -> (ts_col, cutoff) for retention deletes
     (reference: 7-day gold TTL, DataModel_SchemaDesign.md:136).
+    ``zorder`` maps table name -> column list; those tables rewrite
+    through :func:`zorder_compact` (multi-column data-skipping layout)
+    instead of plain bin-packing.
 
     Returns ``{table: {compact, expired, orphans, ttl}}`` — each step's
     own report, so a scheduler can alert on any sub-step."""
@@ -238,9 +242,12 @@ def run_maintenance(
         meta = catalog.meta(name)
         path = meta["path"]
         r: dict = {}
-        r["compact"] = compact(
-            spark, path, where=(cold_where or {}).get(name)
-        )
+        if zorder and name in zorder:
+            r["compact"] = zorder_compact(spark, path, zorder[name])
+        else:
+            r["compact"] = compact(
+                spark, path, where=(cold_where or {}).get(name)
+            )
         if meta.get("versioned"):
             r["expired"] = expire_snapshots(
                 path, keep_last=keep_last, older_than_s=expire_older_than_s
@@ -251,3 +258,85 @@ def run_maintenance(
             r["ttl"] = ttl_delete(spark, path, ts_col, cutoff)
         report[name] = r
     return report
+
+
+def zorder_key(
+    quantized: list[Column],
+    bits: int = 16,
+) -> Column:
+    """Morton (Z-order) code: interleave the bits of ``len(quantized)``
+    already-quantized non-negative integer columns, LSB-first — rows
+    close in the key are close in EVERY dimension, so sorting by it
+    clusters multi-column locality into files and row groups.  Pure
+    shift/mask expression tree (``bits x k`` terms), whole-stage
+    codegen."""
+    k = len(quantized)
+    terms = []
+    for b in range(bits):
+        for i, q in enumerate(quantized):
+            terms.append(
+                F.shiftleft(
+                    F.shiftrightunsigned(q.cast("long"), b).bitwiseAND(F.lit(1)),
+                    b * k + i,
+                )
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def zorder_compact(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+) -> dict:
+    """OPTIMIZE ... ZORDER BY analogue: rewrite the table sorted by the
+    Morton interleave of ``cols`` so parquet min/max stats prune scans
+    filtered on ANY of the columns — the multi-column data-skipping
+    layout a time-partitioned table can't give its secondary keys.
+
+    Each column is equi-width quantized to ``bits`` bits over its
+    [min, max] range (ONE metadata-sized agg; heavily skewed columns
+    should be pre-transformed, e.g. log), the interleaved key range-
+    partitions the rewrite (repartitionByRange + sortWithinPartitions
+    — no global sort), and the swap validates row counts like every
+    maintenance rewrite.  At 100 TB this runs per partition/predicate
+    scope exactly like :func:`compact`'s ``where``.
+    """
+    df = _read_target(spark, path)
+    n_before = df.count()
+    # per-column min/max in one pass -> scalar quantization constants
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"__mx_{c}")]
+    row = df.agg(*aggs).first()
+    scale = (1 << bits) - 1
+    quantized = []
+    for c in cols:
+        mn, mx = row[f"__mn_{c}"], row[f"__mx_{c}"]
+        span = (mx - mn) or 1.0
+        quantized.append(
+            F.least(
+                F.lit(scale),
+                F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * scale),
+            )
+        )
+    total_bytes = sum(b for _f, b in _list_parquet_files(spark, path))
+    n_files = max(1, round(total_bytes / target_file_bytes))
+    keyed = df.withColumn("__z", zorder_key(quantized, bits))
+    out = (
+        keyed.repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    _safe_swap_rewrite(spark, path, out, n_before, ".zorder-tmp")
+    return {
+        "rows_before": n_before,
+        "rows_after": _read_target(spark, path).count(),
+        "files_target": n_files,
+        "zorder_by": list(cols),
+    }

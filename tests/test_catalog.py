@@ -173,6 +173,7 @@ def test_run_maintenance_composed(spark, sf_small, tmp_path):
         cat,
         keep_last=2,
         ttl={"bronze.events": ("ts", cutoff)},
+        zorder={"gold.flat": ["user_id", "event_id"]},
     )
     assert set(report) == {"bronze.events", "gold.flat"}
     r = report["bronze.events"]
@@ -185,6 +186,7 @@ def test_run_maintenance_composed(spark, sf_small, tmp_path):
     assert r["expired"]["removed"], r
     assert ".tmp-v00000042" in r["orphans"]["removed"]
     assert not os.path.isdir(os.path.join(path, "_versions", ".tmp-v00000042"))
-    # plain table: compacted only (no snapshot metadata steps)
+    # plain table: zorder-compacted only (no snapshot metadata steps)
     assert "expired" not in report["gold.flat"]
     assert report["gold.flat"]["compact"]["rows_after"] == n
+    assert report["gold.flat"]["compact"]["zorder_by"] == ["user_id", "event_id"]
