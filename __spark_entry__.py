@@ -1483,6 +1483,43 @@ def q_text_repetition(spark, sf_dir):
     return repetition_stats(docs, n=2)
 
 
+_BPE_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
+       CAST(len(regexp_extract_all(text, '@PAT@')) AS INTEGER) AS n_bpe,
+       CAST(len(regexp_extract_all(text, '@PAT@')) AS DOUBLE)
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS bpe_per_word
+FROM documents
+"""
+
+from real_timetransactionaldatalakehouse_spark.operators.text import (  # noqa: E402
+    BPE_SPLIT_PATTERN as _BPE_PAT,
+)
+
+# single quotes in the pattern must double inside the SQL literal
+_BPE_ORACLE = _BPE_ORACLE.replace("@PAT@", _BPE_PAT.replace("'", "''"))
+
+
+@_q("q_text_tokens_bpe", _BPE_ORACLE)
+def q_text_tokens_bpe(spark, sf_dir):
+    """X4: pre-tokenizer (BPE-style) token counting next to whitespace
+    counts — the budget unit LLM pipelines cost documents in; pure
+    regexp projection, zero shuffle."""
+    from real_timetransactionaldatalakehouse_spark.operators.text import (
+        token_count_bpe, tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n_ws = F.size(tokens("text"))
+    n_bpe = token_count_bpe("text")
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws"),
+        n_bpe.alias("n_bpe"),
+        (n_bpe.cast("double") / n_ws.cast("double")).alias("bpe_per_word"),
+    )
+
+
 # SCD2 history from the per-user event_type change stream: collapse
 # consecutive unchanged types, then validity = [ts, next changed ts).
 _SCD2_ORACLE = """

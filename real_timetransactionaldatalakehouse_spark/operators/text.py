@@ -264,3 +264,20 @@ def redact_pii(
         redacted = F.regexp_replace(redacted, pat, token.format(kind=kind))
     keep = [c for c in df.columns if c != text_col or out_col != text_col]
     return df.select(*keep, redacted.alias(out_col), *counts)
+
+
+#: GPT-2-style pre-tokenizer split, simplified to the Java-regex/RE2
+#: shared subset (no lookaheads): contractions, letter runs, digit
+#: runs, punctuation runs (each optionally space-prefixed), whitespace.
+BPE_SPLIT_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """Pre-tokenizer token count — the budget unit LLM pipelines cost
+    documents in (whitespace counts under-estimate code/punctuation-
+    heavy text).  Pure ``regexp_extract_all`` + ``size`` projection:
+    map-side, codegen, zero shuffle; engine-portable pattern."""
+    c = F.col(text) if isinstance(text, str) else text
+    # group 0 = whole match (Spark defaults to group 1; the pattern's
+    # only group is non-capturing)
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), F.lit(0)))

@@ -295,3 +295,38 @@ def snapshot_diff(
         *[side.getField(c).alias(c) for c in val_cols],
         "_change",
     )
+
+
+def snapshots_table(spark: SparkSession, path: str) -> DataFrame:
+    """Metadata table: one row per live snapshot — the engine analogue
+    of Iceberg's ``tbl$snapshots`` (the reference's monitoring
+    dashboards read it, ``lakehouse_monitor.json:117,314``): version,
+    commit time, current flag, file count and byte size.
+
+    Driver-side listing by design, like :func:`maintenance.table_stats`
+    — a compactor-bounded file count per snapshot; a metastore-scale
+    deployment reads a manifest instead."""
+    cur = current_version(path)
+    rows = []
+    for v in list_versions(path):
+        vp = version_path(path, v)
+        files = [
+            (os.path.join(r, f), os.path.getsize(os.path.join(r, f)))
+            for r, _d, fs in os.walk(vp)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        rows.append(
+            (
+                v,
+                float(os.path.getmtime(vp)),
+                v == cur,
+                len(files),
+                sum(b for _f, b in files),
+            )
+        )
+    return spark.createDataFrame(
+        rows or [],
+        "version long, committed_at_s double, is_current boolean, "
+        "n_files long, total_bytes long",
+    )

@@ -429,3 +429,24 @@ def test_scd2_from_changes_intervals(spark):
     # exactly one current row per key
     cur = hist.filter("is_current").groupBy("k").count().collect()
     assert all(r["count"] == 1 for r in cur)
+
+
+def test_token_count_bpe_segments(spark):
+    """Pre-tokenizer counts: contractions split off, punctuation and
+    digit runs count separately from words — the cases whitespace
+    counting collapses."""
+    from real_timetransactionaldatalakehouse_spark.operators.text import (
+        token_count_bpe,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "it's fine"),          # it | 's | _fine -> 3
+            (2, "f(x)=42!"),           # f | ( | x | )= | 42 | ! -> 6
+            (3, "plain words here"),   # 3 words (spaces fold into them)
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n for r in df.select(
+        "doc_id", token_count_bpe("text").alias("n")).collect()}
+    assert got == {1: 3, 2: 6, 3: 3}

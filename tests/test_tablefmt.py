@@ -349,3 +349,23 @@ def test_snapshot_diff_keyed_and_setwise(spark, tmp_path):
         (r.id, r._change) for r in TF.snapshot_diff(spark, tbl, 1, 2).collect()
     )
     assert setwise == [(2, "delete"), (2, "insert"), (3, "delete"), (4, "insert")]
+
+
+def test_snapshots_table_metadata(spark, sf_small, tmp_path):
+    """tbl$snapshots analogue: one row per live version, current
+    flagged, file counts/bytes populated; expired versions drop out."""
+    from real_timetransactionaldatalakehouse_spark import tablefmt as TF
+    from real_timetransactionaldatalakehouse_spark.sources import load_table
+
+    ev = load_table(spark, sf_small, "events").select("event_id", "user_id")
+    t = str(tmp_path / "snap")
+    TF.write_version(ev, t)
+    TF.write_version(ev.limit(10), t)
+    TF.write_version(ev.limit(5), t)
+    snaps = {r.version: r for r in TF.snapshots_table(spark, t).collect()}
+    assert set(snaps) == {1, 2, 3}
+    assert snaps[3].is_current and not snaps[1].is_current
+    assert all(r.n_files >= 1 and r.total_bytes > 0 for r in snaps.values())
+    assert snaps[1].committed_at_s <= snaps[3].committed_at_s
+    TF.expire_snapshots(t, keep_last=1)
+    assert {r.version for r in TF.snapshots_table(spark, t).collect()} == {3}
