@@ -276,3 +276,61 @@ def dims_scd1_stream(
         checkpoint,
         available_now,
     )
+
+
+def stream_stream_time_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "10 minutes",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+):
+    """T-family: watermarked stream-stream equi-join with a time bound
+    — the click-to-impression / order-to-payment attribution shape.
+    Both sides carry a watermark and the join adds the
+    ``|left_ts - right_ts| <= within`` range condition, which is what
+    lets Structured Streaming BOUND the join state: a buffered row can
+    be evicted once the other side's watermark passes its timestamp +
+    ``within``.  Without the time bound the state grows forever — the
+    planner rejects outer joins outright and inner joins leak.
+
+    Returns the joined streaming DataFrame (caller picks the sink);
+    columns are disambiguated with ``l_``/``r_`` prefixes except the
+    shared key.  One shuffle per side on the join key, state in the
+    per-key store — the standard scalable shape at any volume; skewed
+    keys follow the same salting guidance as batch joins.
+    """
+    # project/rename FIRST, then watermark the renamed event-time
+    # column — the watermark tag must sit on the column the join
+    # condition references
+    lp = left.select(
+        F.col(key),
+        *[
+            F.col(c).alias(f"l_{c}")
+            for c in left.columns
+            if c != key
+        ],
+    ).withWatermark(f"l_{left_ts}", watermark)
+    rp = right.select(
+        F.col(key).alias("__rk"),
+        *[
+            F.col(c).alias(f"r_{c}")
+            for c in right.columns
+            if c != key
+        ],
+    ).withWatermark(f"r_{right_ts}", watermark)
+    cond = (
+        (F.col(key) == F.col("__rk"))
+        & (
+            F.col(f"l_{left_ts}")
+            >= F.col(f"r_{right_ts}") - F.expr(f"INTERVAL {within}")
+        )
+        & (
+            F.col(f"l_{left_ts}")
+            <= F.col(f"r_{right_ts}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return lp.join(rp, cond, how).drop("__rk")

@@ -496,3 +496,47 @@ def test_parse_kafka_json_wire_decode(spark):
     assert (rows[0].order_id, rows[0].status, rows[0].kafka_ts) == (7, "NEW", t0)
     # malformed value degrades to NULL fields, never a query failure
     assert rows[1].order_id is None and rows[1].status is None
+
+
+def test_stream_stream_join_equals_batch(spark, events_small, tmp_path):
+    """T: watermarked stream-stream time-bound join — full replay must
+    equal the batch join with the same key + |dt| <= bound condition
+    (all windows finalize once both replays end)."""
+    from real_timetransactionaldatalakehouse_spark.streaming.jobs import (
+        stream_stream_time_join,
+    )
+
+    left_b = events_small.select("user_id", "ts", "event_id")
+    right_b = events_small.select(
+        "user_id", F.col("ts").alias("rts"), F.col("value")
+    ).filter(F.col("value") > 0.5)
+
+    src_l, src_r = str(tmp_path / "l"), str(tmp_path / "r")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_chunks(left_b, src_l, 3, "ts")
+    _write_chunks(right_b.withColumnRenamed("rts", "ts"), src_r, 3, "ts")
+
+    ls = file_stream(spark, src_l, left_b.schema)
+    rs = file_stream(
+        spark, src_r,
+        right_b.withColumnRenamed("rts", "ts").schema,
+    )
+    joined = stream_stream_time_join(
+        ls, rs, key="user_id", within="5 minutes", watermark="10 minutes"
+    )
+    (
+        joined.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start().awaitTermination(120)
+    )
+    streamed = sorted(
+        (r.user_id, r.l_event_id, r.r_value)
+        for r in spark.read.parquet(out).collect()
+    )
+    batch = sorted(
+        (r.user_id, r.event_id, r.value)
+        for r in left_b.join(right_b, "user_id")
+        .filter(F.abs(F.col("ts").cast("double") - F.col("rts").cast("double")) <= 300)
+        .collect()
+    )
+    assert streamed == batch and batch, (len(streamed), len(batch))
