@@ -2668,6 +2668,7 @@ _CHECK_FIRST: list[str] = [
     "q_text_redact",
     "q_join_interval",
     "q_scd2_history",
+    "q_text_tokens_bpe",
     # rows-only infra (keep their rows-only rows visible each round)
     "q_agg_sketches",
     "q_table_stats",
@@ -2677,7 +2678,6 @@ _CHECK_FIRST: list[str] = [
     # flagship fill to 50
     "q_trending_velocity",
     "q_join_asof",
-    "q_merge_upsert",
 ]
 
 

@@ -461,3 +461,35 @@ def test_drop_near_duplicates_keeps_cluster_keeper(docs):
     }
     base_ids = {r.doc_id for r in docs.select("doc_id").collect()}
     assert ids == base_ids - nat_losers
+
+
+def test_heavy_hitters_bounds_and_recovery(spark, sf_small):
+    """Misra-Gries guarantees: estimates never exceed true counts,
+    under-count by at most N/counters, and every key with true count
+    above that bound is recoverable; with enough counters the sketch
+    is exact and matches the true top-k."""
+    from real_timetransactionaldatalakehouse_spark.operators.sampling import (
+        heavy_hitters,
+    )
+    from real_timetransactionaldatalakehouse_spark.operators.text import tokenize
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    toks = tokenize(docs).select("token").repartition(4)
+    exact = {
+        r.token: r.c
+        for r in toks.groupBy("token").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    N = sum(exact.values())
+    counters = 256
+    got = {r.token: r.est_count
+           for r in heavy_hitters(toks, "token", k=20, counters=counters).collect()}
+    assert got, "no heavy hitters returned"
+    for tok, est in got.items():
+        assert est <= exact[tok], (tok, est, exact[tok])          # never over
+        assert exact[tok] - est <= N // counters + 4, tok         # bounded under
+    # with counters >> distinct keys, the sketch is exact: top-k match
+    big = {r.token: r.est_count
+           for r in heavy_hitters(toks, "token", k=10,
+                                  counters=len(exact) + 10).collect()}
+    true_top = dict(sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10])
+    assert big == true_top
