@@ -1969,6 +1969,34 @@ SELECT query_id, neighbor_id, rank, score FROM (
 """
 
 
+_EMBED_PROJECT_ORACLE = f"""
+WITH {_lsh_planes_cte(8)},
+v AS (SELECT vec_id AS id, embedding AS v FROM embeddings)
+SELECT v.id AS vec_id, CAST(planes.p AS INTEGER) AS dim_idx,
+       list_reduce(list_transform(list_zip(v.v, planes.pv),
+           x -> CAST(x[1] AS DOUBLE) * x[2]), (s, t) -> s + t) AS comp
+FROM v, planes
+"""
+
+
+@_q("q_embed_project", _EMBED_PROJECT_ORACLE)
+def q_embed_project(spark, sf_dir):
+    """X3-adjacent: Johnson-Lindenstrauss random projection to 8 dims
+    (operators/similarity.project_embeddings) — ANN preprocessing that
+    shrinks index and shuffle width; the deterministic splitmix plane
+    matrix makes every component bit-reproducible cross-engine.
+    Output exploded to (vec_id, dim_idx, comp) rows for hashing."""
+    from real_timetransactionaldatalakehouse_spark.operators.similarity import (
+        project_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    proj = project_embeddings(emb, out_dim=8)
+    return proj.select(
+        "vec_id", F.posexplode("projected").alias("dim_idx", "comp")
+    )
+
+
 @_q("q_neardup_minhash", _NEARDUP_MINHASH_ORACLE)
 def q_neardup_minhash(spark, sf_dir):
     """X2: MinHash+LSH near-dup pairs over the corpus + injected
@@ -2675,9 +2703,9 @@ _CHECK_FIRST: list[str] = [
     "q_sorted_write",
     "q_snapshot_lifecycle",
     "q_bucket_pruned_lookup",
+    "q_embed_project",
     # flagship fill to 50
     "q_trending_velocity",
-    "q_join_asof",
 ]
 
 

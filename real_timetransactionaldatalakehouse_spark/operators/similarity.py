@@ -642,3 +642,32 @@ def embedding_neardup_pairs_lsh(
         .filter(F.col("score") >= threshold)
     )
     return _attach_cached(out, [banded])
+
+
+def project_embeddings(
+    df: DataFrame,
+    out_dim: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    out_col: str = "projected",
+) -> DataFrame:
+    """Random-projection (Johnson-Lindenstrauss) dimensionality
+    reduction: project each vector onto ``out_dim`` deterministic
+    pseudo-random hyperplanes — the standard preprocessing that shrinks
+    ANN index and shuffle width when the raw embedding dimension is
+    overkill for recall.  Angles (hence cosine ranking) are
+    approximately preserved with distortion ~ sqrt(log n / out_dim).
+
+    The projection matrix is the same data-independent splitmix
+    construction the LSH tables use (`_hyperplane`): reproducible on
+    any engine, no RNG state, rides the plan as a literal — nothing is
+    broadcast or shuffled.  Per-row cost is ``out_dim`` sequential
+    folds (JVM codegen); output is ``array<double>``.
+    """
+    M = _planes_matrix_expr(out_dim, dim)
+    comps = [dot(F.col(vec_col), F.element_at(M, p + 1)) for p in range(out_dim)]
+    return df.select(
+        F.col(id_col), *[c for c in df.columns if c != id_col and c != vec_col],
+        F.array(*comps).alias(out_col),
+    )

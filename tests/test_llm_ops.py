@@ -493,3 +493,33 @@ def test_heavy_hitters_bounds_and_recovery(spark, sf_small):
                                   counters=len(exact) + 10).collect()}
     true_top = dict(sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10])
     assert big == true_top
+
+
+def test_project_embeddings_preserves_neighbors(spark, sf_small):
+    """JL projection sanity on PLANTED near-duplicates (the base
+    corpus is near-uniform random — all cosines ~0, top-1 is
+    meaningless under any projection): each planted near-copy must
+    stay its original's top-1 after 64 -> 16 projection, and
+    components must be deterministic across runs."""
+    emb = load_table(spark, sf_small, "embeddings")
+    v = F.col("embedding")
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at(v, 1) + F.lit(0.3)).cast("float")),
+            F.slice(v, 2, 63),
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(planted)
+    proj = S.project_embeddings(corpus, out_dim=16).withColumnRenamed(
+        "projected", "embedding"
+    )
+    q_prj = proj.filter(F.col("vec_id") >= 10000)
+    top1 = {r.query_id: r.neighbor_id
+            for r in S.knn_bruteforce(q_prj, proj, k=1).collect()}
+    agree = sum(1 for q, n in top1.items() if n == q - 10000)
+    assert agree >= 17, f"projection kept only {agree}/20 planted pairs"
+    a = S.project_embeddings(emb, out_dim=8).collect()
+    b = {r.vec_id: r.projected for r in S.project_embeddings(emb, out_dim=8).collect()}
+    assert all(b[r.vec_id] == r.projected for r in a)
