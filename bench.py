@@ -127,6 +127,17 @@ def main() -> None:
     ORACLE_SKIP = {
         "q_neardup_minhash": "all-pairs exact-Jaccard oracle is O(n^2); minutes at sf>=0.1",
     }
+    # Flagged for the reader of the aggregate ratio: queries where the
+    # DuckDB oracle is structurally slower than the engine (its only
+    # faithful formulation is row-at-a-time), so they DEFLATE the
+    # aggregate.  Their per-query ratios are in the detail file.
+    ORACLE_ASYMMETRY_NOTES = {
+        "q_ewma_anomaly": (
+            "DuckDB's faithful twin of the ordered stateful fold is a "
+            "row-recursive CTE (~10x the engine's struct-fold agg on the "
+            "same rows); included because both compute identical output"
+        ),
+    }
     oracle: dict[str, float] = {}
     con = osql = None
     try:
@@ -192,6 +203,15 @@ def main() -> None:
         ),
         "steady_vs_oracle_per_query": ratios,
         "oracle_skipped": ORACLE_SKIP,
+        "oracle_asymmetry_notes": ORACLE_ASYMMETRY_NOTES,
+        "steady_vs_oracle_ratio_excl_asymmetric": round(
+            sum(steady[n] for n in covered if n not in ORACLE_ASYMMETRY_NOTES)
+            / max(
+                sum(oracle[n] for n in covered if n not in ORACLE_ASYMMETRY_NOTES),
+                1e-9,
+            ),
+            3,
+        ),
         "sf": float(sf) if sf else None,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
