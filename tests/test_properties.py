@@ -450,3 +450,127 @@ def test_token_count_bpe_segments(spark):
     got = {r.doc_id: r.n for r in df.select(
         "doc_id", token_count_bpe("text").alias("n")).collect()}
     assert got == {1: 3, 2: 6, 3: 3}
+
+
+# --- r4 operators: property checks against plain-Python references ----
+
+edge = st.tuples(
+    st.integers(min_value=0, max_value=15),
+    st.integers(min_value=0, max_value=15),
+)
+
+
+@SETTINGS
+@given(edges=st.lists(edge, min_size=1, max_size=20))
+def test_neardup_clusters_matches_union_find(spark, edges):
+    """Connected components on random pair graphs must equal a plain
+    union-find: same membership, same min-id labels, same sizes
+    (self-loops allowed; direction irrelevant)."""
+    from real_timetransactionaldatalakehouse_spark.operators.dedup import (
+        neardup_clusters,
+    )
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        union(a, b)
+    expected_label = {n: find(n) for n in parent}
+    sizes: dict = {}
+    for n, lbl in expected_label.items():
+        sizes[lbl] = sizes.get(lbl, 0) + 1
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: (r.cluster_id, r.n_members)
+           for r in neardup_clusters(df).collect()}
+    assert got == {
+        n: (lbl, sizes[lbl]) for n, lbl in expected_label.items()
+    }
+
+
+interval = st.tuples(
+    st.integers(min_value=0, max_value=50),     # lo
+    st.integers(min_value=0, max_value=50),     # length
+)
+
+
+@SETTINGS
+@given(
+    pts=st.lists(st.integers(min_value=-10, max_value=120), min_size=0, max_size=30),
+    ivs=st.lists(interval, min_size=0, max_size=10),
+    bucket=st.sampled_from([1, 7, 64]),
+)
+def test_interval_join_matches_python_reference(spark, pts, ivs, bucket):
+    """Bucketized interval join vs the obvious double loop, across
+    bucket granularities, including empty sides and zero-length
+    intervals (start == end matches nothing: ts < end)."""
+    from real_timetransactionaldatalakehouse_spark.operators.joins import (
+        interval_join,
+    )
+
+    pdf = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(pts)], "pid long, ts double"
+    )
+    idf = spark.createDataFrame(
+        [(j, float(lo), float(lo + ln)) for j, (lo, ln) in enumerate(ivs)],
+        "iid long, lo double, hi double",
+    )
+    expected = sorted(
+        (i, j)
+        for i, p in enumerate(pts)
+        for j, (lo, ln) in enumerate(ivs)
+        if lo <= p < lo + ln
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(pdf, idf, "ts", "lo", "hi", bucket_s=bucket).collect()
+    )
+    assert got == expected
+
+
+change = st.tuples(
+    st.integers(min_value=0, max_value=3),     # key
+    st.integers(min_value=0, max_value=40),    # ts
+    st.integers(min_value=0, max_value=2),     # tracked value
+)
+
+
+@SETTINGS
+@given(changes=st.lists(change, min_size=1, max_size=25, unique_by=lambda c: (c[0], c[1])))
+def test_scd2_matches_python_replay(spark, changes):
+    """SCD2 vs a per-key replay: collapse consecutive unchanged
+    values, validity chains with no gaps, exactly one open row per
+    key, every interval end equals the next interval's start."""
+    from real_timetransactionaldatalakehouse_spark.operators.merge import (
+        scd2_from_changes,
+    )
+
+    df = spark.createDataFrame(changes, "k long, ts long, v long")
+    hist = scd2_from_changes(df, ["k"], "ts", drop_unchanged=["v"]).collect()
+
+    by_key: dict = {}
+    for k, t, v in sorted(changes):
+        seq = by_key.setdefault(k, [])
+        if not seq or seq[-1][1] != v:
+            seq.append((t, v))
+    expected = []
+    for k, seq in by_key.items():
+        for i, (t, v) in enumerate(seq):
+            nxt = seq[i + 1][0] if i + 1 < len(seq) else None
+            expected.append((k, v, t, nxt, nxt is None))
+    got = sorted(
+        (r.k, r.v, r.effective_from, r.effective_to, r.is_current) for r in hist
+    )
+    assert got == sorted(expected)
