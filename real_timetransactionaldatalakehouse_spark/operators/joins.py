@@ -167,3 +167,44 @@ def interval_join(
     for c in iv_cols:
         missing = missing.withColumn(c, F.lit(None).cast(intervals.schema[c].dataType))
     return matched.unionByName(missing)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+    salt_by: list[str] | None = None,
+) -> DataFrame:
+    """Skew-safe large-large equi-join: the left (skewed) side gets a
+    deterministic salt in ``[0, salt)``, the right side replicates
+    ``salt`` times, and the join key becomes ``(key, salt)`` — a hot
+    key's rows spread over ``salt`` reducers instead of serializing
+    through one.
+
+    AQE's skew-join split handles MOST of this automatically at
+    runtime; reach for explicit salting when the skew is known and
+    extreme (one key = 30% of rows), when AQE is off (streaming
+    micro-batches), or when the downstream stage must inherit the
+    finer partitioning.  Cost: the right side shuffles ``salt``x its
+    size — keep ``salt`` near the hot key's reducer-count need, not
+    higher.
+
+    The salt is ``xxhash64(salt_by or all left columns) % salt`` —
+    deterministic, so task retries re-salt a row identically
+    (``rand()`` salting breaks exactly-once sinks the same way it
+    breaks split assignment).  Only inner/left joins: right rows
+    replicate, so right-preserving joins would duplicate unmatched
+    right rows.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    cols = salt_by or [c for c in left.columns]
+    l_salted = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt))
+    )
+    r_rep = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return l_salted.join(r_rep, [on, "__salt"], how).drop("__salt")
