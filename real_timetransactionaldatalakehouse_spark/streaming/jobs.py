@@ -334,3 +334,47 @@ def stream_stream_time_join(
         )
     )
     return lp.join(rp, cond, how).drop("__rk")
+
+
+def dims_scd2_stream(
+    stream_df: DataFrame,
+    log_path: str,
+    checkpoint: str,
+    op_col: str = "op",
+    allowed_ops: tuple[str, ...] = ("c", "u"),
+    available_now: bool = True,
+    blocking: bool = True,
+):
+    """Dims, SCD Type-2 architecture: the CDC stream appends to an
+    IMMUTABLE change log (exactly-once via the parquet file sink's
+    manifest) and the versioned dimension is DERIVED on read
+    (:func:`scd2_dim_view`) — history is never rewritten per batch,
+    so the streaming write stays append-only at any rate while the
+    SCD1 path (``dims_scd1_stream``) keeps serving latest-state.
+    """
+    filtered = stream_df.filter(F.col(op_col).isin(list(allowed_ops)))
+    writer = filtered.writeStream.format("parquet").option("path", log_path)
+    return _run_stream(writer, checkpoint, available_now, blocking)
+
+
+def scd2_dim_view(
+    spark: SparkSession,
+    log_path: str,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+    tracked_cols: list[str] | None = None,
+) -> DataFrame:
+    """The SCD2 dimension derived from the change log: validity
+    intervals + ``is_current`` via ``operators.merge.scd2_from_changes``
+    (one keyed window shuffle at read time; materialize under
+    ``tablefmt`` if the read amplification matters)."""
+    from ..operators.merge import scd2_from_changes
+
+    return scd2_from_changes(
+        spark.read.parquet(log_path),
+        key_cols,
+        ts_col,
+        tiebreak_cols=tiebreak_cols,
+        drop_unchanged=tracked_cols,
+    )

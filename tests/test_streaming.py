@@ -540,3 +540,52 @@ def test_stream_stream_join_equals_batch(spark, events_small, tmp_path):
         .collect()
     )
     assert streamed == batch and batch, (len(streamed), len(batch))
+
+
+def test_dims_scd2_stream_view_equals_batch(spark, events_small, tmp_path):
+    """SCD2 streaming architecture: CDC chunks append to the immutable
+    change log (exactly-once file sink), the derived view equals batch
+    scd2_from_changes over the same rows, and a checkpointed restart
+    appends nothing."""
+    from real_timetransactionaldatalakehouse_spark.operators.merge import (
+        scd2_from_changes,
+    )
+    from real_timetransactionaldatalakehouse_spark.streaming.jobs import (
+        dims_scd2_stream,
+        scd2_dim_view,
+    )
+
+    changes = events_small.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(F.col("event_id") % 10 == 0, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+    )
+    src, log, ckpt = (str(tmp_path / d) for d in ("src", "log", "ck"))
+    _write_chunks(changes, src, 3, "ts")
+    stream = file_stream(spark, src, changes.schema)
+    dims_scd2_stream(stream, log, ckpt)
+
+    view = scd2_dim_view(
+        spark, log, ["user_id"], "ts",
+        tiebreak_cols=["event_id"], tracked_cols=["event_type"],
+    )
+    got = sorted(
+        (r.user_id, r.event_type, str(r.effective_from), str(r.effective_to), r.is_current)
+        for r in view.collect()
+    )
+    batch = scd2_from_changes(
+        changes.filter(F.col("op") != "d").drop("op"),
+        ["user_id"], "ts",
+        tiebreak_cols=["event_id"], drop_unchanged=["event_type"],
+    )
+    want = sorted(
+        (r.user_id, r.event_type, str(r.effective_from), str(r.effective_to), r.is_current)
+        for r in batch.collect()
+    )
+    assert got == want and want
+    # one open row per key
+    cur = view.filter("is_current").groupBy("user_id").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+    # restart with same checkpoint: nothing re-appended
+    n = spark.read.parquet(log).count()
+    dims_scd2_stream(file_stream(spark, src, changes.schema), log, ckpt)
+    assert spark.read.parquet(log).count() == n
