@@ -1483,6 +1483,44 @@ def q_text_repetition(spark, sf_dir):
     return repetition_stats(docs, n=2)
 
 
+# Expectations over events with a deliberately-failing threshold rule
+# so every counter is non-trivial; NULL-valued rules count as failed.
+_QUALITY_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(CASE WHEN value < 5.0 AND user_id IS NOT NULL
+                   AND event_type IN ('view','click','purchase','signup','error')
+             THEN 1 END) AS n_clean,
+       COUNT(CASE WHEN NOT COALESCE(value < 5.0, FALSE) THEN 1 END) AS fail_value_low,
+       COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS fail_user_known,
+       COUNT(CASE WHEN event_type NOT IN
+                  ('view','click','purchase','signup','error')
+                  OR event_type IS NULL
+             THEN 1 END) AS fail_type_valid
+FROM events
+"""
+
+
+@_q("q_quality_gate", _QUALITY_ORACLE)
+def q_quality_gate(spark, sf_dir):
+    """Data-quality expectations (quality.quality_stats): named rules
+    -> one-pass per-rule violation counters — the bronze->silver gate
+    that quarantines instead of dropping.  Map-only projection + one
+    scalar aggregation."""
+    from real_timetransactionaldatalakehouse_spark import quality as Q
+
+    ev = _t(spark, sf_dir, "events")
+    return Q.quality_stats(
+        ev,
+        {
+            "value_low": F.col("value") < 5.0,
+            "user_known": F.col("user_id").isNotNull(),
+            "type_valid": F.col("event_type").isin(
+                "view", "click", "purchase", "signup", "error"
+            ),
+        },
+    )
+
+
 _BPE_ORACLE = """
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
