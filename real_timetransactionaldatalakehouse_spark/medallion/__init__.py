@@ -35,6 +35,7 @@ def build_silver(
     ts_col: str = "ts",
     user_col: str = "user_id",
     gap_minutes: int = 30,
+    expectations: dict | None = None,
 ) -> DataFrame:
     """Silver: sessionized, point-in-time-enriched wide facts
     (reference DataModel_SchemaDesign.md:44-62).
@@ -42,8 +43,16 @@ def build_silver(
     - session_id: LAG gap > 30 min (W4);
     - as-of enrichment: latest dim state at event time (J5) when a
       keyed timeline (user_col, t_ts, ...) is supplied;
-    - date partition column derived from event time (O1).
+    - date partition column derived from event time (O1);
+    - ``expectations``: optional quality rules gating bronze rows into
+      silver (map-only; failing rows are DROPPED here — use
+      ``quality.quality_gate`` directly when the quarantine side must
+      land somewhere).
     """
+    if expectations:
+        from ..quality import quality_gate
+
+        events, _quarantine = quality_gate(events, expectations)
     silver = sessionize(events, user_col, ts_col, gap_minutes, tiebreak_cols=["event_id"])
     silver = silver.withColumn("date", F.col(ts_col).cast("date"))
     if dim_timeline is not None:

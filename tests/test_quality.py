@@ -98,3 +98,18 @@ def test_quality_in_streaming_batch(spark, sf_small, tmp_path):
     n_bad = spark.read.parquet(outs["bad"]).count()
     assert n_good + n_bad == df.count()
     assert n_good > 0 and n_bad > 0
+
+
+def test_build_silver_expectation_gate(spark, sf_small):
+    """build_silver with expectations drops failing bronze rows before
+    sessionization; without, it keeps everything."""
+    from real_timetransactionaldatalakehouse_spark.medallion import build_silver
+
+    ev = load_table(spark, sf_small, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    plain = build_silver(ev)
+    gated = build_silver(ev, expectations={"value_low": F.col("value") < 5.0})
+    n_pass = ev.filter(F.col("value") < 5.0).count()
+    assert plain.count() == ev.count()
+    assert gated.count() == n_pass < ev.count()
