@@ -69,6 +69,70 @@ def trending_view(spark: SparkSession, as_of: str, k: int = 50,
     """)
 
 
+def doomscroll_view(
+    spark: SparkSession, as_of: str, lookback_minutes: int = 30,
+    alert_threshold: float = 0.40,
+) -> DataFrame:
+    """Global doomscroll-rate line (reference Dashboard.md:46): per
+    1-min bin, Sum(skips)/Sum(impressions) — the boredom proxy; here
+    the corpus's ``errors`` counter stands in for skips and ``views``
+    for impressions.  One partial-final aggregation over the gold log
+    with the time filter pruning partitions; the alert flag reproduces
+    the dashboard's >40% SRE threshold."""
+    return spark.sql(f"""
+        SELECT window_start,
+               CAST(SUM(errors) AS DOUBLE)
+                 / CAST(NULLIF(SUM(views), 0) AS DOUBLE) AS doomscroll_rate,
+               COALESCE(
+                 CAST(SUM(errors) AS DOUBLE)
+                   / CAST(NULLIF(SUM(views), 0) AS DOUBLE)
+                   > {alert_threshold},
+                 FALSE) AS alert  -- a bin with no impressions never pages
+        FROM gold_stats_1min
+        WHERE window_start >= TIMESTAMP '{as_of}' - INTERVAL {lookback_minutes} MINUTES
+          AND window_start < TIMESTAMP '{as_of}'
+        GROUP BY window_start
+        ORDER BY window_start
+    """)
+
+
+def cold_start_view(
+    spark: SparkSession, as_of: str, age_minutes: int = 60,
+    velocity_floor: float = 0.05,
+) -> DataFrame:
+    """High-quality cold-start gauge (reference Dashboard.md:47): the
+    share of NEW entities (first gold activity within ``age_minutes``
+    of ``as_of``) whose engagement velocity clears ``velocity_floor``
+    — supply health for new creators.  First-seen comes from a MIN
+    over the entity's gold rows (one agg), velocity from the same
+    rollup the velocity view uses; banded at the dashboard's 20%/10%
+    gauge thresholds."""
+    return spark.sql(f"""
+        WITH seen AS (
+          SELECT user_id, MIN(window_start) AS first_seen,
+                 CAST(SUM(clicks) * 5 + SUM(purchases) * 10 AS DOUBLE)
+                   / CAST(NULLIF(SUM(views), 0) AS DOUBLE) AS velocity
+          FROM gold_stats_1min
+          WHERE window_start < TIMESTAMP '{as_of}'
+          GROUP BY user_id
+        ), new_entities AS (
+          SELECT * FROM seen
+          WHERE first_seen >= TIMESTAMP '{as_of}' - INTERVAL {age_minutes} MINUTES
+        )
+        SELECT COUNT(*) AS n_new,
+               AVG(CASE WHEN velocity > {velocity_floor} THEN 1.0 ELSE 0.0 END)
+                 AS pct_quality,
+               CASE
+                 WHEN AVG(CASE WHEN velocity > {velocity_floor} THEN 1.0 ELSE 0.0 END) > 0.20
+                   THEN 'green'
+                 WHEN AVG(CASE WHEN velocity > {velocity_floor} THEN 1.0 ELSE 0.0 END) >= 0.10
+                   THEN 'yellow'
+                 ELSE 'red'
+               END AS band
+        FROM new_entities
+    """)
+
+
 def freshness_view(spark: SparkSession, as_of: str) -> DataFrame:
     """Freshness lag gauge (reference lakehouse_monitor.json:181)."""
     return spark.sql(f"""

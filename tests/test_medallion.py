@@ -189,3 +189,44 @@ def test_zorder_compact_clusters_both_columns(spark, sf_small, tmp_path):
     assert before_user > 0.7 and before_value > 0.7
     assert after_user < 0.6 * before_user, (before_user, after_user)
     assert after_value < 0.6 * before_value, (before_value, after_value)
+
+
+def test_doomscroll_and_cold_start_views(spark, sf_small):
+    """Dashboard panels 2+3 (doomscroll rate, cold-start gauge): rates
+    match a direct computation over the same gold rollup; cold-start
+    pct lies in [0,1] with a consistent band."""
+    import datetime
+
+    from real_timetransactionaldatalakehouse_spark.serving import (
+        cold_start_view,
+        doomscroll_view,
+        register_gold_views,
+    )
+
+    ev = load_table(spark, sf_small, "events")
+    gold = MD.build_gold_window_stats(ev)
+    register_gold_views(spark, gold)
+    hi = gold.agg(F.max("window_start")).first()[0] + datetime.timedelta(minutes=1)
+    as_of = hi.strftime("%Y-%m-%d %H:%M:%S")
+
+    ds = doomscroll_view(spark, as_of, lookback_minutes=10).collect()
+    assert ds, "no doomscroll bins in lookback"
+    direct = {
+        r.window_start: (r.errors, r.views)
+        for r in gold.groupBy("window_start")
+        .agg(F.sum("errors").alias("errors"), F.sum("views").alias("views"))
+        .collect()
+    }
+    for r in ds:
+        e, v = direct[r.window_start]
+        want = e / v if v else None
+        assert r.doomscroll_rate == want
+        assert bool(r.alert) == (want is not None and want > 0.40)
+
+    cs = cold_start_view(spark, as_of, age_minutes=120).first()
+    assert cs.n_new >= 0
+    if cs.n_new:
+        assert 0.0 <= cs.pct_quality <= 1.0
+        want_band = ("green" if cs.pct_quality > 0.20
+                     else "yellow" if cs.pct_quality >= 0.10 else "red")
+        assert cs.band == want_band
