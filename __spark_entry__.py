@@ -1483,6 +1483,77 @@ def q_text_repetition(spark, sf_dir):
     return repetition_stats(docs, n=2)
 
 
+# TF-IDF ranked retrieval with EXACTLY TWO query terms: each matched
+# doc's score sums exactly two doubles, and two-operand double
+# addition is commutative — so the hash matches regardless of Spark's
+# partial-agg order.  (Three or more terms would re-associate.)
+_SEARCH_ORACLE = """
+WITH pairs AS (
+  SELECT doc_id, t.term AS term, COUNT(*) AS tf
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+  GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS dfc FROM pairs GROUP BY term
+), n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd FROM documents),
+scored AS (
+  SELECT p.doc_id,
+         p.tf * (ln((1.0 + n.nd) / (1.0 + dfreq.dfc)) + 1.0) AS tfidf
+  FROM pairs p JOIN dfreq USING (term), n
+  WHERE p.term IN ('window', 'sort')
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched, SUM(tfidf) AS score
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_matched, score FROM agg
+WHERE n_matched = 2
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+@_q("q_search_ranked", _SEARCH_ORACLE)
+def q_search_ranked(spark, sf_dir):
+    """X4: TF-IDF ranked keyword retrieval (operators/text.tfidf_scores
+    + search_ranked): (doc, term) counts -> smoothed idf -> query-term
+    postings only -> require-all gate -> top-k.  The raw text crosses
+    the wire zero times; shuffles carry (doc, term, count) rows."""
+    from real_timetransactionaldatalakehouse_spark.operators.text import (
+        search_ranked,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return search_ranked(docs, ["window", "sort"], k=10)
+
+
+_RESAMPLE_ORACLE = """
+WITH b AS (
+  SELECT date_trunc('minute', ts) AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM b),
+spine AS (
+  SELECT unnest(generate_series(bounds.lo, bounds.hi, INTERVAL 1 MINUTE)) AS bucket
+  FROM bounds
+)
+SELECT spine.bucket, COALESCE(b.n, 0) AS n
+FROM spine LEFT JOIN b USING (bucket)
+"""
+
+
+@_q("q_resample_fill", _RESAMPLE_ORACLE)
+def q_resample_fill(spark, sf_dir):
+    """Time-series densify (operators/relational.resample_fill):
+    1-minute buckets over events with every gap emitted as a zero row
+    — the spine comes from sequence+explode off a metadata-sized
+    bounds agg, never a driver loop."""
+    from real_timetransactionaldatalakehouse_spark.operators.relational import (
+        resample_fill,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return resample_fill(ev, "ts", "1 minute").select(
+        "bucket", F.col("n").cast("long").alias("n")
+    )
+
+
 # Expectations over events with a deliberately-failing threshold rule
 # so every counter is non-trivial; NULL-valued rules count as failed.
 _QUALITY_ORACLE = """

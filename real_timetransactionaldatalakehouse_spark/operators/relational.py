@@ -307,3 +307,63 @@ def sliding_window_counts(df: DataFrame, ts_col: str, duration: str, slide: str,
         .withColumn("window_start", F.col("__w.start"))
         .drop("__w")
     )
+
+
+def resample_fill(
+    df: DataFrame,
+    ts_col: str,
+    step: str = "1 minute",
+    group_cols: list[str] | None = None,
+    agg_exprs: dict[str, Column] | None = None,
+    bounds: tuple | None = None,
+) -> DataFrame:
+    """Time-series densify: bucket rows to ``step``, aggregate, then
+    emit EVERY bucket in the observed (or given) range — gaps become
+    zero/NULL rows instead of silently missing (downstream charting,
+    rate math and window models all break on missing buckets).
+
+    The bucket spine is generated with ``sequence`` + ``explode`` from
+    ONE metadata-sized min/max agg — never a driver loop; with
+    ``group_cols`` the spine cross-joins the distinct key set (small
+    by definition for a per-key chart) and the observed aggregates
+    left-join on (key, bucket).  Missing counts fill with 0; other
+    aggregates keep NULL unless coalesced by the caller.
+    """
+    aggs = agg_exprs or {"n": F.count(F.lit(1))}
+    observed = (
+        df.groupBy(*(group_cols or []), F.window(F.col(ts_col), step).alias("__w"))
+        .agg(*[e.alias(name) for name, e in aggs.items()])
+        .select(
+            *(group_cols or []),
+            F.col("__w.start").alias("bucket"),
+            *[F.col(name) for name in aggs],
+        )
+    )
+    spark = df.sparkSession
+    if bounds is None:
+        # already snapped to window starts by the aggregation itself —
+        # one metadata-sized action on the bucketed frame
+        lo, hi = observed.agg(F.min("bucket"), F.max("bucket")).first()
+    else:
+        lo, hi = bounds
+    spine = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit(str(lo)).cast("timestamp"),
+                    F.lit(str(hi)).cast("timestamp"),
+                    F.expr(f"INTERVAL {step}"),
+                )
+            ).alias("bucket")
+        )
+    )
+    if group_cols:
+        keys = df.select(*group_cols).distinct()
+        spine = keys.crossJoin(spine)
+    out = spine.join(observed, [*(group_cols or []), "bucket"], "left")
+    # counts zero-fill; everything else is the caller's policy
+    for name, e in aggs.items():
+        if name == "n":
+            out = out.withColumn(name, F.coalesce(F.col(name), F.lit(0)))
+    return out

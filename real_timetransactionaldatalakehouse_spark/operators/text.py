@@ -281,3 +281,66 @@ def token_count_bpe(text: Column | str) -> Column:
     # group 0 = whole match (Spark defaults to group 1; the pattern's
     # only group is non-capturing)
     return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), F.lit(0)))
+
+
+def tfidf_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TF-IDF weights per (document, term) — the ranked-retrieval /
+    keyword-importance primitive: ``tf = count(term in doc)``,
+    ``idf = ln((1 + N) / (1 + df)) + 1`` (smoothed, sklearn's form —
+    never divides by zero, engine-portable as plain ln arithmetic).
+
+    Plan: one explode -> (doc, term) partial-agg count, a term-keyed
+    document-frequency agg over the DISTINCT (doc, term) pairs (reuses
+    the first agg's output, no second pass over raw text), and a
+    broadcast-friendly join of the tiny (term, df) table back onto the
+    pair counts.  Shuffles carry (doc, term, count) rows only — at
+    100 TB the raw text crosses the wire zero times.
+    """
+    spark = df.sparkSession
+    n_docs = df.select(id_col).distinct().count()
+    pairs = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    pairs = pairs.persist()
+    docfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((1.0 + F.lit(float(n_docs))) / (1.0 + F.col("df"))) + 1.0
+    out = pairs.join(docfreq.withColumn("idf", idf), "term").select(
+        id_col, "term", "tf", "df",
+        (F.col("tf").cast("double") * F.col("idf")).alias("tfidf"),
+    )
+    from .dedup import _attach_cached
+
+    return _attach_cached(out, [pairs])
+
+
+def search_ranked(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    require_all: bool = True,
+) -> DataFrame:
+    """Keyword search over the corpus: documents containing the query
+    terms (all of them when ``require_all``), ranked by summed TF-IDF.
+    The inverted-index read path: the (doc, term) table is filtered to
+    the query terms FIRST (a tiny IN-list reaching the agg), so only
+    matching postings flow into the ranking — never a corpus scan per
+    query at serving time (persist ``tfidf_scores`` output as the
+    materialized index for repeated queries)."""
+    scores = tfidf_scores(df, text_col, id_col).filter(
+        F.col("term").isin([t for t in terms])
+    )
+    agg = scores.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum("tfidf").alias("score"),
+    )
+    if require_all:
+        agg = agg.filter(F.col("n_matched") == len(set(terms)))
+    return agg.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

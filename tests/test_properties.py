@@ -593,3 +593,63 @@ def test_salted_join_equals_plain(spark, sf_small):
         salted = sorted(map(str, salted_join(ev, dim, "user_id", salt=8, how=how)
                             .select(*ev.join(dim, "user_id", how).columns).collect()))
         assert salted == plain, how
+
+
+def test_tfidf_hand_computed(spark):
+    """TF-IDF on a 3-doc corpus: smoothed idf, exact tf counts, and
+    require-all search ranking."""
+    import math
+
+    from real_timetransactionaldatalakehouse_spark.operators.text import (
+        search_ranked,
+        tfidf_scores,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "apple cherry cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.term): (r.tf, r.df, r.tfidf)
+           for r in tfidf_scores(df).collect()}
+
+    def idf(dfc):
+        return math.log((1.0 + 3.0) / (1.0 + dfc)) + 1.0
+
+    assert got[(1, "apple")] == (2, 2, 2 * idf(2))
+    assert got[(2, "cherry")] == (1, 2, 1 * idf(2))
+    assert got[(3, "durian")] == (1, 1, 1 * idf(1))
+    # search: docs containing BOTH apple and cherry -> only doc 3
+    hits = search_ranked(df, ["apple", "cherry"], k=5).collect()
+    assert [r.doc_id for r in hits] == [3]
+    assert hits[0].score == 1 * idf(2) + 2 * idf(2)
+
+
+def test_resample_fill_gap_semantics(spark):
+    """Gaps become zero rows, observed buckets keep counts, grouped
+    spine covers every (key, bucket) pair."""
+    import datetime
+
+    from real_timetransactionaldatalakehouse_spark.operators.relational import (
+        resample_fill,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+    def at(minute, sec=0):
+        return t0 + datetime.timedelta(minutes=minute, seconds=sec)
+
+    df = spark.createDataFrame(
+        [("a", at(0)), ("a", at(0, 30)), ("a", at(3)), ("b", at(1))],
+        "k string, ts timestamp",
+    )
+    flat = {r.bucket: r.n for r in resample_fill(df, "ts", "1 minute").collect()}
+    assert flat == {at(0): 2, at(1): 1, at(2): 0, at(3): 1}
+    grouped = {(r.k, r.bucket): r.n
+               for r in resample_fill(df, "ts", "1 minute", group_cols=["k"]).collect()}
+    assert len(grouped) == 8  # 2 keys x 4 buckets
+    assert grouped[("a", at(0))] == 2 and grouped[("a", at(2))] == 0
+    assert grouped[("b", at(1))] == 1 and grouped[("b", at(3))] == 0
