@@ -341,22 +341,22 @@ def resample_fill(
     )
     spark = df.sparkSession
     if bounds is None:
-        # already snapped to window starts by the aggregation itself —
-        # one metadata-sized action on the bucketed frame
-        lo, hi = observed.agg(F.min("bucket"), F.max("bucket")).first()
+        # bounds already snapped to window starts by the aggregation;
+        # keep them as a one-row frame so the operator stays fully
+        # lazy (no driver action at build time)
+        bounds_df = observed.agg(
+            F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+        )
     else:
         lo, hi = bounds
-    spine = (
-        spark.range(1)
-        .select(
-            F.explode(
-                F.sequence(
-                    F.lit(str(lo)).cast("timestamp"),
-                    F.lit(str(hi)).cast("timestamp"),
-                    F.expr(f"INTERVAL {step}"),
-                )
-            ).alias("bucket")
+        bounds_df = spark.range(1).select(
+            F.lit(str(lo)).cast("timestamp").alias("__lo"),
+            F.lit(str(hi)).cast("timestamp").alias("__hi"),
         )
+    spine = bounds_df.select(
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {step}"))
+        ).alias("bucket")
     )
     if group_cols:
         keys = df.select(*group_cols).distinct()

@@ -297,11 +297,14 @@ def tfidf_scores(
     document-frequency agg over the DISTINCT (doc, term) pairs (reuses
     the first agg's output, no second pass over raw text), and a
     broadcast-friendly join of the tiny (term, df) table back onto the
-    pair counts.  Shuffles carry (doc, term, count) rows only — at
-    100 TB the raw text crosses the wire zero times.
+    pair counts.  The corpus size N rides in as a broadcast one-row
+    aggregate (no driver action — the operator stays fully lazy).
+    Shuffles carry (doc, term, count) rows only — at 100 TB the raw
+    text crosses the wire zero times.
     """
-    spark = df.sparkSession
-    n_docs = df.select(id_col).distinct().count()
+    n_row = F.broadcast(
+        df.agg(F.countDistinct(F.col(id_col)).cast("double").alias("__n"))
+    )
     pairs = (
         df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
         .groupBy(id_col, "term")
@@ -309,10 +312,13 @@ def tfidf_scores(
     )
     pairs = pairs.persist()
     docfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log((1.0 + F.lit(float(n_docs))) / (1.0 + F.col("df"))) + 1.0
-    out = pairs.join(docfreq.withColumn("idf", idf), "term").select(
-        id_col, "term", "tf", "df",
-        (F.col("tf").cast("double") * F.col("idf")).alias("tfidf"),
+    idf = F.log((1.0 + F.col("__n")) / (1.0 + F.col("df"))) + 1.0
+    out = (
+        pairs.join(docfreq.crossJoin(n_row).withColumn("idf", idf), "term")
+        .select(
+            id_col, "term", "tf", "df",
+            (F.col("tf").cast("double") * F.col("idf")).alias("tfidf"),
+        )
     )
     from .dedup import _attach_cached
 
