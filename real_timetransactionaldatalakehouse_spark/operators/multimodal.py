@@ -77,10 +77,45 @@ def decode_image(payload: bytes):  # pragma: no cover - deployment hook
     raise NotImplementedError("image codecs not installed; use deterministic_fake_features")
 
 
+def fake_features_expr(payload_col: str = "payload", dim: int = FEATURE_DIM) -> F.Column:
+    """:func:`deterministic_fake_features` as a pure codegen expression —
+    the whole-stage-JVM twin of the Arrow kernel (equivalence-tested).
+
+    The FAKE extractor is a pure function of the payload bytes built
+    from md5, so it belongs in the JVM: per md5 block ``i``,
+    ``F.md5(payload || ascii(i))`` yields 32 hex chars = 16 digest
+    bytes = 4 little-endian uint32 features.  Each feature reverses
+    its 4 byte-pairs in the hex string, ``conv``s to a long, and
+    rescales to [-1, 1] — no Python worker, no Arrow round trip
+    (~0.2 s/query fixed cost at bench scale).  Real codecs can't do
+    this; they use :func:`extract_features` with ``impl='arrow'``."""
+    feats = []
+    for t in range(dim):
+        block, off = t // 4, (t % 4) * 4  # byte offset within the digest
+        h = F.md5(F.concat(F.col(payload_col), F.lit(str(block).encode("ascii"))))
+        le_hex = F.concat(
+            *[F.substring(h, 2 * (off + b) + 1, 2) for b in (3, 2, 1, 0)]
+        )
+        v = F.conv(le_hex, 16, 10).cast("long")
+        feats.append(((v % 2_000_001) / 1_000_000.0 - 1.0).cast("float"))
+    return F.when(
+        F.col(payload_col).isNull(),
+        F.array(*[F.lit(0.0).cast("float")] * dim),
+    ).otherwise(F.array(*feats))
+
+
 def extract_features(df: DataFrame, payload_col: str = "payload",
-                     dim: int = FEATURE_DIM) -> DataFrame:
-    """Feature extraction over binary payloads via mapInPandas
-    (Arrow-batched; the decode kernel is the FAKE stub above)."""
+                     dim: int = FEATURE_DIM, impl: str = "expr") -> DataFrame:
+    """Feature extraction over binary payloads.
+
+    ``impl='expr'`` (default): the FAKE md5 extractor evaluated as a
+    whole-stage-codegen projection (:func:`fake_features_expr`) — the
+    right path while the decode kernel is byte-pure.  ``impl='arrow'``:
+    mapInPandas Arrow streaming — the deployment hook shape for real
+    codecs (PIL/librosa/ffmpeg), kept equivalence-tested so swapping
+    the kernel body changes no plumbing."""
+    if impl == "expr":
+        return df.withColumn("features", fake_features_expr(payload_col, dim))
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("features", T.ArrayType(T.FloatType()), True)]
     )

@@ -100,6 +100,34 @@ def test_multimodal_feature_batches(spark, sf_small):
         assert again[r.media_id] == r.features
 
 
+def test_multimodal_expr_equals_arrow_kernel(spark, sf_small):
+    """The codegen md5 feature expression must be value-identical to
+    the Arrow kernel (same FAKE extractor, two execution paths) —
+    float32 for float32, including the NULL-payload zero vector."""
+    docs = load_table(spark, sf_small, "documents")
+    media = MM.synthetic_media(spark, docs, n=30).withColumn(
+        "payload",
+        F.when(F.col("media_id") % 7 == 0, F.lit(None)).otherwise(F.col("payload")),
+    )
+    via_expr = {r.media_id: r.features
+                for r in MM.extract_features(media, impl="expr").collect()}
+    via_arrow = {r.media_id: r.features
+                 for r in MM.extract_features(media, impl="arrow").collect()}
+    assert via_expr == via_arrow
+    # python reference on one concrete payload
+    row = media.filter(F.col("payload").isNotNull()).limit(1).collect()[0]
+    expected = MM.deterministic_fake_features(bytes(row.payload))
+    got = via_expr[row.media_id]
+    assert all(abs(a - b) < 1e-6 for a, b in zip(got, expected))
+
+
+def test_multimodal_expr_plan_has_no_python(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    media = MM.synthetic_media(spark, docs, n=30)
+    plan = MM.extract_features(media)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
 def test_multimodal_frame_sample(spark, sf_small):
     docs = load_table(spark, sf_small, "documents")
     media = MM.synthetic_media(spark, docs, n=30)

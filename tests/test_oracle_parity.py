@@ -67,11 +67,11 @@ def test_msum_equals_dsum_on_money(spark, sf_small):
 
 def test_tune_for_input_sizing(spark):
     """Partition count follows the 128 MB/partition rule with the
-    8-partition floor; AQE toggles at the documented threshold."""
+    4-partition floor; AQE toggles at the documented threshold."""
     from real_timetransactionaldatalakehouse_spark import session as SS
 
     SS.tune_for_input(spark, 20_000_000, cpus=32)  # 20 MB -> floor
-    assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
     SS.tune_for_input(spark, 100 * 128 * 1024 * 1024, cpus=32)  # 100 partitions' worth
     assert spark.conf.get("spark.sql.shuffle.partitions") == "100"
