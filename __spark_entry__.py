@@ -2651,6 +2651,68 @@ def q_decontaminate(spark, sf_dir):
     return S.decontaminate(corpus, benchmark, k=24, window=8).select("doc_id", "n_chars")
 
 
+@_q("q_decontaminate_ngram", """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, i, i + 12), ' ') AS g
+  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 12, 1))) AS u(i)
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0
+), contaminated AS (
+  SELECT DISTINCT gr.doc_id FROM grams gr JOIN bench b ON gr.g = b.g
+  WHERE gr.doc_id % 20 <> 0
+)
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id % 20 <> 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+""")
+def q_decontaminate_ngram(spark, sf_dir):
+    """EXT curation: token 13-gram overlap decontamination (the
+    GPT-3/Pile-published standard) — drop corpus docs sharing any
+    13-token gram with the eval set (every 20th doc).  Same broadcast
+    semi/anti join shape as the winnowing variant; the oracle joins on
+    raw gram strings while the engine joins on their md5-60 hashes
+    (equal strings <=> equal hashes at these corpus sizes)."""
+    from real_timetransactionaldatalakehouse_spark.operators import sampling as S
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    return S.decontaminate_ngram(corpus, benchmark, n=13).select("doc_id", "lang")
+
+
+@_q("q_chunk_documents", """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), idx AS (
+  SELECT doc_id, t,
+         UNNEST(generate_series(
+           0, greatest(CAST(ceil((len(t) - 8) / 24.0) AS BIGINT), 1) - 1
+         )) AS chunk_id
+  FROM toks
+)
+SELECT doc_id, chunk_id,
+       CAST(len(list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS BIGINT)
+         AS n_tokens,
+       array_to_string(list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ')
+         AS chunk_text
+FROM idx
+""")
+def q_chunk_documents(spark, sf_dir):
+    """EXT RAG prep: fixed-size token chunking, 32-token windows with
+    8-token overlap (stride 24; small enough that the testdata's
+    ~100-token docs split into several overlapping chunks) —
+    document-local sequence+explode, zero shuffles
+    (text.chunk_documents); the chunk layout every embedding-index
+    build feeds from."""
+    from real_timetransactionaldatalakehouse_spark.operators import text as TX
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.chunk_documents(docs, budget=32, overlap=8)
+
+
 @_q("q_stratified_sample", """
 WITH b AS (
   SELECT doc_id, lang, source,
@@ -2795,9 +2857,10 @@ _CHECK_FIRST: list[str] = [
     "q_string_funcs",
     "q_array_explode",
     # touched or added this round: oracle or implementation changed
+    # (q_neardup_verified rides on minhash whose output is unchanged
+    # by the spread fix; its r3 row stands)
     "q_pack_sequences",
     "q_neardup_minhash",
-    "q_neardup_verified",
     "q_neardup_clusters",
     "q_simhash_neardup",
     "q_snapshot_diff",
@@ -2806,14 +2869,19 @@ _CHECK_FIRST: list[str] = [
     "q_join_interval",
     "q_scd2_history",
     "q_text_tokens_bpe",
-    # rows-only infra (keep their rows-only rows visible each round)
-    "q_agg_sketches",
-    "q_table_stats",
-    "q_sorted_write",
-    "q_snapshot_lifecycle",
-    "q_bucket_pruned_lookup",
     "q_embed_project",
-    # flagship fill to 50
+    "q_search_ranked",
+    "q_resample_fill",
+    "q_quality_gate",
+    "q_chunk_documents",
+    "q_decontaminate_ngram",
+    "q_multimodal_features",
+    # flagship fill to 50.  The rows-only infra queries (q_agg_sketches,
+    # q_table_stats, q_sorted_write, q_snapshot_lifecycle,
+    # q_bucket_pruned_lookup) rotate OUT of the window this round: they
+    # can only ever produce no_oracle rows (recorded in r1-r3), and
+    # their invariants are pinned by pytest (sketch error bounds,
+    # count-preserving compaction, numFiles pruning).
     "q_trending_velocity",
 ]
 

@@ -82,6 +82,15 @@ BENCH_QUERIES = [
     "q_text_redact",
 ]
 
+# The r3 headline set (BENCH_r03.json's 30 queries): the aggregate
+# sum-of-steady / sum-of-oracle ratio is composition-sensitive — every
+# query added to the bench adds Spark's ~0.1 s local-mode floor to the
+# numerator but only DuckDB's ~5 ms to the denominator, so growing the
+# set inflates the ratio even when no query got slower.  The ratio over
+# this FIXED set is the round-over-round comparable number; the
+# full-set ratio above tracks the current surface.
+R3_COMMON = BENCH_QUERIES[:30]
+
 
 def main() -> None:
     from real_timetransactionaldatalakehouse_spark.session import batch_session, tune_for_input
@@ -182,7 +191,15 @@ def main() -> None:
     if con is not None:
         con.close()
 
+    # the measured per-query floor of this harness: a one-stage noop
+    # write of a 1-row in-memory plan — pure scheduling + sink cost,
+    # no data.  Reported so the aggregate ratio can be read for what
+    # it is at tiny SF: N queries x this floor dominate the numerator.
+    floor_df = spark.range(1)
+    floor_s = round(min(run_df(floor_df) for _ in range(5)), 4)
+
     covered = [n for n in oracle if n in steady]
+    r3cov = [n for n in covered if n in R3_COMMON]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     ratios = {
         n: round(steady[n] / max(oracle[n], 1e-9), 2) for n in covered
@@ -202,6 +219,13 @@ def main() -> None:
             sum(steady[n] for n in covered) / max(sum(oracle.values()), 1e-9), 3
         ),
         "steady_vs_oracle_per_query": ratios,
+        "per_query_floor_sec": floor_s,
+        "steady_vs_oracle_ratio_r3common": round(
+            sum(steady[n] for n in r3cov)
+            / max(sum(oracle[n] for n in r3cov), 1e-9),
+            3,
+        ),
+        "r3common_queries": len(r3cov),
         "oracle_skipped": ORACLE_SKIP,
         "oracle_asymmetry_notes": ORACLE_ASYMMETRY_NOTES,
         "steady_vs_oracle_ratio_excl_asymmetric": round(
@@ -231,6 +255,8 @@ def main() -> None:
         "value_steady": detail["value_steady"],
         "value_oracle": detail["value_oracle"],
         "steady_vs_oracle_ratio": detail["steady_vs_oracle_ratio"],
+        "steady_vs_oracle_ratio_r3common": detail["steady_vs_oracle_ratio_r3common"],
+        "per_query_floor_sec": floor_s,
         "worst5_vs_oracle": worst5,
         "sf": detail["sf"],
         "detail": "BENCH_DETAIL.json",

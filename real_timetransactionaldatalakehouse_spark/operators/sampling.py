@@ -147,6 +147,49 @@ def decontaminate(
     return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
 
 
+def decontaminate_ngram(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Token n-gram overlap decontamination — the GPT-3/Pile-style
+    variant of :func:`decontaminate`: drop any corpus document sharing
+    a word ``n``-gram with the benchmark/eval set.  Winnowing (above)
+    guarantees on raw substrings; n-gram overlap is the published
+    standard for benchmark leakage and catches re-tokenized rewording
+    the character fingerprints can miss at their guarantee length.
+
+    Plan shape: both sides reduce to distinct md5-60 n-gram hashes
+    (64-bit ints, ANSI-SQL-reproducible); the benchmark side (eval
+    sets are thousands of docs) broadcasts into a semi-join marking
+    contaminated ids, then a broadcast anti-join keeps the clean
+    corpus.  N-gram hashes shuffle; documents never do.
+    """
+    from .dedup import word_shingles
+
+    def gram_hashes(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array_distinct(word_shingles(text_col, n))).alias("__g"),
+        ).select(
+            out_id,
+            F.conv(F.substring(F.md5(F.col("__g")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("__h"),
+        )
+
+    b = gram_hashes(benchmark, "__bid").select("__h").distinct()
+    contaminated = (
+        gram_hashes(corpus, id_col)
+        .join(F.broadcast(b), "__h", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -272,6 +272,60 @@ def redact_pii(
 BPE_SPLIT_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
 
 
+def chunk_documents(
+    df: DataFrame,
+    budget: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size token chunking with overlap — the RAG / context-prep
+    primitive (every embedding-index build chunks documents before
+    embedding; ``overlap`` keeps boundary sentences retrievable).
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + budget)`` with
+    ``stride = budget - overlap``; the last chunk may be short, and a
+    document shorter than ``budget`` yields exactly one chunk.  Unlike
+    :func:`sampling.pack_sequences` (which assigns documents into a
+    global concatenated layout and needs a distributed prefix sum),
+    chunking is document-local: one sequence+explode projection, zero
+    shuffles, embarrassingly parallel at any corpus size.
+
+    Output: ``(id, chunk_id, n_tokens, chunk_text)``, deterministic —
+    chunk ids are per-document ordinals, not global offsets.
+    """
+    if not 0 <= overlap < budget:
+        raise ValueError("need 0 <= overlap < budget")
+    stride = budget - overlap
+    # materialize the token array before the explode references it
+    # twice (chunk count + slicing) — Catalyst does not CSE the split
+    # across expressions (same note as minhash_signature)
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    n = F.size("__t")
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    return (
+        toked.select(
+            F.col(id_col),
+            "__t",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.slice(F.col("__t"), F.col("chunk_id").cast("int") * stride + 1, budget).alias("__c"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("__c").cast("long").alias("n_tokens"),
+            F.array_join("__c", " ").alias("chunk_text"),
+        )
+    )
+
+
 def token_count_bpe(text: Column | str) -> Column:
     """Pre-tokenizer token count — the budget unit LLM pipelines cost
     documents in (whitespace counts under-estimate code/punctuation-

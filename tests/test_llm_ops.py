@@ -302,6 +302,71 @@ def test_decontaminate_removes_planted_overlap(spark):
     assert ids == {1, 3}, f"doc 2 shares a 48-char substring, got {ids}"
 
 
+def test_decontaminate_ngram_removes_shared_gram(spark):
+    probe = " ".join(f"tok{i}" for i in range(13))  # a 13-token gram
+    corpus = spark.createDataFrame(
+        [(1, "clean document about nothing in particular at all today really"),
+         (2, "prefix words " + probe + " suffix words"),
+         (3, "another clean one with plenty of words to spare here today")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "eval question containing " + probe + " verbatim today")],
+        "doc_id long, text string",
+    )
+    kept = SP.decontaminate_ngram(corpus, bench, n=13)
+    ids = {r.doc_id for r in kept.collect()}
+    assert ids == {1, 3}, f"doc 2 shares a 13-gram, got {ids}"
+    # a 12-token overlap must NOT trigger at n=13
+    kept14 = SP.decontaminate_ngram(
+        corpus.withColumn(
+            "text",
+            F.when(F.col("doc_id") == 2,
+                   "prefix words " + " ".join(f"tok{i}" for i in range(12)) + " zz")
+            .otherwise(F.col("text")),
+        ),
+        bench, n=13,
+    )
+    assert {r.doc_id for r in kept14.collect()} == {1, 2, 3}
+
+
+def test_chunk_documents_layout(spark):
+    from real_timetransactionaldatalakehouse_spark.operators import text as TX
+
+    toks = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b"), (3, "only")],
+        "doc_id long, text string",
+    )
+    out = TX.chunk_documents(df, budget=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 10 tokens, stride 3 -> ceil((10-1)/3) = 3 chunks at 0/3/6
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk_id for r in c1] == [0, 1, 2]
+    assert c1[0].chunk_text == "w0 w1 w2 w3"
+    assert c1[1].chunk_text == "w3 w4 w5 w6"
+    assert c1[2].chunk_text == "w6 w7 w8 w9"
+    assert all(r.n_tokens == 4 for r in c1)
+    # short docs: exactly one (short) chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "a b"
+    assert by_doc[2][0].n_tokens == 2
+    assert len(by_doc[3]) == 1 and by_doc[3][0].n_tokens == 1
+    # every consecutive pair overlaps by exactly `overlap` tokens
+    assert c1[0].chunk_text.split()[-1] == c1[1].chunk_text.split()[0]
+    with pytest.raises(ValueError):
+        TX.chunk_documents(df, budget=4, overlap=4)
+
+
+def test_chunk_documents_plan_no_shuffle(spark, sf_small):
+    from real_timetransactionaldatalakehouse_spark.operators import text as TX
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    plan = TX.chunk_documents(docs, 32, 8)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "chunking must be document-local (zero shuffle)"
+
+
 def test_stratified_sample_deterministic_subset(spark, sf_small):
     docs = load_table(spark, sf_small, "documents").select("doc_id", "lang")
     a = {r.doc_id for r in SP.stratified_sample(docs, ["lang"], {("en",): 0.3}).collect()}
