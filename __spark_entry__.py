@@ -319,13 +319,17 @@ def q_agg_global(spark, sf_dir):
     makes Catalyst Expand every input row per aggregate group (2x the
     scanned rows through the price sum — measured 0.93s vs 0.43s at
     sf0.1); two single-row aggregates cross-joined skip the Expand.
-    The price total uses the exact scaled-long sum (``LF.msum``): money
-    is fixed-point, so the accumulation stays in codegen's primitive
-    path instead of Decimal's object path.  The cross join is hinted
-    ``shuffle_replicate_nl``: a broadcast side would execute as its own
-    eager job, serializing the two aggregates — the shuffle NL form
-    keeps both single-row chains as parallel stages of one job
-    (measured 0.35 s vs 0.61 s at sf0.1)."""
+    (The third shape — ONE scan partial-aggregated by the distinct key,
+    then a global roll-up — loses too: the keyed hash agg + shuffle of
+    |distinct keys| partials costs more than the second columnar scan,
+    measured 0.60 s vs 0.35 s at sf0.1 and 1.02 s vs 0.91 s at the 10x
+    replica.)  The price total uses the exact scaled-long sum
+    (``LF.msum``): money is fixed-point, so the accumulation stays in
+    codegen's primitive path instead of Decimal's object path.  The
+    cross join is hinted ``shuffle_replicate_nl``: a broadcast side
+    would execute as its own eager job, serializing the two aggregates
+    — the shuffle NL form keeps both single-row chains as parallel
+    stages of one job (measured 0.35 s vs 0.61 s at sf0.1)."""
     li = _t(spark, sf_dir, "lineitem")
     plain = li.agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -52,10 +52,22 @@ def batch_session(app: str = "lakehouse-batch", cpus: int | None = None) -> Spar
     return spark
 
 
-#: Target bytes of input per shuffle partition — the same sizing rule a
-#: 100 TB job uses (100 TB / 128 MB ~= 800k partitions, capped by the
-#: cluster's sweet spot); at bench scale it bottoms out at the floor.
-SHUFFLE_TARGET_BYTES = 128 * 1024 * 1024
+#: Target bytes of INPUT per reduce partition.  Smaller than the 128 MB
+#: map-split target on purpose: reduce-side rows are post-projection /
+#: post-partial-agg (a fraction of input bytes), and reduce-stage CPU
+#: parallelism is what keeps the cores busy on mid-size jobs — measured
+#: on the 10x replica (~220 MB input), 32 MB/partition cuts the keyed
+#: aggregation wall ~2x vs 128 MB/partition with no effect at 100 TB
+#: (the 4x-cores cap binds there either way).
+SHUFFLE_TARGET_BYTES = 32 * 1024 * 1024
+
+#: Map-side split bounds for :func:`tune_for_input`.  128 MB is the
+#: at-scale standard; the 16 MB lower bound is the reference's own
+#: small-cluster setting (reference spark-defaults.conf:26, "small
+#: bites") — on a mid-size input it turns a 1-2-split scan into one
+#: task per core without touching large-deployment behavior.
+SPLIT_MAX_BYTES = 128 * 1024 * 1024
+SPLIT_MIN_BYTES = 16 * 1024 * 1024
 
 #: Below this total input size AQE is turned off: its re-planning has a
 #: fixed ~0.1 s/query cost (measured on the sf0.1 bench set) that only
@@ -89,6 +101,10 @@ def tune_for_input(spark: SparkSession, input_bytes: int, cpus: int | None = Non
     n = cpus or DEFAULT_CPUS
     parts = max(4, min(4 * n, input_bytes // SHUFFLE_TARGET_BYTES))
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    # map-side splits: aim for one task per core on mid-size inputs,
+    # bounded to [16 MB, 128 MB] (see SPLIT_MIN/MAX_BYTES)
+    split = max(SPLIT_MIN_BYTES, min(SPLIT_MAX_BYTES, input_bytes // (2 * n)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
     aqe = input_bytes >= AQE_MIN_INPUT_BYTES
     spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
     return spark

@@ -73,12 +73,16 @@ def test_tune_for_input_sizing(spark):
     SS.tune_for_input(spark, 20_000_000, cpus=32)  # 20 MB -> floor
     assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
-    SS.tune_for_input(spark, 100 * 128 * 1024 * 1024, cpus=32)  # 100 partitions' worth
+    # map splits floor at the reference's 16 MB small-bites setting
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == str(16 * 1024 * 1024)
+    SS.tune_for_input(spark, 100 * 32 * 1024 * 1024, cpus=32)  # 100 partitions' worth
     assert spark.conf.get("spark.sql.shuffle.partitions") == "100"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     SS.tune_for_input(spark, 10**15, cpus=32)  # 1 PB -> capped at 4x cpus
     assert spark.conf.get("spark.sql.shuffle.partitions") == str(4 * 32)
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    # ...and map splits back at the 128 MB at-scale standard
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == str(128 * 1024 * 1024)
     # restore the conftest profile
     SS.tune_for_input(spark, 0, cpus=32)
     spark.conf.set("spark.sql.adaptive.enabled", "true")
