@@ -109,8 +109,16 @@ def q_trending_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are ~1 here and at the reference's firehose, so the map-side
     partial agg the direct groupBy would get compresses nothing — one
     wide shuffle beats two narrow ones; measured 0.36 s vs 0.46 s at
-    sf0.1)."""
-    events = _t(spark, sf_dir, "events").repartition("user_id")
+    sf0.1).  The exchange is sized at core count, not the session's
+    data-sized reduce partitioning: both agg stages run off it and the
+    per-row window/count work is CPU-bound (same rationale as
+    simhash_sigs; measured 0.30 s vs 0.37 s at sf0.1, 0.77 s vs 0.80 s
+    at the 10x replica)."""
+    p = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    events = _t(spark, sf_dir, "events").repartition(p, "user_id")
     customer = _t(spark, sf_dir, "customer")
 
     minute_stats = R.tumbling_window_counts(

@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "q_scd2_history",
     "q_join_interval",
     "q_text_redact",
+    "q_chunk_documents",
+    "q_decontaminate_ngram",
 ]
 
 # The r3 headline set (BENCH_r03.json's 30 queries): the aggregate
