@@ -1727,10 +1727,17 @@ def q_text_redact(spark, sf_dir):
     gating), all JVM-side regexp projection, zero shuffle.  Synthetic
     PII is appended deterministically per doc so every pattern fires;
     output carries the md5 of the redacted text (value-exact across
-    engines) instead of the kilobyte text body."""
+    engines) instead of the kilobyte text body.  The operator itself
+    is map-only (plan-locked); here the single-split bench file is
+    fanned out first so the 12-regex-per-row work uses the cores
+    (sources.fan_out — a well-split production table skips this)."""
     from real_timetransactionaldatalakehouse_spark.operators.text import redact_pii
+    from real_timetransactionaldatalakehouse_spark.sources import fan_out
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = fan_out(
+        _t(spark, sf_dir, "documents"),
+        spark.sparkContext.defaultParallelism,
+    ).select(
         "doc_id",
         F.concat(
             F.col("text"),
