@@ -339,6 +339,43 @@ def test_repetition_stats_invariants(spark, data):
         assert abs(r.dup_ngram_ratio - (1.0 - r.n_distinct / r.n_ngrams)) < 1e-12
 
 
+@SETTINGS
+@given(
+    data=doc_rows,
+    budget=st.integers(min_value=2, max_value=9),
+    overlap=st.integers(min_value=0, max_value=8),
+)
+def test_chunk_documents_matches_python_reference(spark, data, budget, overlap):
+    """Chunking invariants over generated corpora: chunk layout equals
+    the plain-Python slicer — full token coverage, exact stride,
+    short-only-last-chunk, one chunk for short docs."""
+    from hypothesis import assume
+
+    from real_timetransactionaldatalakehouse_spark.operators.text import (
+        chunk_documents,
+    )
+
+    assume(overlap < budget)
+    docs = {i: toks for i, toks in data}
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text)
+        for r in chunk_documents(df, budget=budget, overlap=overlap).collect()
+    }
+    stride = budget - overlap
+    want = {}
+    for i, toks in docs.items():
+        t = " ".join(toks).split(" ")  # "" -> [""], matching split()
+        n_chunks = max(-(-(len(t) - overlap) // stride), 1)
+        for c in range(n_chunks):
+            piece = t[c * stride : c * stride + budget]
+            want[(i, c)] = (len(piece), " ".join(piece))
+    assert got == want
+
+
 def test_interval_join_matches_naive_nonequi(spark):
     """Bucketized range join must equal the naive non-equi join on a
     frame small enough to brute-force, across bucket sizes (bucket
