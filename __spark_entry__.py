@@ -2702,6 +2702,50 @@ def q_decontaminate_ngram(spark, sf_dir):
     return S.decontaminate_ngram(corpus, benchmark, n=13).select("doc_id", "lang")
 
 
+@_q("q_corpus_mix", """
+WITH tok AS (
+  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+), tot AS (
+  SELECT source, SUM(n) AS total FROM tok GROUP BY source
+), th AS (
+  SELECT source,
+         CAST(FLOOR(LEAST(
+           (CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                        WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 1.0 END)
+           * 2000 / total, 1.0) * 100000) AS BIGINT) AS thresh
+  FROM tot
+  WHERE source IN ('src0', 'src1', 'src2', 'src3')
+), kept AS (
+  SELECT t.doc_id, t.source, t.n
+  FROM tok t JOIN th ON t.source = th.source
+  WHERE ('0x' || substr(md5(t.doc_id || ':mix-v1'), 1, 15))::BIGINT % 100000
+        < th.thresh
+)
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+FROM kept GROUP BY source
+""")
+def q_corpus_mix(spark, sf_dir):
+    """EXT curation: token-budget data mixing (the pretraining mixture
+    primitive) — sample each source at rate w_s * B / tokens_s so its
+    EXPECTED token mass is its mixture share (src0 50% / src1 30% /
+    src2 20% of a 2000-token budget, src3 weight 1.0 exercising the
+    rate clamp at sf0.01).  One metadata-sized per-source total, then
+    a map-only deterministic hash filter (sampling.mix_corpus);
+    aggregated per source so the oracle checks the exact keep set."""
+    from real_timetransactionaldatalakehouse_spark.operators import sampling as S
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    kept = S.mix_corpus(
+        docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2, "src3": 1.0},
+        token_budget=2000,
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
 @_q("q_chunk_documents", """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -2873,7 +2917,8 @@ _CHECK_FIRST: list[str] = [
     "q_json_parse_struct",
     "q_json_extract",
     "q_ts_diff",
-    "q_string_funcs",
+    # q_string_funcs rotates to r5 (r2-certified, trivial surface) to
+    # make room for the r4-new q_corpus_mix below
     "q_array_explode",
     # touched or added this round: oracle or implementation changed
     # (q_neardup_verified rides on minhash whose output is unchanged
@@ -2894,6 +2939,7 @@ _CHECK_FIRST: list[str] = [
     "q_quality_gate",
     "q_chunk_documents",
     "q_decontaminate_ngram",
+    "q_corpus_mix",
     "q_multimodal_features",
     # flagship fill to 50.  The rows-only infra queries (q_agg_sketches,
     # q_table_stats, q_sorted_write, q_snapshot_lifecycle,

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "q_text_redact",
     "q_chunk_documents",
     "q_decontaminate_ngram",
+    "q_corpus_mix",
 ]
 
 # The r3 headline set (BENCH_r03.json's 30 queries): the aggregate

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .relational import topk_per_group
-from .text import winnow_fingerprints
+from .text import tokens, winnow_fingerprints
 
 
 def split_bucket(id_col, seed: str = "split-v1", buckets: int = 1000):
@@ -99,6 +99,65 @@ def stratified_sample(
             keep = F.when(match, thresh) if keep is None else keep.when(match, thresh)
         keep = keep.otherwise(bucket < int(round(default_rate * 1000)))
     return df.filter(keep)
+
+
+def mix_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    seed: str = "mix-v1",
+    buckets: int = 100_000,
+) -> DataFrame:
+    """Token-budget data mixing — the mixture primitive of LLM
+    pretraining: given target mixture ``weights`` (source -> share of
+    ``token_budget``), keep a deterministic hash-chosen subset of each
+    source whose EXPECTED token mass is its share.  Sources absent
+    from ``weights`` are dropped (they are not in the mixture).
+
+    Rate-based, not prefix-sum-based, on purpose: the published
+    mixing recipes sample source ``s`` at rate ``w_s * B / tokens_s``
+    — a map-only filter after one metadata-sized per-source token
+    total (|sources| rows collected).  An exact greedy cut would need
+    a per-source running token sum, i.e. one reducer per source — the
+    classic skew shape at corpus scale — to remove sampling error
+    that is already ~1/sqrt(docs-per-source).  Rates clamp at 1.0
+    (a source whose total is under its share contributes everything).
+
+    Keep/drop is a pure function of (id, seed) (:func:`split_bucket`
+    at ``buckets`` granularity): retry-stable, layout-independent,
+    and re-running with a larger budget keeps supersets (hash buckets
+    nest).  Output adds ``n_tokens``.
+    """
+    import math
+
+    n_tok = (
+        F.col(token_col) if token_col is not None else F.size(tokens(text_col))
+    ).cast("long")
+    with_tok = df.withColumn("n_tokens", n_tok)
+    totals = {
+        r["s"]: r["t"]
+        for r in with_tok.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+        if r["s"] in weights
+    }
+    bucket = split_bucket(id_col, seed, buckets)
+    keep = None
+    for src, w in weights.items():
+        total = totals.get(src)
+        if not total:
+            continue
+        # mirrored exactly by the oracle SQL: FLOOR(LEAST(w*B/total, 1.0)*buckets)
+        thresh = math.floor(min(w * token_budget / total, 1.0) * buckets)
+        cond = F.col(source_col) == F.lit(src)
+        keep = F.when(cond, bucket < thresh) if keep is None else keep.when(cond, bucket < thresh)
+    if keep is None:
+        return with_tok.filter(F.lit(False))
+    return with_tok.filter(keep.otherwise(F.lit(False)))
 
 
 def cap_per_group(df: DataFrame, group_cols: list[str], order_col: str,

@@ -367,6 +367,29 @@ def test_chunk_documents_plan_no_shuffle(spark, sf_small):
     assert "Exchange" not in plan, "chunking must be document-local (zero shuffle)"
 
 
+def test_mix_corpus_rates_and_nesting(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "source", "text")
+    w = {"src0": 0.5, "src1": 0.5}
+    kept = SP.mix_corpus(docs, w, token_budget=1000)
+    rows = kept.collect()
+    assert {r.source for r in rows} <= set(w), "non-mixture sources must drop"
+    # determinism
+    again = sorted(r.doc_id for r in SP.mix_corpus(docs, w, token_budget=1000).collect())
+    assert sorted(r.doc_id for r in rows) == again
+    # expected token mass per source ~ its share (generous CLT bound:
+    # ~25 docs/source at sf0.001 -> wide tolerance)
+    for src in w:
+        got = sum(r.n_tokens for r in rows if r.source == src)
+        assert 0 < got < 3 * w[src] * 1000, f"{src}: {got}"
+    # larger budget keeps a superset (hash buckets nest)
+    wider = {r.doc_id for r in SP.mix_corpus(docs, w, token_budget=2000).collect()}
+    assert set(again) <= wider
+    # clamped source contributes everything
+    all_src0 = {r.doc_id for r in docs.filter(F.col("source") == "src0").collect()}
+    clamped = {r.doc_id for r in SP.mix_corpus(docs, {"src0": 1.0}, token_budget=10**9).collect()}
+    assert clamped == all_src0
+
+
 def test_stratified_sample_deterministic_subset(spark, sf_small):
     docs = load_table(spark, sf_small, "documents").select("doc_id", "lang")
     a = {r.doc_id for r in SP.stratified_sample(docs, ["lang"], {("en",): 0.3}).collect()}
