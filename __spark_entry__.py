@@ -2851,10 +2851,12 @@ FROM m
 @_q("q_multimodal_features", _MULTIMODAL_ORACLE)
 def q_multimodal_features(spark, sf_dir):
     """X5: multimodal binary-column pipeline — synthetic media table ->
-    Arrow-batched mapInPandas feature extraction (FAKE decode kernel;
-    Spark-side schema/partitioning/batching are the real thing).  The
-    FAKE features are md5-derived, so feature 0 has an exact SQL twin
-    (first 4 digest bytes little-endian, scaled to [-1, 1], FLOAT32)."""
+    feature extraction over the opaque payload bytes.  The FAKE md5
+    decode kernel is byte-pure, so it runs as a whole-stage-codegen
+    expression by default (no Python worker; the Arrow mapInPandas
+    path stays equivalence-tested as the real-codec deployment hook),
+    and feature 0 has an exact SQL twin (first 4 digest bytes
+    little-endian, scaled to [-1, 1], FLOAT32)."""
     from real_timetransactionaldatalakehouse_spark.operators import multimodal as MM
 
     docs = _t(spark, sf_dir, "documents")
