@@ -2702,6 +2702,42 @@ def q_decontaminate_ngram(spark, sf_dir):
     return S.decontaminate_ngram(corpus, benchmark, n=13).select("doc_id", "lang")
 
 
+@_q("q_lm_score", """
+WITH toked AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), uni AS (
+  SELECT w1, COUNT(*) AS c1
+  FROM (SELECT unnest(t) AS w1 FROM toked) GROUP BY w1
+), v AS (
+  SELECT COUNT(*) AS v FROM uni
+), doc_bi AS (
+  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg
+  FROM toked, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+), bi AS (
+  SELECT bg, COUNT(*) AS cb FROM doc_bi GROUP BY bg
+), scored AS (
+  SELECT d.doc_id, ln((b.cb + 0.5) / (u.c1 + 0.5 * v.v)) AS logp
+  FROM doc_bi d JOIN bi b USING (bg) JOIN uni u USING (w1), v
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CAST(logp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+         AS avg_logprob
+FROM scored GROUP BY doc_id
+""")
+def q_lm_score(spark, sf_dir):
+    """EXT quality: CCNet-style n-gram LM scoring — mean smoothed
+    bigram log-likelihood per document under a model counted from the
+    corpus itself (the perplexity-filtering gate of LLM pipelines).
+    Two partial-agg count shuffles build the model, gram-keyed joins
+    score the bigram stream, one keyed agg folds per-doc means; the
+    mean accumulates as an exact DECIMAL sum so float logs stay
+    engine-portable (text.ngram_lm_score)."""
+    from real_timetransactionaldatalakehouse_spark.operators import text as TX
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.ngram_lm_score(docs)
+
+
 @_q("q_corpus_mix", """
 WITH tok AS (
   SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
@@ -2885,9 +2921,9 @@ def q_multimodal_features(spark, sf_dir):
 # snapshot-diff / schema-evolution oracles), then the rows-only infra.
 # The EXT/LLM family certified green in r3 rotates out of the window.
 _CHECK_FIRST: list[str] = [
-    # r1/r2-era core: scan / filter / project
+    # r1/r2-era core: scan / filter / project.  q_scan_limit rotates
+    # to r5 (r2-certified, trivial surface) for the r4-new q_lm_score.
     "q_scan_project",
-    "q_scan_limit",
     "q_project_cast",
     "q_filter_eq",
     "q_filter_in",
@@ -2942,6 +2978,7 @@ _CHECK_FIRST: list[str] = [
     "q_chunk_documents",
     "q_decontaminate_ngram",
     "q_corpus_mix",
+    "q_lm_score",
     "q_multimodal_features",
     # flagship fill to 50.  The rows-only infra queries (q_agg_sketches,
     # q_table_stats, q_sorted_write, q_snapshot_lifecycle,

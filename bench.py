@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "q_chunk_documents",
     "q_decontaminate_ngram",
     "q_corpus_mix",
+    "q_lm_score",
 ]
 
 # The r3 headline set (BENCH_r03.json's 30 queries): the aggregate

@@ -326,6 +326,86 @@ def chunk_documents(
     )
 
 
+def ngram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring — the standard LLM
+    corpus-quality gate: score each document by its mean bigram
+    log-likelihood under an add-alpha-smoothed LM trained on the
+    corpus itself (pipelines keep the low-perplexity tail or bin by
+    score; a held-out reference corpus drops in by training the
+    counts on a different DataFrame upstream).
+
+    ``logp(w1 w2) = ln((c(w1,w2) + alpha) / (c(w1) + alpha * V))``
+    with ``V`` the corpus vocabulary size.
+
+    Plan shape: two partial-agg count shuffles build the model
+    ((w1, c1) unigrams and (bigram, cb) bigrams — narrow rows, never
+    documents), the per-document bigram stream joins them on their
+    keys (shuffle joins; at corpus scale both sides are huge but the
+    rows are (gram, count) pairs), and one keyed agg folds per-doc
+    means.  ``V`` is a one-row aggregate collected at plan build
+    (metadata-sized, like the IVF centroids).  The mean accumulates
+    as an exact DECIMAL sum of the per-bigram logs (``functions.dsum``
+    discipline), so the result is engine-portable despite float logs:
+    each row's logp is identical IEEE double math in any engine and
+    the decimal sum is order-independent.
+
+    Output: ``(id, n_bigrams, avg_logprob)`` for documents with at
+    least one bigram.
+    """
+    spark = df.sparkSession
+    fan = spark.sparkContext.defaultParallelism
+    t = tokens(text_col)
+    toked = df.repartition(fan).select(
+        F.col(id_col), t.alias("__t"), F.size(t).alias("__n")
+    )
+    # per-doc bigram stream: (id, w1, 'w1 w2')
+    pairs_idx = F.sequence(F.lit(1), F.col("__n") - 1)
+    doc_bi = toked.filter(F.col("__n") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                pairs_idx,
+                lambda i: F.struct(
+                    F.element_at(F.col("__t"), i).alias("w1"),
+                    F.concat_ws(
+                        " ", F.element_at(F.col("__t"), i),
+                        F.element_at(F.col("__t"), i + F.lit(1))
+                    ).alias("bg"),
+                ),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
+
+    uni = (
+        toked.select(F.explode("__t").alias("w1"))
+        .groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
+    )
+    bi = doc_bi.groupBy("bg").agg(F.count(F.lit(1)).alias("__cb"))
+    v = uni.count()  # vocabulary size: one scalar, plan-build collect
+
+    scored = (
+        doc_bi.join(bi, "bg").join(uni, "w1")
+        .select(
+            id_col,
+            F.log(
+                (F.col("__cb") + F.lit(alpha))
+                / (F.col("__c1") + F.lit(alpha * v))
+            ).alias("__logp"),
+        )
+    )
+    from ..functions import dsum
+
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (dsum("__logp", 6) / F.count(F.lit(1)).cast("double")).alias("avg_logprob"),
+    )
+
+
 def token_count_bpe(text: Column | str) -> Column:
     """Pre-tokenizer token count — the budget unit LLM pipelines cost
     documents in (whitespace counts under-estimate code/punctuation-

@@ -367,6 +367,32 @@ def test_chunk_documents_plan_no_shuffle(spark, sf_small):
     assert "Exchange" not in plan, "chunking must be document-local (zero shuffle)"
 
 
+def test_ngram_lm_score_hand_computed(spark):
+    """LM scoring on a corpus small enough to verify by hand, plus the
+    ranking property the quality gate relies on: documents made of
+    common bigrams score higher than documents of rare ones."""
+    import math
+
+    from real_timetransactionaldatalakehouse_spark.operators.text import (
+        ngram_lm_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "z")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in ngram_lm_score(df, alpha=0.5).collect()}
+    # vocab V = 4 (a, b, c, z); counts: c(a)=3, c("a b")=2, c("a c")=1
+    assert set(got) == {1, 2, 3}  # doc 4 has no bigram
+    lp_ab = math.log((2 + 0.5) / (3 + 0.5 * 4))
+    lp_ac = math.log((1 + 0.5) / (3 + 0.5 * 4))
+    assert abs(got[1].avg_logprob - lp_ab) < 1e-6
+    assert got[1].n_bigrams == 1 and got[3].n_bigrams == 1
+    assert abs(got[3].avg_logprob - lp_ac) < 1e-6
+    # common bigram ("a b" seen twice) outranks the rare one
+    assert got[1].avg_logprob > got[3].avg_logprob
+
+
 def test_mix_corpus_rates_and_nesting(spark, sf_small):
     docs = load_table(spark, sf_small, "documents").select("doc_id", "source", "text")
     w = {"src0": 0.5, "src1": 0.5}
