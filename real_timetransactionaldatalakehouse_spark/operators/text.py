@@ -363,7 +363,10 @@ def ngram_lm_score(
     toked = df.repartition(fan).select(
         F.col(id_col), t.alias("__t"), F.size(t).alias("__n")
     )
-    # per-doc bigram stream: (id, w1, 'w1 w2')
+    # per-doc bigram stream, gram keys pre-hashed to 64-bit ints: the
+    # model joins are engine-internal (the oracle joins on the raw
+    # strings), so narrow hash keys shuffle ~3x less than the gram
+    # text and hash-join faster (same argument as decontaminate_ngram)
     pairs_idx = F.sequence(F.lit(1), F.col("__n") - 1)
     doc_bi = toked.filter(F.col("__n") >= 2).select(
         F.col(id_col),
@@ -371,10 +374,10 @@ def ngram_lm_score(
             F.transform(
                 pairs_idx,
                 lambda i: F.struct(
-                    F.element_at(F.col("__t"), i).alias("w1"),
-                    F.concat_ws(
-                        " ", F.element_at(F.col("__t"), i),
-                        F.element_at(F.col("__t"), i + F.lit(1))
+                    F.xxhash64(F.element_at(F.col("__t"), i)).alias("w1"),
+                    F.xxhash64(
+                        F.element_at(F.col("__t"), i),
+                        F.element_at(F.col("__t"), i + F.lit(1)),
                     ).alias("bg"),
                 ),
             )
@@ -382,7 +385,8 @@ def ngram_lm_score(
     ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
 
     uni = (
-        toked.select(F.explode("__t").alias("w1"))
+        toked.select(F.explode("__t").alias("__w"))
+        .select(F.xxhash64("__w").alias("w1"))
         .groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
     )
     bi = doc_bi.groupBy("bg").agg(F.count(F.lit(1)).alias("__cb"))
