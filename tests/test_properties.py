@@ -340,6 +340,36 @@ def test_repetition_stats_invariants(spark, data):
 
 
 @SETTINGS
+@given(data=doc_rows, bench_data=doc_rows, n=st.integers(min_value=2, max_value=4))
+def test_decontaminate_ngram_matches_python_reference(spark, data, bench_data, n):
+    """Over generated corpora: the kept set equals the plain-Python
+    n-gram overlap computation (token n-grams with the short-doc
+    whole-text fallback shingle)."""
+    from real_timetransactionaldatalakehouse_spark.operators.sampling import (
+        decontaminate_ngram,
+    )
+
+    docs = {i: toks for i, toks in data}
+    bench = {i + 10_000: toks for i, toks in bench_data}
+
+    def grams(toks):
+        t = " ".join(toks).split(" ")  # "" -> [""], matches split()
+        if len(t) <= n:
+            return {" ".join(t)}  # word_shingles clamps to one shingle
+        return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+    bench_grams = set().union(*(grams(t) for t in bench.values())) if bench else set()
+    want = {i for i, t in docs.items() if not (grams(t) & bench_grams)}
+
+    corpus_df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()], "doc_id long, text string")
+    bench_df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in bench.items()], "doc_id long, text string")
+    got = {r.doc_id for r in decontaminate_ngram(corpus_df, bench_df, n=n).collect()}
+    assert got == want
+
+
+@SETTINGS
 @given(
     data=doc_rows,
     budget=st.integers(min_value=2, max_value=9),
