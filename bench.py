@@ -176,12 +176,15 @@ def main() -> None:
     # kernels — caches are cleared between runs, nothing is a cached
     # result).  min-of-5 filters single-run JVM noise (GC pauses,
     # compilation, noisy-neighbor CPU stalls on a shared host).
+    # min-of-4 re-executions (was 5): the headline list grew from 30
+    # to 43 queries, and the 4th-vs-5th minimum differs by noise while
+    # the whole run stays inside the same wall-clock envelope as r3's
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
     for name in BENCH_QUERIES:
         df = qs[name](spark, SF_DIR)
         timings[name] = round(run_df(df), 4)
-        steady[name] = round(min(run_df(df) for _ in range(5)), 4)
+        steady[name] = round(min(run_df(df) for _ in range(4)), 4)
         if con is not None and name in osql and name not in ORACLE_SKIP:
             try:
                 best = float("inf")

@@ -190,6 +190,30 @@ def test_minhash_skips_spread_for_well_split_input(spark, sf_medium):
     assert "RoundRobinPartitioning" not in plan_noopt, plan_noopt
 
 
+def test_decontaminate_ngram_broadcasts_never_cartesian(spark, sf_medium):
+    """The n-gram decontamination joins must broadcast (the benchmark
+    gram set and the contaminated-id set are the small sides; the
+    corpus never shuffles for them) and must never plan a cartesian
+    or sort-merge join."""
+    from real_timetransactionaldatalakehouse_spark.operators.sampling import (
+        decontaminate_ngram,
+    )
+    from real_timetransactionaldatalakehouse_spark.sources import load_table
+
+    docs = load_table(spark, sf_medium, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    plan = P.formatted_plan(decontaminate_ngram(corpus, bench, n=13))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # the well-split opt-out adds no round-robin exchange
+    plan_noopt = P.formatted_plan(
+        decontaminate_ngram(corpus, bench, n=13, repartition=False)
+    )
+    assert "RoundRobinPartitioning" not in plan_noopt
+
+
 def test_partitioned_bronze_scan_prunes_in_plan(spark, tmp_path):
     """O1 contract at the plan level: a p_date/p_hour predicate shows
     up as PartitionFilters on the scan, not a post-scan Filter."""
