@@ -340,6 +340,53 @@ def test_repetition_stats_invariants(spark, data):
 
 
 @SETTINGS
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.sampled_from(["s0", "s1", "s2"]),
+            st.lists(st.sampled_from(["a", "bb", "ccc"]), min_size=0, max_size=9),
+        ),
+        min_size=0, max_size=30,
+    ),
+    budget=st.integers(min_value=1, max_value=60),
+)
+def test_mix_corpus_matches_python_reference(spark, data, budget):
+    """The keep set is a pure function of (id, seed, per-source token
+    totals): replicate the operator's md5 bucket and threshold
+    arithmetic in plain Python and require the identical sample."""
+    import hashlib
+    import math
+
+    from real_timetransactionaldatalakehouse_spark.operators.sampling import (
+        mix_corpus,
+    )
+
+    docs = {i: (src, toks) for i, src, toks in data}
+    weights = {"s0": 0.6, "s1": 0.4}
+    totals: dict[str, int] = {}
+    for src, toks in docs.values():
+        # split(" ") of "" yields [""] -> 1 token, matching tokens()
+        totals[src] = totals.get(src, 0) + max(len(toks), 1)
+    want = set()
+    for i, (src, toks) in docs.items():
+        w = weights.get(src)
+        if w is None or not totals.get(src):
+            continue
+        thresh = math.floor(min(w * budget / totals[src], 1.0) * 100_000)
+        h = int(hashlib.md5(f"{i}:mix-v1".encode()).hexdigest()[:15], 16)
+        if h % 100_000 < thresh:
+            want.add(i)
+
+    df = spark.createDataFrame(
+        [(i, src, " ".join(toks)) for i, (src, toks) in docs.items()],
+        "doc_id long, source string, text string",
+    )
+    got = {r.doc_id for r in mix_corpus(df, weights, token_budget=budget).collect()}
+    assert got == want
+
+
+@SETTINGS
 @given(data=doc_rows, bench_data=doc_rows, n=st.integers(min_value=2, max_value=4))
 def test_decontaminate_ngram_matches_python_reference(spark, data, bench_data, n):
     """Over generated corpora: the kept set equals the plain-Python
