@@ -10,6 +10,7 @@ from .jobs import (
     dims_scd1_stream,
     gold_session_stream,
     gold_window_agg_stream,
+    neardup_ingest_stream,
     time_partition_cols,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "gold_window_agg_stream",
     "gold_session_stream",
     "dims_scd1_stream",
+    "neardup_ingest_stream",
     "time_partition_cols",
 ]

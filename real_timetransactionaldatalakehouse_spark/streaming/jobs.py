@@ -378,3 +378,104 @@ def scd2_dim_view(
         tiebreak_cols=tiebreak_cols,
         drop_unchanged=tracked_cols,
     )
+
+
+def neardup_ingest_stream(
+    stream_df: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    available_now: bool = True,
+    blocking: bool = True,
+):
+    """Streaming near-dup-free corpus ingestion — the Kappa shape of
+    an LLM data pipeline's ingest tier: every micro-batch is deduped
+    WITHIN itself (exact + verified MinHash keep-one,
+    ``operators.dedup.drop_near_duplicates``) and AGAINST everything
+    previously ingested via the persisted band index, then survivors
+    append to the corpus and their ``(band, bhash, sig)`` rows to the
+    index.
+
+    Scale shape: the historical probe is an equi join of the batch's
+    band rows (``bands`` small rows per incoming doc) against the
+    index on ``(band, bhash)`` — the corpus text itself is never
+    re-read and never shuffles; at 10^9 ingested documents the index
+    is ``bands`` narrow rows each, hash-partitioned by the join key.
+    Cross-batch matches are gated on the signature-agreement ESTIMATE
+    (the in-batch pass is exact-verified): re-verifying against
+    historical text would re-read the corpus per batch.
+
+    Idempotence: corpus appends before index.  A batch replayed after
+    a crash between the two writes re-appends its documents (standard
+    at-least-once append; exact dedup downstream is a cheap
+    ``dropDuplicates``); a batch replayed after BOTH writes finds its
+    own band rows in the index, so its documents drop and neither
+    table double-ingests.
+    """
+    from ..operators import dedup as D
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        survivors = batch.dropDuplicates([text_col])
+        survivors = D.drop_near_duplicates(
+            survivors, text_col, id_col,
+            jaccard_threshold=jaccard_threshold,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        )
+        banded = D.minhash_banded(
+            survivors.select(id_col, text_col), text_col, id_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        ).persist()
+        try:
+            idx = spark.read.parquet(index_path)
+        except Exception:
+            idx = None
+        if idx is not None:
+            est = (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("sig"), F.col("__hist_sig"),
+                            lambda a, b: (a == b).cast("int"),
+                        ),
+                        lambda x: x == 1,
+                    )
+                ).cast("double")
+                / F.lit(float(num_hashes))
+            )
+            dup_ids = (
+                banded.join(
+                    idx.select(
+                        "band", "bhash", F.col("sig").alias("__hist_sig")
+                    ),
+                    ["band", "bhash"],
+                )
+                .filter(est >= jaccard_threshold)
+                .select(F.col("id").alias(id_col))
+                .distinct()
+            )
+            kept_banded = banded.join(
+                dup_ids.withColumnRenamed(id_col, "id"), "id", "left_anti"
+            )
+        else:
+            kept_banded = banded
+        kept_ids = kept_banded.select(F.col("id").alias(id_col)).distinct()
+        kept = survivors.join(kept_ids, id_col, "left_semi")
+        kept.write.mode("append").parquet(corpus_path)
+        kept_banded.select(
+            F.col("id").alias(id_col), "band", "bhash", "sig"
+        ).write.mode("append").parquet(index_path)
+        banded.unpersist()
+
+    return _run_stream(
+        stream_df.writeStream.foreachBatch(write_batch).outputMode("append"),
+        checkpoint,
+        available_now,
+        blocking,
+    )

@@ -589,3 +589,54 @@ def test_dims_scd2_stream_view_equals_batch(spark, events_small, tmp_path):
     n = spark.read.parquet(log).count()
     dims_scd2_stream(file_stream(spark, src, changes.schema), log, ckpt)
     assert spark.read.parquet(log).count() == n
+
+
+def test_neardup_ingest_stream_drops_cross_batch_dups(spark, tmp_path):
+    """Streaming near-dup ingestion: each micro-batch dedups within
+    itself AND against everything previously ingested via the band
+    index; replaying an already-committed batch ingests nothing new."""
+    from real_timetransactionaldatalakehouse_spark.streaming import (
+        neardup_ingest_stream,
+    )
+
+    base_a = " ".join(f"alpha{i}" for i in range(30))
+    base_b = " ".join(f"beta{i}" for i in range(30))
+    # batch 0: A, B and an in-batch near-dup of A (one token changed,
+    # shingle Jaccard ~0.85 -> band collision certain at 8x4 banding)
+    # batch 1: a cross-batch near-dup of A, an exact dup of B, and a
+    #          genuinely new document
+    new_c = " ".join(f"gamma{i}" for i in range(30))
+    b0 = [(1, base_a), (2, base_b), (3, base_a.replace("alpha7", "delta7"))]
+    b1 = [(10, base_a.replace("alpha20", "delta20")), (11, base_b), (12, new_c)]
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    base_t = time.time()
+    for i, rows in enumerate((b0, b1)):
+        _write_single_file(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            os.path.join(src, f"chunk-{i:03d}.parquet"),
+            base_t + i,
+        )
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    stream = file_stream(
+        spark, src, spark.createDataFrame([], "doc_id long, text string").schema
+    )
+    neardup_ingest_stream(stream, corpus, index, ckpt, jaccard_threshold=0.5)
+
+    kept = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert 1 in kept and 2 in kept and 12 in kept
+    assert 3 not in kept, "in-batch near-dup must lose to the keeper"
+    assert 10 not in kept, "cross-batch near-dup must hit the band index"
+    assert 11 not in kept, "cross-batch exact dup must hit the band index"
+    # index carries `bands` rows per kept doc
+    idx = spark.read.parquet(index)
+    assert idx.groupBy("doc_id").count().filter(F.col("count") != 8).count() == 0
+    assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} == kept
+    # restart with the same checkpoint: nothing re-ingests
+    stream2 = file_stream(
+        spark, src, spark.createDataFrame([], "doc_id long, text string").schema
+    )
+    neardup_ingest_stream(stream2, corpus, index, ckpt, jaccard_threshold=0.5)
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == kept
