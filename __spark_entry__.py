@@ -2906,6 +2906,324 @@ def q_multimodal_features(spark, sf_dir):
 
 
 # =====================================================================
+# Round-4 additions (session continuation): set ops, grouping sets,
+# unpivot, analytic rank stats, mode, z-score normalization, session
+# windows, BM25 retrieval, embedding near-dup clusters.
+# =====================================================================
+
+
+@_q("q_intersect", """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""")
+def q_intersect(spark, sf_dir):
+    """Set op: INTERSECT (distinct) — customers with orders in BOTH
+    statuses.  Catalyst plans a left-semi hash join over the two
+    distinct-aggregated sides; at 100 TB both sides shuffle once on
+    the compare key (same shape as the anti-join MERGE half,
+    reference streaming_job.py:148-154).  INTERSECT ALL is the same
+    surface with a per-row multiplicity counter."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+        .intersect(o.filter(F.col("o_orderstatus") == "O").select("o_custkey"))
+    )
+
+
+@_q("q_except", """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""")
+def q_except(spark, sf_dir):
+    """Set op: EXCEPT (distinct) — customers with finished orders and
+    no open ones.  ``DataFrame.subtract`` compiles to a left-anti hash
+    join over the distinct left side (one shuffle per side on the
+    key)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+        .subtract(o.filter(F.col("o_orderstatus") == "O").select("o_custkey"))
+    )
+
+
+@_q("q_grouping_sets", """
+SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
+       COALESCE(l_linestatus, '<all>') AS l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+""")
+def q_grouping_sets(spark, sf_dir):
+    """Grouping sets surface, explicit-list variant (the general form
+    ROLLUP/CUBE desugar to): per-returnflag and per-linestatus margins
+    in ONE pass — Catalyst expands each row to its grouping-set
+    replicas before a single partial+final hash agg (one shuffle, same
+    Expand-op plan as q_rollup/q_cube)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            LF.dsum("l_quantity").alias("sum_qty"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+            "gid", "n", "sum_qty",
+        )
+    )
+
+
+@_q("q_unpivot", """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+""")
+def q_unpivot(spark, sf_dir):
+    """Unpivot (wide -> long, the inverse of q_pivot): per-line-item
+    measures melted to (key, metric, value) rows — the shape feature
+    stores and metric pipelines ingest.  Spark's ``unpivot`` plans an
+    Expand op (each row emits its value-column replicas map-side):
+    zero shuffles, zero joins — strictly better than the UNION-ALL
+    formulation, which would scan the table once per measure."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric", "value",
+    )
+
+
+@_q("q_window_rank_stats", """
+SELECT event_id, event_type,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+""")
+def q_window_rank_stats(spark, sf_dir):
+    """Analytic rank family: ntile quartile binning + percent_rank +
+    cume_dist per event type — quantile-bucket feature engineering as
+    a single window pass (all three share one sort, one exchange
+    keyed by event_type).  The order key carries a unique tiebreak
+    (event_id) so bucket assignment is total-order deterministic.
+    Both engines implement the SQL-standard definitions, so values
+    hash-match bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("value").asc(), F.col("event_id").asc())
+    )
+    return ev.select(
+        "event_id", "event_type",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@_q("q_agg_mode", """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+), r AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type ASC) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS mode_value, n AS n_occurrences
+FROM r WHERE rn = 1
+""")
+def q_agg_mode(spark, sf_dir):
+    """Deterministic MODE per group (operators/relational.
+    mode_per_group): dominant event type per user, ties to the
+    lexicographically smallest — built-in ``mode()`` is
+    tie-nondeterministic across engines.  The ranking window runs
+    over the aggregated (user, type, count) rows, not raw events."""
+    ev = _t(spark, sf_dir, "events")
+    return R.mode_per_group(ev, ["user_id"], "event_type")
+
+
+@_q("q_zscore_norm", """
+WITH st AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4)))
+              AS DOUBLE) AS sxx,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 1
+), m AS (
+  SELECT l_returnflag, sx / n AS mean,
+         sqrt((sxx - sx * sx / n) / (n - 1)) AS sd
+  FROM st
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+       (l.l_quantity - m.mean) / m.sd AS z
+FROM lineitem l JOIN m USING (l_returnflag)
+""")
+def q_zscore_norm(spark, sf_dir):
+    """Per-group z-score normalization (operators/relational.
+    zscore_normalize) — group moments from exact decimal sums
+    (order-independent, so the partial-agg tree and DuckDB's
+    sequential scan agree bit-for-bit), broadcast back onto the rows:
+    the fact side never shuffles.  Certified on the fixed-point
+    l_quantity column (squares exact in binary); arbitrary-precision
+    doubles can land exactly on a decimal rounding tie where engines'
+    HALF_UP vs HALF_EVEN conventions split — see the operator
+    docstring for the fixed-point-input requirement."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    out = R.zscore_normalize(li, ["l_returnflag"], "l_quantity")
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag", "z")
+
+
+@_q("q_session_window_agg", """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       date_trunc('second', MIN(ts)) AS session_start,
+       date_trunc('second', MAX(ts) + INTERVAL 30 MINUTE) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+""")
+def q_session_window_agg(spark, sf_dir):
+    """Session windows as a GROUP BY unit (operators/relational.
+    session_window_agg, Spark's built-in ``session_window``): one row
+    per (user, session) with start / end(+gap) / event count.  The
+    oracle is the LAG gap-and-island twin with the verified boundary
+    semantics (an event at EXACTLY last+gap still merges -> new
+    session iff gap STRICTLY exceeded).  Same operator runs unchanged
+    under Structured Streaming with a watermark."""
+    ev = _t(spark, sf_dir, "events")
+    out = R.session_window_agg(ev, "ts", ["user_id"], gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.date_trunc("second", "session_start").alias("session_start"),
+        F.date_trunc("second", "session_end").alias("session_end"),
+        "n_events",
+    )
+
+
+# BM25 with EXACTLY TWO query terms: the per-doc score sums two
+# doubles (commutative), so the hash is partial-agg-order independent
+# — same argument as q_search_ranked's TF-IDF oracle.
+_BM25_ORACLE = """
+WITH pairs AS (
+  SELECT doc_id, t.term AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+  GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM pairs GROUP BY 1
+), c AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl
+), dfreq AS (
+  SELECT term, COUNT(*) AS dfc FROM pairs GROUP BY term
+), scored AS (
+  SELECT p.doc_id,
+         ln(1.0 + (c.nd - dfreq.dfc + 0.5) / (dfreq.dfc + 0.5))
+           * (CAST(p.tf AS DOUBLE) * (1.2 + 1.0))
+           / (CAST(p.tf AS DOUBLE)
+              + 1.2 * (0.25 + (0.75 * CAST(dl.dl AS DOUBLE)) / c.avgdl)) AS w
+  FROM pairs p JOIN dfreq USING (term) JOIN dl USING (doc_id), c
+  WHERE p.term IN ('window', 'sort')
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched, SUM(w) AS score
+FROM scored GROUP BY doc_id
+HAVING COUNT(*) = 2
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+@_q("q_bm25_search", _BM25_ORACLE)
+def q_bm25_search(spark, sf_dir):
+    """X4: Okapi BM25 ranked retrieval (operators/text.bm25_scores +
+    search_bm25, published k1=1.2 / b=0.75) — the retrieval-quality
+    upgrade over q_search_ranked's TF-IDF: length-normalized term
+    saturation.  Postings are cut to the query terms before ranking;
+    shuffles carry (doc, term, count) rows only."""
+    from real_timetransactionaldatalakehouse_spark.operators.text import (
+        search_bm25,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return search_bm25(docs, ["window", "sort"], k=10)
+
+
+_EMBED_CLUSTERS_ORACLE = """
+WITH RECURSIVE sub AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (s, v) -> s + v)
+      / (sqrt(list_reduce(list_transform(a.embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (s, v) -> s + v))
+       * sqrt(list_reduce(list_transform(b.embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (s, v) -> s + v)))
+      AS score
+    FROM sub a, sub b WHERE a.vec_id < b.vec_id
+  ) WHERE score >= 0.25
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+), nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS id, MIN(dst) AS cluster_id,
+       CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_members
+FROM reach GROUP BY src
+"""
+
+
+@_q("q_embed_clusters", _EMBED_CLUSTERS_ORACLE)
+def q_embed_clusters(spark, sf_dir):
+    """X2/X3 terminal: semantic near-dup CLUSTERS — embedding-cosine
+    pairs (same bounded subset and threshold as q_embed_neardup) ->
+    hash-min connected components (operators/dedup.neardup_clusters).
+    A semantic-dedup pipeline keeps one doc per component; cluster id
+    = component min vec id, so labeling on an equal pair graph is
+    deterministic.  At scale the pair source swaps to the LSH-bucketed
+    scorer (q_embed_neardup_lsh) with the component step unchanged."""
+    from real_timetransactionaldatalakehouse_spark.operators import dedup as D
+    from real_timetransactionaldatalakehouse_spark.operators import similarity as S
+
+    pairs = S.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.25, max_id=60
+    )
+    return D.neardup_clusters(pairs.select("id_a", "id_b"))
+
+
+# =====================================================================
 # Driver contract surface
 # =====================================================================
 
@@ -2920,6 +3238,14 @@ def q_multimodal_features(spark, sf_dir):
 # (pack oracle cast, minhash spread, simhash SWAR lanes, the new
 # snapshot-diff / schema-evolution oracles), then the rows-only infra.
 # The EXT/LLM family certified green in r3 rotates out of the window.
+#
+# The round-4 wave-2 additions (q_intersect, q_except, q_grouping_sets,
+# q_unpivot, q_window_rank_stats, q_agg_mode, q_zscore_norm,
+# q_session_window_agg, q_bm25_search, q_embed_clusters) do not fit the
+# 50-slot window on top of the stale-rotation above; they carry pytest
+# parity evidence this round (tests/test_oracle_parity.py runs the SAME
+# differential check at sf0.001 + sf0.01) and rotate into the head of
+# r5's window together with q_scan_limit / q_string_funcs.
 _CHECK_FIRST: list[str] = [
     # r1/r2-era core: scan / filter / project.  q_scan_limit rotates
     # to r5 (r2-certified, trivial surface) for the r4-new q_lm_score.

@@ -367,3 +367,118 @@ def resample_fill(
         if name == "n":
             out = out.withColumn(name, F.coalesce(F.col(name), F.lit(0)))
     return out
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    gap: str = "30 minutes",
+    aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """T10 companion: session windows as a first-class GROUP BY unit —
+    Spark's ``session_window`` (dynamic-gap event grouping) instead of
+    the LAG running-sum formulation in :func:`sessionize`.  The window
+    closes when no event arrives within ``gap`` of the last one; an
+    event at EXACTLY last+gap still merges (verified semantics: the
+    session end is exclusive only beyond last_ts + gap).  Output rows
+    are one per (key, session): ``session_start`` = first event ts,
+    ``session_end`` = last event ts + gap.
+
+    Scale: Catalyst plans this as a sort-based session aggregation
+    partitioned by the keys — work scales with per-key event counts,
+    never a global window.  Same operator works unchanged under
+    Structured Streaming with a watermark (state pruned per gap).
+    Reference: the declared Silver session stitching
+    (design_doc/DataModel_SchemaDesign.md:47,58).
+    """
+    aggs = aggs or {"n_events": F.count(F.lit(1))}
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("__w"), *key_cols)
+        .agg(*[e.alias(name) for name, e in aggs.items()])
+        .select(
+            *key_cols,
+            F.col("__w.start").alias("session_start"),
+            F.col("__w.end").alias("session_end"),
+            *[F.col(name) for name in aggs],
+        )
+    )
+
+
+def mode_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "mode_value",
+) -> DataFrame:
+    """Deterministic MODE: most frequent value per group, ties broken
+    by smallest value — built-in ``mode()`` is tie-nondeterministic
+    across engines, so this is the count + ranked-pick formulation
+    (two shuffles: (group, value) partial-agg count, then a per-group
+    top-1 window over the already-aggregated counts — the window input
+    is |distinct values| rows, not raw data).
+    """
+    counts = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("n").desc(), F.col(value_col).asc()
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *group_cols,
+            F.col(value_col).alias(out_col),
+            F.col("n").alias("n_occurrences"),
+        )
+    )
+
+
+def zscore_normalize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "z",
+    scale: int = 4,
+) -> DataFrame:
+    """Per-group z-score feature normalization — the standard feature-
+    engineering transform ((x - mean) / stddev within each group).
+
+    Group moments come from EXACT decimal accumulation (sum x and
+    sum x^2 at ``scale`` fractional digits), so the result is
+    independent of Spark's partial-agg merge order and reproducible
+    bit-for-bit across engines (built-in stddev is Welford-style and
+    float-order dependent).  The per-group stats table is broadcast
+    back onto the rows: one shuffle for the moments agg, zero for the
+    enrichment join — at 100 TB the fact side never moves.
+
+    Cross-engine caveat: the double -> decimal cast on x^2 rounds, and
+    an arbitrary-precision double can land EXACTLY on a decimal tie
+    (e.g. any multiple of 1/32 ends in ...5 at the 5th decimal), where
+    Spark rounds HALF_UP but DuckDB HALF_EVEN.  For bit-exact
+    cross-engine parity feed fixed-point inputs whose squares stay
+    exact (<= scale/2 fractional digits); within Spark the result is
+    always deterministic regardless.
+    """
+    n = F.count(F.lit(1))
+    sx = F.sum(F.col(value_col).cast(f"decimal(28,{scale})")).cast("double")
+    sxx = F.sum(
+        (F.col(value_col) * F.col(value_col)).cast(f"decimal(28,{scale})")
+    ).cast("double")
+    stats = df.groupBy(*group_cols).agg(
+        sx.alias("__sx"), sxx.alias("__sxx"), n.alias("__n")
+    )
+    mean = F.col("__sx") / F.col("__n")
+    sd = F.sqrt(
+        (F.col("__sxx") - F.col("__sx") * F.col("__sx") / F.col("__n"))
+        / (F.col("__n") - F.lit(1))
+    )
+    stats = stats.select(
+        *group_cols, mean.alias("__mean"), sd.alias("__sd")
+    )
+    return (
+        df.join(F.broadcast(stats), group_cols)
+        .withColumn(out_col, (F.col(value_col) - F.col("__mean")) / F.col("__sd"))
+        .drop("__mean", "__sd")
+    )

@@ -488,3 +488,88 @@ def search_ranked(
     if require_all:
         agg = agg.filter(F.col("n_matched") == len(set(terms)))
     return agg.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def bm25_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 weights per (document, term) — the ranked-retrieval
+    standard (Robertson & Sparck Jones; the published k1/b defaults):
+
+        idf  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        w    = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Plan mirrors :func:`tfidf_scores`: ONE explode into a (doc, term)
+    partial-agg count; doc length and document frequency both derive
+    from that pair table (no second pass over raw text); corpus stats
+    (N, avgdl) ride in as a broadcast one-row aggregate and the tiny
+    (term, df) table joins broadcast-style back onto the postings.
+    Shuffles carry (doc, term, count) rows only — raw text crosses the
+    wire zero times, and every arithmetic step is a fixed per-row
+    expression tree (deterministic, engine-portable).
+    """
+    pairs = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    # dl is an exact BIGINT sum; avgdl/N are one broadcast row
+    doclen = pairs.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    corpus = F.broadcast(
+        doclen.agg(
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            (
+                F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("__avgdl"),
+        )
+    )
+    docfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf = F.col("tf").cast("double")
+    norm = tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("__avgdl"))
+    out = (
+        pairs.join(docfreq.crossJoin(corpus).withColumn("idf", idf), "term")
+        .join(doclen, id_col)
+        .select(
+            id_col, "term", "tf", "df", "dl",
+            (F.col("idf") * (tf * (k1 + 1.0)) / norm).alias("bm25"),
+        )
+    )
+    from .dedup import _attach_cached
+
+    return _attach_cached(out, [pairs])
+
+
+def search_bm25(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    require_all: bool = True,
+) -> DataFrame:
+    """BM25 keyword search: documents ranked by summed BM25 weight of
+    the query terms (all required when ``require_all``).  Identical
+    read-path shape to :func:`search_ranked` — the postings table is
+    cut to the query terms BEFORE any ranking work, so only matching
+    (doc, term) rows flow; persist :func:`bm25_scores` output as the
+    materialized index for repeated serving queries."""
+    scores = bm25_scores(df, text_col, id_col, k1=k1, b=b).filter(
+        F.col("term").isin(list(terms))
+    )
+    agg = scores.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum("bm25").alias("score"),
+    )
+    if require_all:
+        agg = agg.filter(F.col("n_matched") == len(set(terms)))
+    return agg.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
