@@ -460,6 +460,11 @@ def zscore_normalize(
     cross-engine parity feed fixed-point inputs whose squares stay
     exact (<= scale/2 fractional digits); within Spark the result is
     always deterministic regardless.
+
+    Degenerate groups (n = 1, or zero variance) get a NULL z instead
+    of the divide-by-zero error Spark 4's default ANSI mode raises —
+    the conditional guards below only evaluate the division on the
+    live branch.
     """
     n = F.count(F.lit(1))
     sx = F.sum(F.col(value_col).cast(f"decimal(28,{scale})")).cast("double")
@@ -470,15 +475,22 @@ def zscore_normalize(
         sx.alias("__sx"), sxx.alias("__sxx"), n.alias("__n")
     )
     mean = F.col("__sx") / F.col("__n")
-    sd = F.sqrt(
-        (F.col("__sxx") - F.col("__sx") * F.col("__sx") / F.col("__n"))
-        / (F.col("__n") - F.lit(1))
+    sd = F.when(
+        F.col("__n") > 1,
+        F.sqrt(
+            (F.col("__sxx") - F.col("__sx") * F.col("__sx") / F.col("__n"))
+            / (F.col("__n") - F.lit(1))
+        ),
     )
     stats = stats.select(
         *group_cols, mean.alias("__mean"), sd.alias("__sd")
     )
+    z = F.when(
+        F.col("__sd") > 0,
+        (F.col(value_col) - F.col("__mean")) / F.col("__sd"),
+    )
     return (
         df.join(F.broadcast(stats), group_cols)
-        .withColumn(out_col, (F.col(value_col) - F.col("__mean")) / F.col("__sd"))
+        .withColumn(out_col, z)
         .drop("__mean", "__sd")
     )

@@ -315,3 +315,76 @@ def test_redact_pii_is_map_only(spark, sf_medium):
     # the '*' node prefix marks whole-stage-codegen stages in the
     # formatted plan; the projection must be inside one
     assert "* Project" in plan, plan
+
+
+def test_unpivot_is_map_only_expand(spark, sf_medium):
+    """q_unpivot must plan as one Expand over the scan — zero shuffles,
+    zero joins (the UNION-ALL formulation would rescan the table once
+    per measure column)."""
+    plan = P.formatted_plan(_Q["q_unpivot"](spark, sf_medium))
+    assert "Expand" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_grouping_sets_single_expand_pass(spark, sf_medium):
+    """Explicit GROUPING SETS must run as ONE Expand + partial/final
+    hash agg — a single shuffle for all grouping sets together."""
+    df = _Q["q_grouping_sets"](spark, sf_medium)
+    plan = P.formatted_plan(df)
+    assert "Expand" in plan, plan
+    assert P.has_partial_aggregation(df), plan
+    assert plan.count("+- Exchange ") == 1, plan
+
+
+def test_intersect_except_plan_semi_anti_joins(spark, sf_medium):
+    """INTERSECT/EXCEPT must compile to semi/anti hash joins over the
+    distinct sides — never a cartesian; the small side broadcasts at
+    this SF (at scale AQE picks shuffle-hash on the same keys)."""
+    for name, frag in (("q_intersect", "LeftSemi"), ("q_except", "LeftAnti")):
+        plan = P.formatted_plan(_Q[name](spark, sf_medium))
+        assert frag in plan, f"{name}: {plan}"
+        assert "CartesianProduct" not in plan, name
+
+
+def test_window_rank_stats_single_exchange(spark, sf_medium):
+    """ntile + percent_rank + cume_dist must share ONE window sort and
+    ONE exchange keyed by the partition column — three rank functions,
+    one pass."""
+    plan = P.formatted_plan(_Q["q_window_rank_stats"](spark, sf_medium))
+    assert plan.count("+- Exchange ") == 1, plan
+    assert plan.count("Window") >= 1, plan
+
+
+def test_session_window_agg_partial_sessions(spark, sf_medium):
+    """session_window aggregation must plan partial session aggregation
+    below its single exchange (MergingSessions above): map-side
+    session pre-merge bounds shuffle volume, and the exchange is keyed
+    by the session keys — scales with per-key event counts."""
+    plan = P.formatted_plan(_Q["q_session_window_agg"](spark, sf_medium))
+    assert "MergingSessions" in plan, plan
+    assert plan.count("+- Exchange ") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zscore_broadcasts_group_stats(spark, sf_medium):
+    """z-score normalization must broadcast the per-group moments back
+    onto the fact rows: exactly one shuffle (the moments agg) and a
+    broadcast hash join — the fact side never moves."""
+    df = _Q["q_zscore_norm"](spark, sf_medium)
+    plan = P.formatted_plan(df)
+    assert P.uses_broadcast_join(df), plan
+    assert plan.count("+- Exchange ") == 1, plan
+
+
+def test_bm25_no_text_in_shuffles(spark, sf_medium):
+    """BM25 retrieval: raw document text must never cross an exchange —
+    shuffles carry (doc, term, count) rows only; ranking ends in a
+    TakeOrderedAndProject top-k, and the only nested-loop join is the
+    one-row corpus-stats broadcast."""
+    plan = P.formatted_plan(_Q["q_bm25_search"](spark, sf_medium))
+    assert "TakeOrderedAndProject" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "text" in line:
+            raise AssertionError(f"text column in exchange: {line}")
+    assert "CartesianProduct" not in plan

@@ -767,3 +767,132 @@ def test_resample_fill_gap_semantics(spark):
     assert len(grouped) == 8  # 2 keys x 4 buckets
     assert grouped[("a", at(0))] == 2 and grouped[("a", at(2))] == 0
     assert grouped[("b", at(1))] == 1 and grouped[("b", at(3))] == 0
+
+
+# ---------------------------------------------------------------- round-4 wave-2
+
+from real_timetransactionaldatalakehouse_spark.operators.relational import (  # noqa: E402
+    mode_per_group,
+    session_window_agg,
+    zscore_normalize,
+)
+
+
+@SETTINGS
+@given(data=st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 10**5)), min_size=1, max_size=30
+))
+def test_session_window_agg_matches_python_reference(spark, data):
+    """Spark's session_window grouping must equal the plain-Python
+    gap-and-island replica (new session iff gap STRICTLY exceeded —
+    the boundary semantics the oracle encodes)."""
+    df = spark.createDataFrame(
+        [(k, t) for k, t in data], "user_id int, ts_s long"
+    ).withColumn("ts", F.timestamp_seconds("ts_s"))
+    out = session_window_agg(df, "ts", ["user_id"], gap="30 minutes")
+    got = sorted(
+        (r.user_id, r.session_start.timestamp(), r.session_end.timestamp(), r.n_events)
+        for r in out.collect()
+    )
+    per_user: dict[int, list[int]] = {}
+    for k, t in data:
+        per_user.setdefault(k, []).append(t)
+    want = []
+    for u, ts in per_user.items():
+        ts.sort()
+        start, last, n = ts[0], ts[0], 1
+        for t in ts[1:]:
+            if t - last > 1800:
+                want.append((u, float(start), float(last + 1800), n))
+                start, n = t, 0
+            n += 1
+            last = t
+        want.append((u, float(start), float(last + 1800), n))
+    assert got == sorted(want)
+
+
+@SETTINGS
+@given(data=st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 5)), min_size=1, max_size=40
+))
+def test_mode_per_group_matches_python_reference(spark, data):
+    """Deterministic mode: (max count, then smallest value) per group."""
+    df = spark.createDataFrame([(k, v) for k, v in data], "k int, v int")
+    got = sorted(
+        (r.k, r.mode_value, r.n_occurrences) for r in mode_per_group(df, ["k"], "v").collect()
+    )
+    from collections import Counter
+
+    want = []
+    for k in {k for k, _ in data}:
+        c = Counter(v for kk, v in data if kk == k)
+        v, n = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((k, v, n))
+    assert got == sorted(want)
+
+
+@SETTINGS
+@given(data=st.lists(
+    st.tuples(st.integers(0, 2), st.integers(-50, 50)), min_size=2, max_size=30
+))
+def test_zscore_normalize_matches_python_reference(spark, data):
+    """z = (x - mean)/sd with moments from exact integer sums — the
+    Python replica applies the identical expression tree, so values
+    match to the last bit on integer inputs."""
+    import math
+
+    df = spark.createDataFrame(
+        [(k, float(v), i) for i, (k, v) in enumerate(data)], "k int, v double, rid int"
+    )
+    out = zscore_normalize(df, ["k"], "v")
+    got = {(r.k, r.rid): r.z for r in out.collect()}
+    per_k: dict[int, list[tuple[int, int]]] = {}
+    for i, (k, v) in enumerate(data):
+        per_k.setdefault(k, []).append((i, v))
+    for k, items in per_k.items():
+        n = len(items)
+        sx = float(sum(v for _, v in items))
+        sxx = float(sum(v * v for _, v in items))
+        if n < 2:
+            continue
+        var = (sxx - sx * sx / n) / (n - 1)
+        if var <= 0:
+            continue
+        mean, sd = sx / n, math.sqrt(var)
+        for i, v in items:
+            assert got[(k, i)] == (v - mean) / sd, (k, i, v)
+
+
+def test_bm25_matches_python_reference(spark):
+    """bm25_scores on a fixed mini-corpus vs the published Okapi
+    formula computed in plain Python (identical k1/b defaults)."""
+    import math
+
+    from real_timetransactionaldatalakehouse_spark.operators.text import bm25_scores
+
+    corpus = {
+        1: "a b a c",
+        2: "b b d",
+        3: "a d d d e",
+        4: "c",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id int, text string")
+    got = {(r.doc_id, r.term): r.bm25 for r in bm25_scores(df).collect()}
+    toks = {d: t.split() for d, t in corpus.items()}
+    n_docs = float(len(corpus))
+    avgdl = sum(len(t) for t in toks.values()) / len(corpus)
+    df_t: dict[str, int] = {}
+    for t in toks.values():
+        for term in set(t):
+            df_t[term] = df_t.get(term, 0) + 1
+    k1, b = 1.2, 0.75
+    for d, t in toks.items():
+        dl = len(t)
+        for term in set(t):
+            tf = t.count(term)
+            idf = math.log(1.0 + (n_docs - df_t[term] + 0.5) / (df_t[term] + 0.5))
+            w = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            import pytest as _pytest
+
+            assert got[(d, term)] == _pytest.approx(w, rel=1e-12), (d, term)
+    assert len(got) == sum(len(set(t)) for t in toks.values())
