@@ -3174,6 +3174,103 @@ def q_bm25_search(spark, sf_dir):
     return search_bm25(docs, ["window", "sort"], k=10)
 
 
+@_q("q_running_total", """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_rev
+FROM orders
+""")
+def q_running_total(spark, sf_dir):
+    """Analytic running total: cumulative customer revenue in order
+    date order (unique o_orderkey tiebreak) — the balance/burn-down
+    surface.  The accumulator is an exact DECIMAL windowed sum cast to
+    DOUBLE at the end, so every prefix is order-independent inside the
+    frame and bit-identical across engines (a double accumulator would
+    drift by association).  Window partitioned by customer — scales
+    with per-key row counts, never a global sort."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(28,4)")).over(w)
+        .cast("double").alias("running_rev"),
+    )
+
+
+@_q("q_ratio_to_total", """
+WITH seg AS (
+  SELECT c.c_mktsegment,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+SELECT c_mktsegment, rev,
+       rev / CAST(SUM(CAST(rev AS DECIMAL(28,4))) OVER () AS DOUBLE) AS share
+FROM seg
+""")
+def q_ratio_to_total(spark, sf_dir):
+    """Ratio-to-report: each market segment's share of total revenue —
+    the percent-of-total analytic.  The global window runs over the
+    POST-AGGREGATION segment rows (metadata-sized: one row per
+    segment), so the single-partition window is fine at any input
+    scale; the denominator re-sums the segment revenues through exact
+    decimals (commutative), making the share bit-stable across
+    engines."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    seg = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(LF.dsum("o_totalprice").alias("rev"))
+    )
+    w = Window.partitionBy()
+    return seg.select(
+        "c_mktsegment", "rev",
+        (
+            F.col("rev")
+            / F.sum(F.col("rev").cast("decimal(28,4)")).over(w).cast("double")
+        ).alias("share"),
+    )
+
+
+@_q("q_array_hof", """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, ' '),
+                                    x -> length(x)), x -> x > 3) AS ll
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(ll) AS INTEGER) AS n_long,
+       CAST(COALESCE(list_sum(ll), 0) AS BIGINT) AS long_len_sum
+FROM t
+""")
+def q_array_hof(spark, sf_dir):
+    """Higher-order array functions (the lambda surface: transform /
+    filter / aggregate) — per-document count and summed length of
+    long tokens, computed INSIDE the array without an explode: a
+    map-only projection, zero shuffles, all JVM expressions (the
+    100 TB-friendly alternative to explode+groupBy when the
+    aggregation is per-row).  Integer fold, so any fold order agrees
+    with DuckDB's list_sum."""
+    docs = _t(spark, sf_dir, "documents")
+    lens = F.transform(F.split(F.col("text"), " "), lambda x: F.length(x))
+    long_ = F.filter(lens, lambda l: l > 3)
+    return docs.select(
+        "doc_id",
+        F.size(long_).alias("n_long"),
+        F.aggregate(
+            long_, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+        ).alias("long_len_sum"),
+    )
+
+
 _EMBED_CLUSTERS_ORACLE = """
 WITH RECURSIVE sub AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60

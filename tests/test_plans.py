@@ -388,3 +388,32 @@ def test_bm25_no_text_in_shuffles(spark, sf_medium):
         if "Exchange" in line and "text" in line:
             raise AssertionError(f"text column in exchange: {line}")
     assert "CartesianProduct" not in plan
+
+
+def test_array_hof_is_map_only(spark, sf_medium):
+    """Higher-order array functions must stay a map-only projection:
+    no explode (Generate), no shuffle, no Python worker."""
+    plan = P.formatted_plan(_Q["q_array_hof"](spark, sf_medium))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_running_total_partitioned_window(spark, sf_medium):
+    """The running total must plan ONE exchange keyed by the partition
+    column — never a global (empty-partition) window over raw rows."""
+    plan = P.formatted_plan(_Q["q_running_total"](spark, sf_medium))
+    assert plan.count("+- Exchange ") == 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_ratio_to_total_global_window_post_agg_only(spark, sf_medium):
+    """q_ratio_to_total's global window is allowed ONLY because it runs
+    over the aggregated per-segment rows; the raw orders must reach it
+    through a partial/final agg and a broadcast join, with the single
+    SinglePartition exchange above the aggregation."""
+    df = _Q["q_ratio_to_total"](spark, sf_medium)
+    plan = P.formatted_plan(df)
+    assert P.uses_broadcast_join(df), plan
+    assert P.has_partial_aggregation(df), plan
+    assert plan.count("SinglePartition") == 1, plan
