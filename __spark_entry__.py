@@ -743,7 +743,7 @@ SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
        COALESCE(l_linestatus, '<all>') AS l_linestatus,
        CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid,
        COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """)
@@ -755,7 +755,7 @@ def q_rollup(spark, sf_dir):
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            LF.dsum("l_quantity").alias("sum_qty"),
+            LF.msum("l_quantity").alias("sum_qty"),
             F.grouping_id().cast("int").alias("gid"),
         )
         .select(
@@ -848,7 +848,7 @@ SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
        COALESCE(l_linestatus, '<all>') AS l_linestatus,
        CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid,
        COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """)
@@ -860,7 +860,7 @@ def q_cube(spark, sf_dir):
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            LF.dsum("l_quantity").alias("sum_qty"),
+            LF.msum("l_quantity").alias("sum_qty"),
             F.grouping_id().cast("int").alias("gid"),
         )
         .select(
@@ -2953,7 +2953,7 @@ SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
        COALESCE(l_linestatus, '<all>') AS l_linestatus,
        CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid,
        COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """)
@@ -2970,7 +2970,7 @@ def q_grouping_sets(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            LF.dsum("l_quantity").alias("sum_qty"),
+            LF.msum("l_quantity").alias("sum_qty"),
             F.grouping_id().cast("int").alias("gid"),
         )
         .select(
@@ -3269,6 +3269,120 @@ def q_array_hof(spark, sf_dir):
             long_, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
         ).alias("long_len_sum"),
     )
+
+
+_GOPHER_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS toks,
+         CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS INTEGER) AS n_symbols
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS n_words,
+         CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+              AS BIGINT) AS sum_len,
+         n_symbols,
+         CAST(len(list_filter(list_distinct(toks),
+              x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x)))
+              AS INTEGER) AS stopword_hits
+  FROM t
+), m AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0
+              THEN CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) END AS mean_word_len,
+         CASE WHEN n_words > 0
+              THEN CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) END AS symbol_ratio,
+         stopword_hits
+  FROM s
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, stopword_hits,
+       (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+       COALESCE(mean_word_len >= 3.0 AND mean_word_len <= 10.0, FALSE) AS rule_mean_word_len,
+       COALESCE(symbol_ratio < 0.1, FALSE) AS rule_symbol_ratio,
+       (stopword_hits >= 2) AS rule_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND COALESCE(mean_word_len >= 3.0 AND mean_word_len <= 10.0, FALSE)
+        AND COALESCE(symbol_ratio < 0.1, FALSE)
+        AND (stopword_hits >= 2)) AS gopher_keep
+FROM m
+"""
+
+
+@_q("q_gopher_filter", _GOPHER_ORACLE)
+def q_gopher_filter(spark, sf_dir):
+    """X4: the published Gopher/MassiveText quality rules (Rae et al.
+    2021) as named per-document booleans + overall keep flag
+    (operators/text.gopher_rules) — word-count bounds, mean word
+    length bounds, symbol-to-word ratio, stopword presence.  Map-only
+    JVM expressions: one pass at any corpus size."""
+    from real_timetransactionaldatalakehouse_spark.operators.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = gopher_rules(docs)
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio", "stopword_hits",
+        "rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
+        "rule_stopwords", "gopher_keep",
+    )
+
+
+@_q("q_bpe_pairs", """
+WITH w AS (
+  SELECT t.w AS w, COUNT(*) AS freq
+  FROM documents,
+       UNNEST(list_filter(string_split(text, ' '), x -> x != '')) AS t(w)
+  GROUP BY 1
+), p AS (
+  SELECT substring(w.w, i.i, 2) AS pair, w.freq
+  FROM w, UNNEST(generate_series(1, length(w.w) - 1)) AS i(i)
+  WHERE length(w.w) >= 2
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+FROM p GROUP BY pair
+ORDER BY n DESC, pair ASC LIMIT 50
+""")
+def q_bpe_pairs(spark, sf_dir):
+    """X4: BPE tokenizer training, merge-selection step (Sennrich et
+    al. 2016; operators/text.bpe_pair_counts) — adjacent character
+    pairs ranked by corpus frequency, weighted by word counts.  The
+    corpus-sized shuffle carries word partials once; the pair stage
+    runs over the vocabulary-sized word table only."""
+    from real_timetransactionaldatalakehouse_spark.operators.text import (
+        bpe_pair_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_pair_counts(docs, top_n=50)
+
+
+@_q("q_embed_centroids", """
+WITH e AS (
+  SELECT label, vec_id, i.i - 1 AS dim,
+         CAST(embedding[i.i] AS DOUBLE) AS val
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS i(i)
+), g AS (
+  SELECT label, dim,
+         list_transform(list_sort(array_agg(struct_pack(i := vec_id, v := val))),
+                        x -> x.v) AS vs,
+         CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM e GROUP BY 1, 2
+)
+SELECT label, dim,
+       list_reduce(vs, (a, b) -> a + b) / CAST(n_members AS DOUBLE) AS centroid,
+       n_members
+FROM g
+""")
+def q_embed_centroids(spark, sf_dir):
+    """X3: per-label mean embedding (operators/similarity.
+    embedding_centroids, exact mode) — the mean-pooling /
+    class-prototype / IVF-refresh primitive.  The exact mode folds
+    each cell in vec_id order (fixed float association -> bit-equal
+    across engines and partitionings); the documented ``exact=False``
+    switch is the plain-sum 100 TB path."""
+    from real_timetransactionaldatalakehouse_spark.operators import similarity as S
+
+    return S.embedding_centroids(_t(spark, sf_dir, "embeddings"))
 
 
 _EMBED_CLUSTERS_ORACLE = """

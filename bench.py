@@ -84,6 +84,15 @@ BENCH_QUERIES = [
     "q_decontaminate_ngram",
     "q_corpus_mix",
     "q_lm_score",
+    # r4 wave-2 additions (embed_clusters excluded for the same
+    # iterative-convergence reason as neardup_clusters above)
+    "q_unpivot",
+    "q_grouping_sets",
+    "q_window_rank_stats",
+    "q_agg_mode",
+    "q_zscore_norm",
+    "q_session_window_agg",
+    "q_bm25_search",
 ]
 
 # The r3 headline set (BENCH_r03.json's 30 queries): the aggregate

@@ -671,3 +671,53 @@ def project_embeddings(
         F.col(id_col), *[c for c in df.columns if c != id_col and c != vec_col],
         F.array(*comps).alias(out_col),
     )
+
+
+def embedding_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    exact: bool = True,
+) -> DataFrame:
+    """Per-label mean embedding (centroid) — the mean-pooling step of
+    cluster summarization, IVF coarse-quantizer refresh, and
+    class-prototype classification.  Output: one row per
+    (label, dim) with the centroid component and member count (long
+    format; pivot back to an array with ``collect_list`` over sorted
+    dims when a vector shape is needed).
+
+    ``exact=True`` folds each (label, dim) cell's values in ``id``
+    order inside an aggregated array — a FIXED summation order, so
+    the result is bit-identical across partitionings and engines
+    (float addition does not reassociate here).  The array holds the
+    label's member count of scalars: fine up to ~1e6 members per
+    label.  ``exact=False`` is the 100 TB path — a plain double sum
+    (partial+final, arbitrary merge order, last-ulp tolerance) with
+    identical asymptotics to any other aggregation.
+    """
+    e = df.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("__i"),
+        F.posexplode(F.col(vec_col)).alias("dim", "__v"),
+    ).withColumn("__v", F.col("__v").cast("double"))
+    if exact:
+        agg = e.groupBy("label", "dim").agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__i").alias("i"), F.col("__v").alias("v")))
+            ).alias("__vs"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        total = F.aggregate(
+            F.col("__vs"), F.lit(0.0), lambda acc, x: acc + x["v"]
+        )
+    else:
+        agg = e.groupBy("label", "dim").agg(
+            F.sum("__v").alias("__total"), F.count(F.lit(1)).alias("n_members")
+        )
+        total = F.col("__total")
+    return agg.select(
+        "label", "dim",
+        (total / F.col("n_members").cast("double")).alias("centroid"),
+        "n_members",
+    )

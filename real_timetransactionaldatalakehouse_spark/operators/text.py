@@ -573,3 +573,118 @@ def search_bm25(
     if require_all:
         agg = agg.filter(F.col("n_matched") == len(set(terms)))
     return agg.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, published as the
+    MassiveText filter set) — per-document named booleans plus an
+    overall ``gopher_keep`` flag:
+
+    - word count within [min_words, max_words];
+    - mean word length within [min_mean_word_len, max_mean_word_len];
+    - symbol-to-word ratio (``#`` and ellipsis) below max_symbol_ratio;
+    - at least min_stopword_hits distinct common-stopword hits.
+
+    All JVM expression surface (split + higher-order array functions +
+    regexp counts): map-only, zero shuffles, whole-stage codegen — the
+    filter costs one pass at any corpus size.  The mean-word-length
+    ratio divides two exact integers per row (deterministic,
+    engine-portable); documents with zero words fail the word-count
+    rule and get a NULL mean rather than a divide-by-zero (ANSI-safe
+    conditional).
+    """
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    mean_len = F.when(
+        n_words > 0, sum_len.cast("double") / n_words.cast("double")
+    )
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_symbols = F.size(
+        F.regexp_extract_all(c, F.lit(r"#|\.\.\."), F.lit(0))
+    )
+    symbol_ratio = F.when(
+        n_words > 0, n_symbols.cast("double") / n_words.cast("double")
+    )
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    stop_hits = F.size(F.array_intersect(toks, stop_arr))
+    out = df.withColumns(
+        {
+            "n_words": n_words,
+            "mean_word_len": mean_len,
+            "symbol_ratio": symbol_ratio,
+            "stopword_hits": stop_hits,
+            "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+            "rule_mean_word_len": F.coalesce(
+                (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len),
+                F.lit(False),
+            ),
+            "rule_symbol_ratio": F.coalesce(
+                symbol_ratio < max_symbol_ratio, F.lit(False)
+            ),
+            "rule_stopwords": stop_hits >= min_stopword_hits,
+        }
+    )
+    return out.withColumn(
+        "gopher_keep",
+        F.col("rule_word_count")
+        & F.col("rule_mean_word_len")
+        & F.col("rule_symbol_ratio")
+        & F.col("rule_stopwords"),
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 50,
+) -> DataFrame:
+    """The first merge-selection step of BPE tokenizer training: count
+    adjacent SYMBOL pairs across the corpus, weighted by word
+    frequency (Sennrich et al. 2016).  ``vocab_topn`` seeds the word
+    list; this operator ranks the candidate merges.
+
+    Plan: explode tokens -> (word, freq) count agg (the corpus's only
+    full shuffle, carrying word partials); then per WORD — a set whose
+    cardinality is vocabulary-sized, not corpus-sized — generate its
+    adjacent char pairs with a higher-order transform and re-aggregate
+    ``freq`` per pair.  At 100 TB the pair stage runs over |vocab|
+    rows (millions, not trillions); every merge iteration after the
+    first re-runs only the pair stage over the updated symbol
+    sequences.
+    """
+    words = (
+        df.select(F.explode(F.filter(tokens(text_col), lambda t: t != "")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # length-1 words have no pair (guard: Spark's sequence(1, 0) would
+    # count DOWN, not produce an empty list)
+    pairs = words.filter(F.length("w") >= 2).select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(top_n)
+    )

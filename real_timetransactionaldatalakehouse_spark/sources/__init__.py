@@ -18,6 +18,7 @@ from .filestream import (
     parse_kafka_json,
 )
 from .cdc import parse_cdc_envelope
+from .files import corrupt_split, read_csv, read_jsonl
 
 __all__ = [
     "fan_out",
@@ -29,4 +30,7 @@ __all__ = [
     "kafka_stream",
     "parse_kafka_json",
     "parse_cdc_envelope",
+    "read_csv",
+    "read_jsonl",
+    "corrupt_split",
 ]

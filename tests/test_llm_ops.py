@@ -665,3 +665,119 @@ def test_project_embeddings_preserves_neighbors(spark, sf_small):
     a = S.project_embeddings(emb, out_dim=8).collect()
     b = {r.vec_id: r.projected for r in S.project_embeddings(emb, out_dim=8).collect()}
     assert all(b[r.vec_id] == r.projected for r in a)
+
+
+# ---------------------------------------------------------------- round-4 wave-4
+
+def test_gopher_rules_flags(spark):
+    """Each Gopher rule must trip on its designed violation and pass
+    on a clean document."""
+    from real_timetransactionaldatalakehouse_spark.operators.text import gopher_rules
+
+    clean = "the quick brown fox jumps over a lazy dog and it runs far " * 10
+    rows = [
+        (1, clean),                        # passes everything
+        (2, "short doc only"),             # word count too low
+        (3, "## ### #### " + clean),       # symbols ok? ratio small -> still keep
+        (4, ("#" + " # " * 120)),          # symbol ratio + no stopwords
+        (5, ""),                           # empty: fails word count, NULL means
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert out[1].gopher_keep
+    assert not out[2].rule_word_count and not out[2].gopher_keep
+    assert out[3].rule_symbol_ratio  # 3 symbol tokens over ~120 words
+    assert not out[4].rule_symbol_ratio and not out[4].rule_stopwords
+    assert out[5].n_words == 0 and out[5].mean_word_len is None
+    assert not out[5].gopher_keep
+
+
+def test_bpe_pair_counts_matches_python_reference(spark):
+    from collections import Counter
+
+    from real_timetransactionaldatalakehouse_spark.operators.text import (
+        bpe_pair_counts,
+    )
+
+    corpus = ["low lower lowest", "low low newer", "wider new newer"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id int, text string"
+    )
+    got = [(r.pair, r.n) for r in bpe_pair_counts(df, top_n=100).collect()]
+    freq = Counter(w for t in corpus for w in t.split())
+    want = Counter()
+    for w, f in freq.items():
+        for i in range(len(w) - 1):
+            want[w[i:i + 2]] += f
+    expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == expect
+
+
+def test_embedding_centroids_exact_and_plain_agree(spark):
+    """exact (ordered fold) and plain-sum centroids must agree to
+    float tolerance; exact must equal the Python replica bit-for-bit."""
+    import pytest as _pytest
+
+    from real_timetransactionaldatalakehouse_spark.operators.similarity import (
+        embedding_centroids,
+    )
+
+    rows = [
+        (1, [1.0, 2.0, 3.5], 0),
+        (2, [2.0, 0.5, -1.0], 0),
+        (3, [0.25, 0.25, 0.25], 1),
+        (4, [1.25, -0.75, 0.5], 1),
+        (5, [10.0, 20.0, 30.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>, label int")
+    got = {(r.label, r.dim): (r.centroid, r.n_members)
+           for r in embedding_centroids(df).collect()}
+    plain = {(r.label, r.dim): r.centroid
+             for r in embedding_centroids(df, exact=False).collect()}
+    per_label: dict[int, list[tuple[int, list[float]]]] = {}
+    for vid, vec, lab in rows:
+        per_label.setdefault(lab, []).append((vid, vec))
+    for lab, items in per_label.items():
+        items.sort()
+        for d in range(3):
+            acc = 0.0
+            for _, vec in items:
+                acc += vec[d]
+            want = acc / len(items)
+            assert got[(lab, d)][0] == want, (lab, d)
+            assert got[(lab, d)][1] == len(items)
+            assert plain[(lab, d)] == _pytest.approx(want, rel=1e-12)
+
+
+def test_csv_jsonl_sources_quarantine_corrupt_rows(spark, tmp_path):
+    """PERMISSIVE reads must land malformed rows in _corrupt_record;
+    corrupt_split separates clean from quarantined; FAILFAST raises."""
+    import pytest as _pytest
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+    from real_timetransactionaldatalakehouse_spark.sources import (
+        corrupt_split, read_csv, read_jsonl,
+    )
+
+    schema = StructType([
+        StructField("id", LongType()), StructField("name", StringType()),
+    ])
+    csv = tmp_path / "in.csv"
+    csv.write_text("id,name\n1,alice\nnot_a_number,bob\n3,carol\n")
+    df = read_csv(spark, str(csv), schema)
+    clean, bad = corrupt_split(df)
+    assert sorted((r.id, r.name) for r in clean.collect()) == [(1, "alice"), (3, "carol")]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1 and bad_rows[0]._corrupt_record is not None
+
+    jl = tmp_path / "in.jsonl"
+    jl.write_text('{"id": 1, "name": "alice"}\n{broken\n{"id": 3, "name": "carol"}\n')
+    dj = read_jsonl(spark, str(jl), schema)
+    cj, bj = corrupt_split(dj)
+    assert sorted((r.id, r.name) for r in cj.collect()) == [(1, "alice"), (3, "carol")]
+    assert len(bj.collect()) == 1
+
+    with _pytest.raises(Exception):
+        read_csv(spark, str(csv), schema, mode="FAILFAST").collect()

@@ -1,0 +1,149 @@
+"""Amortized-scale differential bench: run declared queries and their
+DuckDB oracles on an N-fold id-offset replica of the sf0.1 testdata.
+
+Why: at 17 MB the sf0.1 bench mostly measures Spark's per-query
+scheduling floor against DuckDB's ~5 ms trivial queries (see
+SCALING.md "Measured vs the single-node baseline at amortized
+scale").  Replicating the tables N times with per-copy id offsets
+keeps join/dedup/window semantics non-degenerate (no artificial key
+collisions) while growing the data enough that fixed costs amortize —
+the number that extrapolates toward the 100 TB deployment.
+
+Usage:
+    python tools/amortized_bench.py q_bm25_search q_session_window_agg
+    python tools/amortized_bench.py --copies 10 --out /tmp/sfrep q_...
+
+Builds the replica with DuckDB (fast, no Spark involvement), then
+times each named declared query (Spark steady: min of 3 noop-sink
+re-executions after a warm run) against its oracle SQL in DuckDB
+(min of 3) on the SAME parquet files, and prints a markdown table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+# id columns to shift per copy so keys stay globally unique across
+# copies (offset chosen far above any real id at sf0.1)
+OFFSET_COLS: dict[str, list[str]] = {
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id", "user_id"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "lineitem": ["l_orderkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "nation": [],
+    "region": [],
+}
+OFFSET = 10_000_000
+
+
+def build_replica(src: str, dest: str, copies: int) -> None:
+    os.makedirs(dest, exist_ok=True)
+    con = duckdb.connect()
+    for table, idcols in OFFSET_COLS.items():
+        src_file = os.path.join(src, f"{table}.parquet")
+        if not os.path.exists(src_file):
+            continue
+        out = os.path.join(dest, f"{table}.parquet")
+        if os.path.exists(out):
+            continue
+        cols = [c[0] for c in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{src_file}')").fetchall()]
+        selects = []
+        for k in range(copies):
+            proj = ", ".join(
+                f"({c} + {k * OFFSET}) AS {c}" if c in idcols else c for c in cols
+            )
+            selects.append(f"SELECT {proj} FROM read_parquet('{src_file}')")
+        con.execute(
+            f"COPY ({' UNION ALL '.join(selects)}) TO '{out}' (FORMAT PARQUET)"
+        )
+    con.close()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="+")
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/sf0.1rep10")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    build_replica(args.src, args.out, args.copies)
+
+    import __spark_entry__ as entry
+    from real_timetransactionaldatalakehouse_spark import TPCH_TABLES
+    from real_timetransactionaldatalakehouse_spark.session import (
+        batch_session, tune_for_input,
+    )
+
+    spark = batch_session("amortized-bench")
+    input_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(args.out) for f in fs
+    )
+    tune_for_input(spark, input_bytes)
+    qs, osql = entry.queries(), entry.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        f = os.path.join(args.out, f"{t}.parquet")
+        if os.path.exists(f):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{f}')")
+
+    rows = []
+    for name in args.queries:
+        df = qs[name](spark, args.out)
+        df.write.mode("overwrite").format("noop").save()  # warm
+        s_best = min(
+            _timed(lambda: qs[name](spark, args.out).write.mode("overwrite")
+                   .format("noop").save(), spark)
+            for _ in range(args.reps)
+        )
+        d_best = 1e9
+        if name in osql:
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                con.execute(osql[name]).fetchall()
+                d_best = min(d_best, time.perf_counter() - t0)
+        rows.append((name, s_best, d_best if name in osql else None))
+        print(f"# {name}: spark {s_best:.2f} s, duckdb "
+              f"{d_best:.2f} s" if name in osql else f"# {name}: spark {s_best:.2f} s",
+              file=sys.stderr)
+
+    print("| query | Spark steady | DuckDB | ratio |")
+    print("|---|---|---|---|")
+    ts = td = 0.0
+    for name, s, d in rows:
+        if d is None:
+            print(f"| {name} | {s:.2f} s | — | — |")
+            continue
+        ts += s
+        td += d
+        print(f"| {name} | {s:.2f} s | {d:.2f} s | {s / d:.1f}x |")
+    if td:
+        print(f"| **TOTAL ({len(rows)} families)** | **{ts:.1f} s** "
+              f"| **{td:.1f} s** | **{ts / td:.2f}x** |")
+
+
+def _timed(fn, spark) -> float:
+    t0 = time.perf_counter()
+    fn()
+    dt = time.perf_counter() - t0
+    spark.catalog.clearCache()
+    return dt
+
+
+if __name__ == "__main__":
+    main()
