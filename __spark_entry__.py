@@ -3271,6 +3271,146 @@ def q_array_hof(spark, sf_dir):
     )
 
 
+@_q("q_moving_avg", """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) OVER w AS DOUBLE)
+         / CAST(COUNT(*) OVER w AS DOUBLE) AS avg3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""")
+def q_moving_avg(spark, sf_dir):
+    """Rows-frame moving aggregate: trailing-3-order average spend per
+    customer (unique o_orderkey tiebreak) — the smoothing/trend
+    analytic.  Exact DECIMAL frame sum / frame count, both cast to
+    DOUBLE only at the division, so every frame value is
+    order-independent and bit-identical across engines.  One exchange
+    keyed by customer; frame evaluation is a per-partition sliding
+    accumulator."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-2, 0)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("avg3"),
+    )
+
+
+@_q("q_window_range_frame", """
+SELECT event_id, event_type,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_10m,
+       MIN(value) OVER w AS min_10m,
+       MAX(value) OVER w AS max_10m
+FROM (SELECT *, epoch_us(ts) // 1000000 AS ts_s FROM events)
+WINDOW w AS (PARTITION BY event_type ORDER BY ts_s
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+""")
+def q_window_range_frame(spark, sf_dir):
+    """Time-RANGE window frame: per event type, the count and value
+    extremes over the trailing 10 minutes of EVENT TIME (range frame
+    over floored epoch seconds — both engines floor identically via
+    integer division; rows in the same second are frame peers, so tie
+    order is irrelevant by construction).  COUNT/MIN/MAX are exact
+    order statistics — no float accumulation to drift.  One exchange
+    keyed by event_type."""
+    ev = _t(spark, sf_dir, "events").withColumn("ts_s", F.col("ts").cast("long"))
+    w = (
+        Window.partitionBy("event_type").orderBy("ts_s").rangeBetween(-600, 0)
+    )
+    return ev.select(
+        "event_id", "event_type",
+        F.count(F.lit(1)).over(w).alias("n_10m"),
+        F.min("value").over(w).alias("min_10m"),
+        F.max("value").over(w).alias("max_10m"),
+    )
+
+
+@_q("q_fuzzy_pairs", """
+WITH k AS (
+  SELECT doc_id, substring(text, 1, 40) AS key FROM documents WHERE doc_id < 60
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.key, b.key) AS INTEGER) AS dist
+FROM k a JOIN k b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.key, b.key) <= 20
+""")
+def q_fuzzy_pairs(spark, sf_dir):
+    """Fuzzy string matching: Levenshtein edit distance over a bounded
+    candidate set (doc-key prefixes) — the entity-resolution /
+    near-identical-title dedup primitive.  Both engines implement the
+    classic unit-cost DP, so distances match exactly.  At scale the
+    pair space comes from a blocking key (LSH bands / sorted
+    neighborhood), never this demonstration cartesian — same
+    candidates-then-verify shape as q_neardup_verified."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    k = docs.select("doc_id", F.substring("text", 1, 40).alias("key"))
+    a = k.select(F.col("doc_id").alias("id_a"), F.col("key").alias("ka"))
+    b = k.select(F.col("doc_id").alias("id_b"), F.col("key").alias("kb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.levenshtein("ka", "kb").cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= 20)
+    )
+
+
+@_q("q_funnel", """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.t_view
+  GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t_click
+  GROUP BY 1
+)
+SELECT s1.user_id,
+       date_trunc('second', s1.t_view) AS t_view,
+       date_trunc('second', s2.t_click) AS t_click,
+       date_trunc('second', s3.t_purchase) AS t_purchase,
+       CAST(1 + CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END
+            AS INTEGER) AS stage
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+""")
+def q_funnel(spark, sf_dir):
+    """Ordered conversion funnel (operators/relational.funnel_stages):
+    first view -> first click at/after it -> first purchase at/after
+    that, plus the reached stage — per-step filtered min-ts
+    aggregations joined by user (per-user partials only; no window
+    over raw events, no per-user history arrays)."""
+    ev = _t(spark, sf_dir, "events")
+    out = R.funnel_stages(
+        ev, "user_id", "ts",
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+    )
+    return out.select(
+        "user_id",
+        F.date_trunc("second", "t_view").alias("t_view"),
+        F.date_trunc("second", "t_click").alias("t_click"),
+        F.date_trunc("second", "t_purchase").alias("t_purchase"),
+        "stage",
+    )
+
+
 _GOPHER_ORACLE = r"""
 WITH t AS (
   SELECT doc_id,

@@ -494,3 +494,50 @@ def zscore_normalize(
         .withColumn(out_col, z)
         .drop("__mean", "__sd")
     )
+
+
+def funnel_stages(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    steps: list[tuple[str, Column]],
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, the first timestamp of
+    each step REACHED IN ORDER (step k counts only at/after the user's
+    step-(k-1) time) and the final stage index — the conversion-funnel
+    primitive (view -> click -> purchase).
+
+    Plan: one filtered min-ts aggregation per step, each keyed by the
+    user column and joined to the previous step's result (inner join
+    keyed by user; the join input is the per-user stage table, not raw
+    events).  K steps = K keyed aggregations of the step's filtered
+    subset + K-1 narrow joins — no windows over raw data, no
+    collect_list of a user's history; every shuffle carries per-user
+    partials.  At scale, pre-partitioning events by user lets AQE
+    reuse the exchange across the step aggregations.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    name0, cond0 = steps[0]
+    cur = (
+        df.filter(cond0)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias(f"t_{name0}"))
+    )
+    out = cur
+    prev_ts = f"t_{name0}"
+    for name, cond in steps[1:]:
+        nxt = (
+            df.filter(cond)
+            .join(out.select(user_col, prev_ts), user_col)
+            .filter(F.col(ts_col) >= F.col(prev_ts))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t_{name}"))
+        )
+        out = out.join(nxt, user_col, "left")
+        prev_ts = f"t_{name}"
+    stage = sum(
+        (F.when(F.col(f"t_{n}").isNotNull(), 1).otherwise(0) for n, _ in steps),
+        F.lit(0),
+    )
+    return out.withColumn("stage", stage.cast("int"))

@@ -417,3 +417,23 @@ def test_ratio_to_total_global_window_post_agg_only(spark, sf_medium):
     assert P.uses_broadcast_join(df), plan
     assert P.has_partial_aggregation(df), plan
     assert plan.count("SinglePartition") == 1, plan
+
+
+def test_moving_avg_and_range_frame_single_keyed_exchange(spark, sf_medium):
+    """Rows-frame and range-frame windows must each plan ONE exchange
+    keyed by their partition column — never a global window."""
+    for name in ("q_moving_avg", "q_window_range_frame"):
+        plan = P.formatted_plan(_Q[name](spark, sf_medium))
+        assert plan.count("+- Exchange ") == 1, f"{name}: {plan}"
+        assert "SinglePartition" not in plan, f"{name}: {plan}"
+
+
+def test_funnel_is_keyed_aggs_no_cartesian(spark, sf_medium):
+    """The funnel must run as per-step filtered keyed aggregations +
+    user-keyed joins — no cartesian, no window over raw events,
+    map-side partial aggregation present."""
+    df = _Q["q_funnel"](spark, sf_medium)
+    plan = P.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert P.has_partial_aggregation(df), plan
+    assert "Window" not in plan, plan

@@ -896,3 +896,49 @@ def test_bm25_matches_python_reference(spark):
 
             assert got[(d, term)] == _pytest.approx(w, rel=1e-12), (d, term)
     assert len(got) == sum(len(set(t)) for t in toks.values())
+
+
+@SETTINGS
+@given(data=st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100), st.sampled_from(["view", "click", "purchase"])),
+    min_size=0, max_size=40,
+))
+def test_funnel_stages_matches_python_reference(spark, data):
+    """funnel_stages vs a plain-Python ordered-funnel replica."""
+    from real_timetransactionaldatalakehouse_spark.operators.relational import (
+        funnel_stages,
+    )
+
+    df = spark.createDataFrame(
+        [(u, t, ty) for u, t, ty in data], "user_id int, ts long, event_type string"
+    )
+    out = {
+        r.user_id: (r.t_view, r.t_click, r.t_purchase, r.stage)
+        for r in funnel_stages(
+            df, "user_id", "ts",
+            [
+                ("view", F.col("event_type") == "view"),
+                ("click", F.col("event_type") == "click"),
+                ("purchase", F.col("event_type") == "purchase"),
+            ],
+        ).collect()
+    }
+    per_user: dict[int, list[tuple[int, str]]] = {}
+    for u, t, ty in data:
+        per_user.setdefault(u, []).append((t, ty))
+    want = {}
+    for u, evs in per_user.items():
+        views = [t for t, ty in evs if ty == "view"]
+        if not views:
+            continue  # never entered the funnel
+        t1 = min(views)
+        clicks = [t for t, ty in evs if ty == "click" and t >= t1]
+        t2 = min(clicks) if clicks else None
+        if t2 is not None:
+            purchases = [t for t, ty in evs if ty == "purchase" and t >= t2]
+            t3 = min(purchases) if purchases else None
+        else:
+            t3 = None
+        stage = 1 + (t2 is not None) + (t3 is not None)
+        want[u] = (t1, t2, t3, stage)
+    assert out == want
