@@ -340,3 +340,58 @@ def zorder_compact(
         "files_target": n_files,
         "zorder_by": list(cols),
     }
+
+
+def insert_overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+) -> None:
+    """Idempotent backfill: overwrite ONLY the partitions present in
+    ``df``, leaving every other partition untouched (Spark's dynamic
+    partition-overwrite mode — the standard reprocess-one-day pattern;
+    static mode would wipe the whole table root).
+
+    The mode is set per-write and restored afterwards so a session
+    running mixed workloads keeps its default.  At scale the write
+    parallelism is the input's partitioning; pair with
+    ``repartition(partition_cols)`` upstream when many tasks would
+    otherwise write tiny files into the same partition directory.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a hash-bucketed (optionally sorted) catalog table — the
+    co-located join layout: two tables bucketed on the same key with
+    the same bucket count join with ZERO exchanges (Spark reads each
+    bucket pair as one task; with sort columns the sort vanishes too).
+    At 100 TB this converts every recurring fact-to-fact join on the
+    bucket key from a full shuffle of both sides into a local merge —
+    the single biggest recurring-ETL saving there is; the cost is one
+    bucketed rewrite paid once at load time.
+
+    Uses ``saveAsTable`` (bucket metadata lives in the catalog;
+    path-based writes cannot carry it).  Plan contract locked by
+    ``tests/test_plans.py::test_bucketed_join_has_no_exchange``.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)

@@ -230,3 +230,36 @@ def test_doomscroll_and_cold_start_views(spark, sf_small):
         want_band = ("green" if cs.pct_quality > 0.20
                      else "yellow" if cs.pct_quality >= 0.10 else "red")
         assert cs.band == want_band
+
+
+def test_insert_overwrite_partitions_touches_only_present(spark, tmp_path):
+    """Dynamic partition overwrite must replace only the partitions in
+    the incoming frame — the idempotent backfill contract."""
+    from real_timetransactionaldatalakehouse_spark.maintenance import (
+        insert_overwrite_partitions,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0),
+         ("2024-01-02", 3, 30.0), ("2024-01-03", 4, 40.0)],
+        "dt string, id int, v double",
+    )
+    insert_overwrite_partitions(base, path, ["dt"])
+    # backfill day 2 with corrected rows only
+    fix = spark.createDataFrame(
+        [("2024-01-02", 3, 33.0), ("2024-01-02", 99, 99.0)],
+        "dt string, id int, v double",
+    )
+    insert_overwrite_partitions(fix, path, ["dt"])
+    got = {(str(r.dt), r.id): r.v for r in spark.read.parquet(path).collect()}
+    assert got == {
+        ("2024-01-01", 1): 10.0, ("2024-01-01", 2): 20.0,
+        ("2024-01-02", 3): 33.0, ("2024-01-02", 99): 99.0,
+        ("2024-01-03", 4): 40.0,
+    }
+    # replay is idempotent
+    insert_overwrite_partitions(fix, path, ["dt"])
+    assert {(str(r.dt), r.id): r.v for r in spark.read.parquet(path).collect()} == got
+    # session default restored
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper() == "STATIC"
