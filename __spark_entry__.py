@@ -3411,6 +3411,89 @@ def q_funnel(spark, sf_dir):
     )
 
 
+@_q("q_agg_corr", """
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) AS sq,
+         CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DOUBLE) AS sc,
+         CAST(SUM(CAST(q * q AS DECIMAL(38,0))) AS DOUBLE) AS sqq,
+         CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE) AS scc,
+         CAST(SUM(CAST(q * c AS DECIMAL(38,0))) AS DOUBLE) AS sqc
+  FROM b GROUP BY 1
+)
+SELECT l_returnflag,
+       (sqc - sq * sc / n) / (n - 1) AS covar_qty_cents,
+       (n * sqc - sq * sc)
+         / sqrt((n * sqq - sq * sq) * (n * scc - sc * sc)) AS corr_qty_price
+FROM s
+""")
+def q_agg_corr(spark, sf_dir):
+    """Exact correlation / sample covariance per group — the
+    statistics surface built the engine-portable way: built-in
+    corr/covar are single-pass Welford updates whose float order
+    differs per engine, so instead the five moment sums run over
+    EXACT integers (quantity, price in cents via the fixed-point
+    round; every product fits a long per row, sums accumulate in
+    DECIMAL(38,0)) and the closed-form combination happens once in
+    doubles with a fixed expression tree.  Correlation is
+    scale-invariant, so cents vs dollars changes nothing; one
+    partial+final shuffle, same cost as any 5-metric agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    c = F.round(F.col("l_extendedprice") * 100).cast("long")
+
+    def dec(x):
+        return F.sum(x.cast("decimal(38,0)")).cast("double")
+
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(q).alias("sq"), dec(c).alias("sc"),
+        dec(q * q).alias("sqq"), dec(c * c).alias("scc"),
+        dec(q * c).alias("sqc"),
+    )
+    n, sq, sc = F.col("n"), F.col("sq"), F.col("sc")
+    sqq, scc, sqc = F.col("sqq"), F.col("scc"), F.col("sqc")
+    return s.select(
+        "l_returnflag",
+        ((sqc - sq * sc / n) / (n - F.lit(1))).alias("covar_qty_cents"),
+        (
+            (n * sqc - sq * sc)
+            / F.sqrt((n * sqq - sq * sq) * (n * scc - sc * sc))
+        ).alias("corr_qty_price"),
+    )
+
+
+@_q("q_embed_quantize", """
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+  FROM embeddings
+)
+SELECT vec_id,
+       CASE WHEN maxabs > 0 THEN 127.0 / maxabs END AS scale,
+       CASE WHEN maxabs > 0 THEN
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / maxabs))
+                                  AS INTEGER))
+       END AS qvec
+FROM m
+""")
+def q_embed_quantize(spark, sf_dir):
+    """X3: symmetric int8 embedding quantization (operators/similarity.
+    quantize_embeddings) — the 4x ANN storage/bandwidth shrink.
+    Map-only higher-order expressions; both engines round ties away
+    from zero, so the codes hash-match bit-for-bit."""
+    from real_timetransactionaldatalakehouse_spark.operators import similarity as S
+
+    return S.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
 _GOPHER_ORACLE = r"""
 WITH t AS (
   SELECT doc_id,

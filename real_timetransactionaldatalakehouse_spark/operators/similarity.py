@@ -721,3 +721,37 @@ def embedding_centroids(
         (total / F.col("n_members").cast("double")).alias("centroid"),
         "n_members",
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_max: int = 127,
+) -> DataFrame:
+    """Symmetric int8 quantization per vector (max-abs scaling) — the
+    4x storage/bandwidth shrink ANN indexes ship with: ``q_i =
+    round(x_i * q_max / max|x|)``, reconstructed as ``q_i / scale``.
+
+    Map-only higher-order expressions (transform / array_max), zero
+    shuffles, no Python; both engines round ties away from zero, so
+    the quantized codes are bit-identical cross-engine.  Zero vectors
+    get a NULL scale and NULL codes (ANSI-safe guard) rather than a
+    divide-by-zero.  Recall cost of int8 on cosine ranking is the
+    published ~<1% at 127 levels; keep the float vectors for the
+    re-rank stage and feed the codes to the candidate scan.
+    """
+    v = F.col(vec_col)
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(maxabs > 0, F.lit(float(q_max)) / maxabs)
+    qvec = F.when(
+        maxabs > 0,
+        F.transform(
+            v,
+            lambda x: F.round(x.cast("double") * (F.lit(float(q_max)) / maxabs))
+            .cast("int"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), scale.alias("scale"), qvec.alias("qvec")
+    )

@@ -781,3 +781,47 @@ def test_csv_jsonl_sources_quarantine_corrupt_rows(spark, tmp_path):
 
     with _pytest.raises(Exception):
         read_csv(spark, str(csv), schema, mode="FAILFAST").collect()
+
+
+def test_agg_corr_close_to_numpy(spark, sf_small):
+    """The exact-moment correlation must agree with numpy's corrcoef
+    to float tolerance (same statistic, different summation order)."""
+    import numpy as np
+    import pytest as _pytest
+
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["q_agg_corr"](spark, sf_small).collect()
+    from real_timetransactionaldatalakehouse_spark.sources import load_table
+
+    li = load_table(spark, sf_small, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).toPandas()
+    for r in rows:
+        sub = li[li.l_returnflag == r.l_returnflag]
+        want = np.corrcoef(sub.l_quantity, sub.l_extendedprice)[0, 1]
+        assert r.corr_qty_price == _pytest.approx(want, rel=1e-9)
+
+
+def test_quantize_embeddings_reconstruction(spark):
+    """Quantized codes must be within int8 range, reconstruct within
+    half a quantization step, and zero vectors must yield NULLs."""
+    from real_timetransactionaldatalakehouse_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    rows = [
+        (1, [0.5, -1.0, 0.25]),
+        (2, [0.0, 0.0, 0.0]),
+        (3, [3.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert out[2].scale is None and out[2].qvec is None
+    for vid, vec in [(1, rows[0][1]), (3, rows[2][1])]:
+        r = out[vid]
+        step = 1.0 / r.scale
+        for x, qc in zip(vec, r.qvec):
+            assert -127 <= qc <= 127
+            assert abs(x - qc / r.scale) <= step / 2 + 1e-12
+    assert out[3].qvec == [127]
