@@ -3494,6 +3494,113 @@ def q_embed_quantize(spark, sf_dir):
     return S.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
 
 
+@_q("q_trend_slope")  # rows-only: per-group float fits are Spark-
+# deterministic (in-kernel sort fixes summation order) but not
+# bit-portable across engines; equivalence to the JVM moment-sum twin
+# is pinned by pytest instead
+def q_trend_slope(spark, sf_dir):
+    """Per-user OLS trend of event value over time (operators/fitting.
+    grouped_ols, grouped-map ``applyInPandas`` Arrow kernel — the one
+    batch API family the rest of the engine deliberately avoids, used
+    where per-entity model fitting genuinely needs it).  One shuffle
+    moves each user's history once; the kernel sorts in-group so the
+    result is bit-deterministic regardless of partitioning."""
+    from real_timetransactionaldatalakehouse_spark.operators.fitting import (
+        grouped_ols,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("double").alias("x"), F.col("value").alias("y")
+    )
+    return grouped_ols(ev, ["user_id"], "x", "y", impl="pandas")
+
+
+_NEARDUP_FREE_ORACLE = """
+WITH RECURSIVE all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1,
+             greatest(len(string_split(text, ' ')) - 2, 1)), ' ') AS text
+  FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1,
+             greatest(len(string_split(text, ' ')) - 4, 1)), ' ') AS text
+  FROM documents WHERE doc_id < 10
+),
+sh AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+             i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS s
+  FROM all_docs
+),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+    FROM sh a JOIN sh b ON a.id < b.id
+  ) WHERE jaccard >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+labels AS (
+  SELECT src AS id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+),
+drop_ids AS (SELECT id FROM labels WHERE id != cluster_id)
+SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+FROM all_docs d
+WHERE d.doc_id NOT IN (SELECT id FROM drop_ids)
+"""
+
+
+@_q("q_neardup_free_corpus", _NEARDUP_FREE_ORACLE)
+def q_neardup_free_corpus(spark, sf_dir):
+    """X2 terminal product: the DEDUPLICATED corpus — verified MinHash
+    pairs -> connected components -> keep one document per component
+    (the cluster-min id), everything else anti-joined away.  This is
+    the answer a fuzzy-dedup pipeline actually ships; the pairwise and
+    cluster queries are its intermediates.  The drop set is
+    |duplicates|-sized (tiny next to the corpus), so the final
+    anti-join broadcasts."""
+    from real_timetransactionaldatalakehouse_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+
+    def _mutant(max_id, offset, drop):
+        return docs.filter(F.col("doc_id") < max_id).select(
+            (F.col("doc_id") + offset).alias("doc_id"),
+            F.concat_ws(
+                " ", F.slice(toks, 1, F.greatest(F.size(toks) - drop, F.lit(1)))
+            ).alias("text"),
+        )
+
+    corpus = docs.unionByName(_mutant(20, 200000, 2)).unionByName(
+        _mutant(10, 300000, 4)
+    )
+    pairs = D.minhash_verified_neardup_pairs(corpus, jaccard_threshold=0.5)
+    clusters = D.neardup_clusters(pairs)
+    drop = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
+    return (
+        corpus.join(
+            F.broadcast(drop), corpus["doc_id"] == drop["id"], "left_anti"
+        )
+        .select("doc_id", F.length("text").cast("long").alias("n_chars"))
+    )
+
+
 _GOPHER_ORACLE = r"""
 WITH t AS (
   SELECT doc_id,

@@ -825,3 +825,37 @@ def test_quantize_embeddings_reconstruction(spark):
             assert -127 <= qc <= 127
             assert abs(x - qc / r.scale) <= step / 2 + 1e-12
     assert out[3].qvec == [127]
+
+
+def test_grouped_ols_pandas_equals_expr_and_numpy(spark):
+    """The applyInPandas OLS kernel and the JVM moment-sum twin must
+    agree (1e-9 relative), and both must match numpy's polyfit."""
+    import numpy as np
+    import pytest as _pytest
+
+    from real_timetransactionaldatalakehouse_spark.operators.fitting import (
+        grouped_ols,
+    )
+
+    rng = [(g, float(x), 2.0 * g * x + 3.0 + ((x * 7919) % 11) / 10.0)
+           for g in range(3) for x in range(25)]
+    df = spark.createDataFrame(rng, "g int, x double, y double")
+    via_pd = {r.g: r for r in grouped_ols(df, ["g"], "x", "y", impl="pandas").collect()}
+    via_ex = {r.g: r for r in grouped_ols(df, ["g"], "x", "y", impl="expr").collect()}
+    for g in range(3):
+        xs = np.array([x for gg, x, _ in rng if gg == g])
+        ys = np.array([y for gg, _, y in rng if gg == g])
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert via_pd[g].slope == _pytest.approx(slope, rel=1e-9)
+        assert via_pd[g].intercept == _pytest.approx(intercept, rel=1e-9)
+        assert via_ex[g].slope == _pytest.approx(via_pd[g].slope, rel=1e-9)
+        assert via_ex[g].r2 == _pytest.approx(via_pd[g].r2, rel=1e-9)
+        assert via_pd[g].n == 25
+    # degenerate groups: single point and zero x-variance -> NULL fits
+    dg = spark.createDataFrame(
+        [(0, 1.0, 5.0), (1, 2.0, 1.0), (1, 2.0, 9.0)], "g int, x double, y double"
+    )
+    for impl in ("pandas", "expr"):
+        out = {r.g: r for r in grouped_ols(dg, ["g"], "x", "y", impl=impl).collect()}
+        assert out[0].slope is None and out[0].n == 1
+        assert out[1].slope is None and out[1].n == 2
