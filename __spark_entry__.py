@@ -3601,6 +3601,69 @@ def q_neardup_free_corpus(spark, sf_dir):
     )
 
 
+@_q("q_union_evolve", """
+SELECT o_orderkey, o_custkey, o_totalprice, NULL AS o_orderpriority
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL BY NAME
+SELECT o_orderkey, o_custkey, o_orderpriority
+FROM orders WHERE o_orderkey % 2 = 1
+""")
+def q_union_evolve(spark, sf_dir):
+    """Schema-evolving union: two frames with different column sets
+    united BY NAME with missing columns NULL-filled
+    (``unionByName(allowMissingColumns=True)``) — the read-side shape
+    of appending to a table whose later files carry added columns.
+    Position-based UNION would silently misalign; by-name is the only
+    safe union under schema evolution."""
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    return old.unionByName(new, allowMissingColumns=True)
+
+
+@_q("q_collect_set", """
+SELECT user_id,
+       list_sort(list_distinct(array_agg(event_type))) AS types,
+       CAST(len(list_distinct(array_agg(event_type))) AS INTEGER) AS n_types
+FROM events GROUP BY user_id
+""")
+def q_collect_set(spark, sf_dir):
+    """Set aggregation to an array column: the distinct event types
+    per user, SORTED so the array value is deterministic (collect_set
+    order is partitioning-dependent; sort_array pins it).  Partial
+    map-side set union bounds the shuffle to distinct values per key."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.size(F.collect_set("event_type")).alias("n_types"),
+    )
+
+
+@_q("q_agg_bool", """
+SELECT user_id,
+       bool_and(value >= 0) AS all_nonneg,
+       bool_or(event_type = 'purchase') AS any_purchase,
+       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+         AS n_purchases
+FROM events GROUP BY user_id
+""")
+def q_agg_bool(spark, sf_dir):
+    """Boolean aggregates (every / any): the audit-style per-entity
+    invariant check — all values non-negative, any purchase present.
+    Both engines implement three-valued bool_and/bool_or identically;
+    partial aggregation carries one boolean per key per map task."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.every(F.col("value") >= 0).alias("all_nonneg"),
+        F.some(F.col("event_type") == "purchase").alias("any_purchase"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+    )
+
+
 _GOPHER_ORACLE = r"""
 WITH t AS (
   SELECT doc_id,
