@@ -3664,6 +3664,37 @@ def q_agg_bool(spark, sf_dir):
     )
 
 
+@_q("q_join_asof_tolerance", """
+WITH timeline AS (
+  SELECT o_custkey AS user_id, o_orderdate AS t_ts, MAX(o_orderstatus) AS status
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       date_trunc('second', CAST(e.ts AS TIMESTAMP)) AS ts_s,
+       CASE WHEN e.ts - t.t_ts <= INTERVAL 30 DAY THEN t.status END AS status
+FROM events e ASOF LEFT JOIN timeline t
+  ON e.user_id = t.user_id AND e.ts >= t.t_ts
+""")
+def q_join_asof_tolerance(spark, sf_dir):
+    """J5 extension: as-of join with bounded staleness (pandas
+    merge_asof ``tolerance``) — a fact whose matched state is older
+    than 30 days gets NULL instead of arbitrarily stale values.  The
+    matched timestamp rides the same running-last window frame, so the
+    bound costs one extra window column, not a second join."""
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    timeline = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t_ts"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    out = J.asof_join(
+        events, timeline, key="user_id", fact_ts="ts", timeline_ts="t_ts",
+        value_cols=["status"], fact_tiebreaks=["event_id"],
+        dedup_keep_max=True, tolerance_s=30 * 24 * 3600,
+    )
+    return out.select("event_id", "user_id", LF.ts_second("ts").alias("ts_s"), "status")
+
+
 _GOPHER_ORACLE = r"""
 WITH t AS (
   SELECT doc_id,

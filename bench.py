@@ -93,6 +93,10 @@ BENCH_QUERIES = [
     "q_zscore_norm",
     "q_session_window_agg",
     "q_bm25_search",
+    # r4 wave-5/7 family representatives
+    "q_moving_avg",
+    "q_funnel",
+    "q_agg_corr",
 ]
 
 # The r3 headline set (BENCH_r03.json's 30 queries): the aggregate
@@ -185,15 +189,15 @@ def main() -> None:
     # kernels — caches are cleared between runs, nothing is a cached
     # result).  min-of-5 filters single-run JVM noise (GC pauses,
     # compilation, noisy-neighbor CPU stalls on a shared host).
-    # min-of-4 re-executions (was 5): the headline list grew from 30
-    # to 43 queries, and the 4th-vs-5th minimum differs by noise while
-    # the whole run stays inside the same wall-clock envelope as r3's
+    # min-of-3 re-executions (was 5, then 4): the headline list grew
+    # from 30 to 49 queries; successive minima differ by noise while
+    # the whole run must stay inside the driver's capture envelope
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
     for name in BENCH_QUERIES:
         df = qs[name](spark, SF_DIR)
         timings[name] = round(run_df(df), 4)
-        steady[name] = round(min(run_df(df) for _ in range(4)), 4)
+        steady[name] = round(min(run_df(df) for _ in range(3)), 4)
         if con is not None and name in osql and name not in ORACLE_SKIP:
             try:
                 best = float("inf")

@@ -46,6 +46,7 @@ def asof_join(
     value_cols: list[str],
     fact_tiebreaks: list[str] | None = None,
     dedup_keep_max: bool = False,
+    tolerance_s: int | None = None,
 ) -> DataFrame:
     """J5: point-in-time enrichment — each fact row gets the latest
     timeline values with ``timeline_ts <= fact_ts`` (reference Silver
@@ -65,6 +66,13 @@ def asof_join(
     running ``last`` then lands on the max row of the newest timestamp.
     That folds the ``GROUP BY key, ts -> MAX(value)`` pre-aggregation
     the caller would otherwise run — one whole shuffle+agg stage less.
+
+    ``tolerance_s`` bounds match staleness (pandas ``merge_asof``
+    tolerance): a fact row whose matched timeline timestamp is more
+    than ``tolerance_s`` seconds behind it gets NULL values instead of
+    an arbitrarily old state — the matched timestamp rides the same
+    running-last frame, so the bound costs one extra window column,
+    not a second join.
     """
     if dedup_keep_max and len(value_cols) != 1:
         raise ValueError(
@@ -98,12 +106,29 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     unioned = t.unionByName(fct)
+    extra = []
+    if tolerance_s is not None:
+        extra.append(
+            F.last(
+                F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
+            ).over(w).alias("__m_ts")
+        )
     filled = unioned.select(
-        "*", *[F.last(F.col(c), ignorenulls=True).over(w).alias(f"__v_{c}") for c in value_cols]
+        "*",
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(f"__v_{c}") for c in value_cols],
+        *extra,
     )
+    if tolerance_s is not None:
+        fresh = (
+            F.col("__ts").cast("double") - F.col("__m_ts").cast("double")
+        ) <= float(tolerance_s)
+        vals = [
+            F.when(fresh, F.col(f"__v_{c}")).alias(c) for c in value_cols
+        ]
+    else:
+        vals = [F.col(f"__v_{c}").alias(c) for c in value_cols]
     out = filled.filter(F.col("__side") == 1).select(
-        *[F.col(f"__f_{c}").alias(c) for c in f_cols],
-        *[F.col(f"__v_{c}").alias(c) for c in value_cols],
+        *[F.col(f"__f_{c}").alias(c) for c in f_cols], *vals
     )
     return out
 

@@ -942,3 +942,31 @@ def test_funnel_stages_matches_python_reference(spark, data):
         stage = 1 + (t2 is not None) + (t3 is not None)
         want[u] = (t1, t2, t3, stage)
     assert out == want
+
+
+@SETTINGS
+@given(facts=fact_rows, timeline=timeline_rows, tol=st.integers(0, 20))
+def test_asof_join_tolerance_matches_bruteforce(spark, facts, timeline, tol):
+    """tolerance_s must NULL exactly the matches whose staleness
+    exceeds the bound — brute-force replica over integer timestamps."""
+    f = spark.createDataFrame(
+        [(k, t, i) for k, t, i in facts] or [(None, None, None)],
+        "k int, ts int, fid int",
+    ).filter(F.col("k").isNotNull())
+    t = spark.createDataFrame(
+        [(k, ts, v) for (k, ts), v in timeline.items()] or [(None, None, None)],
+        "k int, t_ts int, v int",
+    ).filter(F.col("k").isNotNull())
+    out = asof_join(
+        f, t, key="k", fact_ts="ts", timeline_ts="t_ts",
+        value_cols=["v"], fact_tiebreaks=["fid"], tolerance_s=tol,
+    )
+    got = {(r.k, r.ts, r.fid): r.v for r in out.collect()}
+    for k, ts, fid in facts:
+        cands = [(tts, v) for (kk, tts), v in timeline.items()
+                 if kk == k and tts <= ts]
+        want = None
+        if cands:
+            m_ts, m_v = max(cands)
+            want = m_v if (ts - m_ts) <= tol else None
+        assert got[(k, ts, fid)] == want, (k, ts, fid)
