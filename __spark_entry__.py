@@ -3695,6 +3695,45 @@ def q_join_asof_tolerance(spark, sf_dir):
     return out.select("event_id", "user_id", LF.ts_second("ts").alias("ts_s"), "status")
 
 
+@_q("q_contamination_report", """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, i, i + 12), ' ') AS g
+  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 12, 1))) AS u(i)
+), bench AS (
+  SELECT doc_id, g FROM grams WHERE doc_id % 20 = 0
+), corp AS (
+  SELECT doc_id, g FROM grams WHERE doc_id % 20 <> 0
+), hits AS (
+  SELECT b.doc_id AS bid,
+         CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_contaminating_docs,
+         CAST(COUNT(DISTINCT b.g) AS BIGINT) AS n_shared_grams
+  FROM bench b JOIN corp c ON b.g = c.g
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_contaminating_docs, 0) AS BIGINT) AS n_contaminating_docs,
+       CAST(COALESCE(h.n_shared_grams, 0) AS BIGINT) AS n_shared_grams
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.bid
+WHERE d.doc_id % 20 = 0
+""")
+def q_contamination_report(spark, sf_dir):
+    """EXT curation audit: the per-eval-doc leakage report published
+    next to the decontamination drop (operators/sampling.
+    contamination_report) — contaminating-corpus-doc and shared-gram
+    counts per benchmark document, with explicit zeros (the report
+    proves absence).  Same broadcast gram-hash join shape as
+    q_decontaminate_ngram; corpus text never shuffles."""
+    from real_timetransactionaldatalakehouse_spark.operators import sampling as S
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    return S.contamination_report(corpus, benchmark, n=13)
+
+
 _GOPHER_ORACLE = r"""
 WITH t AS (
   SELECT doc_id,

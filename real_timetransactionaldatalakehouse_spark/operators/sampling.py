@@ -408,3 +408,62 @@ def heavy_hitters(
         .orderBy(F.col("est_count").desc(), F.col(col).asc())
         .limit(k)
     )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    repartition: bool | int = True,
+) -> DataFrame:
+    """The AUDIT side of :func:`decontaminate_ngram` — the per-eval-doc
+    leakage report decontamination pipelines publish next to the drop:
+    for each benchmark document, how many corpus documents share at
+    least one token n-gram with it and how many distinct shared grams
+    there are.  Benchmark docs with zero overlap appear with zeros
+    (the report must prove absence, not just list hits).
+
+    Plan: same gram-hash reduction as the decontaminate pass — the
+    benchmark side broadcasts, the corpus grams stream through ONE
+    inner hash join, and everything after the join is
+    (bench_id, corpus_id, gram) partial aggregation.  Corpus text
+    never shuffles.
+    """
+    from .dedup import word_shingles
+
+    spark = corpus.sparkSession
+    if repartition is True:
+        fan = spark.sparkContext.defaultParallelism
+    elif repartition is False:
+        fan = 0
+    else:
+        fan = int(repartition)
+
+    def gram_hashes(df: DataFrame, out_id: str) -> DataFrame:
+        src = df.repartition(fan) if fan else df
+        return src.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array_distinct(word_shingles(text_col, n))).alias("__g"),
+        ).select(out_id, F.xxhash64(F.col("__g")).alias("__h"))
+
+    b = gram_hashes(benchmark, "__bid")
+    hits = (
+        gram_hashes(corpus, "__cid")
+        .join(F.broadcast(b), "__h")
+        .groupBy("__bid")
+        .agg(
+            F.countDistinct("__cid").alias("n_contaminating_docs"),
+            F.countDistinct("__h").alias("n_shared_grams"),
+        )
+    )
+    return (
+        benchmark.select(F.col(id_col).alias("__bid"))
+        .join(hits, "__bid", "left")
+        .select(
+            F.col("__bid").alias(id_col),
+            F.coalesce("n_contaminating_docs", F.lit(0)).alias("n_contaminating_docs"),
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+        )
+    )
