@@ -3734,6 +3734,120 @@ def q_contamination_report(spark, sf_dir):
     return S.contamination_report(corpus, benchmark, n=13)
 
 
+_CORPUS_PIPELINE_ORACLE = r"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
+), bench AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+),
+sh AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+             i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS s
+  FROM corpus
+),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+    FROM sh a JOIN sh b ON a.id < b.id
+  ) WHERE jaccard >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b AS a, id_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+labels AS (SELECT src AS id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+dup_drop AS (SELECT id FROM labels WHERE id != cluster_id),
+gq AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS toks,
+         CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS INTEGER) AS n_symbols
+  FROM corpus
+), gm AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS n_words,
+         CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS sum_len,
+         n_symbols,
+         CAST(len(list_filter(list_distinct(toks),
+              x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x)))
+              AS INTEGER) AS stop_hits
+  FROM gq
+), gopher_keep AS (
+  SELECT doc_id FROM gm
+  WHERE n_words >= 50 AND n_words <= 100000
+    AND COALESCE(CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+                 AND CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0, FALSE)
+    AND COALESCE(CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) < 0.1, FALSE)
+    AND stop_hits >= 2
+),
+toks13 AS (
+  SELECT doc_id, string_split(text, ' ') AS t, 0 AS is_bench FROM corpus
+  UNION ALL
+  SELECT doc_id, string_split(text, ' ') AS t, 1 AS is_bench FROM bench
+), grams AS (
+  SELECT DISTINCT doc_id, is_bench,
+         array_to_string(list_slice(t, i, i + 12), ' ') AS g
+  FROM toks13, UNNEST(generate_series(1, greatest(len(t) - 12, 1))) AS u(i)
+), contaminated AS (
+  SELECT DISTINCT c.doc_id
+  FROM grams c JOIN (SELECT DISTINCT g FROM grams WHERE is_bench = 1) b
+    ON c.g = b.g
+  WHERE c.is_bench = 0
+)
+SELECT c.doc_id,
+       CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens
+FROM corpus c
+WHERE c.doc_id NOT IN (SELECT id FROM dup_drop)
+  AND c.doc_id IN (SELECT doc_id FROM gopher_keep)
+  AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
+@_q("q_corpus_pipeline", _CORPUS_PIPELINE_ORACLE)
+def q_corpus_pipeline(spark, sf_dir):
+    """EXT flagship v2 — the COMPLETE training-corpus prep pipeline in
+    one declared query: near-dup-free (verified MinHash pairs ->
+    connected components -> keep cluster min) -> Gopher quality gate
+    (published MassiveText rules) -> benchmark decontamination (token
+    13-gram overlap vs the eval split) -> surviving docs with token
+    counts.  Every stage is the independently-certified operator
+    (q_neardup_free_corpus / q_gopher_filter / q_decontaminate_ngram);
+    the composition proves they stack: filters are set-subtractions on
+    the same base corpus, so shuffles stay per-stage (band buckets,
+    gram hashes, component labels) and the corpus text itself streams
+    through map-only projections between them."""
+    from real_timetransactionaldatalakehouse_spark.operators import dedup as D
+    from real_timetransactionaldatalakehouse_spark.operators import sampling as SM
+    from real_timetransactionaldatalakehouse_spark.operators.text import (
+        gopher_rules, tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+
+    pairs = D.minhash_verified_neardup_pairs(corpus, jaccard_threshold=0.5)
+    clusters = D.neardup_clusters(pairs)
+    dup_drop = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
+    deduped = corpus.join(
+        F.broadcast(dup_drop), corpus["doc_id"] == dup_drop["id"], "left_anti"
+    )
+    gated = gopher_rules(deduped).filter(F.col("gopher_keep")).select("doc_id", "text")
+    clean = SM.decontaminate_ngram(gated, benchmark, n=13)
+    return clean.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+
+
 _GOPHER_ORACLE = r"""
 WITH t AS (
   SELECT doc_id,
