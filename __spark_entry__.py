@@ -3848,6 +3848,32 @@ def q_corpus_pipeline(spark, sf_dir):
     )
 
 
+_SQL_TEXT = """
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@_q("q_sql_text", _SQL_TEXT)
+def q_sql_text(spark, sf_dir):
+    """SQL entry path: the SAME ANSI text runs through ``spark.sql``
+    over registered views AND through DuckDB as its own oracle — the
+    literal every-user surface (revenue by nation, two joins, exact
+    scaled-long money sum).  Catalyst plans it identically to the
+    DataFrame build: pushed scans, broadcast dims, partial+final agg
+    — proving the two front-ends share one engine."""
+    from real_timetransactionaldatalakehouse_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_TEXT)
+
+
 _GOPHER_ORACLE = r"""
 WITH t AS (
   SELECT doc_id,
