@@ -1686,6 +1686,56 @@ def q_scd2_history(spark, sf_dir):
     )
 
 
+@_q("q_scd2_pointlookup", """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), changed AS (
+  SELECT user_id, ts, event_type FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT o.o_orderkey, o.o_custkey AS user_id,
+       date_trunc('second', o.o_orderdate) AS order_ts,
+       c.event_type AS state_at_order
+FROM orders o ASOF LEFT JOIN changed c
+  ON o.o_custkey = c.user_id AND o.o_orderdate >= c.ts
+""")
+def q_scd2_pointlookup(spark, sf_dir):
+    """The classic warehouse read over SCD Type-2: each fact row
+    enriched with the dimension's value AT THE FACT'S OWN TIMESTAMP —
+    orders joined to the user's event-type state at order time.
+    Because SCD2 validity intervals tile time per key, the interval
+    predicate reduces to an as-of join on ``effective_from`` — one
+    keyed shuffle (joins.asof_join), never a per-key range scan; the
+    oracle is DuckDB's native ASOF over the same change stream."""
+    from real_timetransactionaldatalakehouse_spark.operators.joins import asof_join
+    from real_timetransactionaldatalakehouse_spark.operators.merge import (
+        scd2_from_changes,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    hist = scd2_from_changes(
+        ev, ["user_id"], "ts",
+        tiebreak_cols=["event_id"], drop_unchanged=["event_type"],
+    ).select("user_id", F.col("effective_from").alias("t_ts"),
+             F.col("event_type").alias("state_at_order"))
+    facts = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ots"),
+    )
+    out = asof_join(
+        facts, hist, key="user_id", fact_ts="ots", timeline_ts="t_ts",
+        value_cols=["state_at_order"], fact_tiebreaks=["o_orderkey"],
+    )
+    return out.select(
+        "o_orderkey", "user_id",
+        F.date_trunc("second", "ots").alias("order_ts"),
+        "state_at_order",
+    )
+
+
 # Injected synthetic PII (the corpus itself is PII-free) so the
 # redaction actually fires; patterns come from operators.text
 # PII_PATTERNS verbatim (Java-regex/RE2-shared subset).
