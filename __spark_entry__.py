@@ -1686,6 +1686,91 @@ def q_scd2_history(spark, sf_dir):
     )
 
 
+@_q("q_silver_view", """
+WITH gated AS (
+  SELECT * FROM events WHERE COALESCE(value >= 0, FALSE)
+), lagged AS (
+  SELECT event_id, user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM gated
+), s AS (
+  SELECT event_id, user_id, ts,
+         SUM(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM lagged
+), t AS (
+  SELECT o_custkey AS user_id, o_orderdate AS t_ts, MAX(o_orderstatus) AS status
+  FROM orders GROUP BY 1, 2
+)
+SELECT s.event_id, s.user_id,
+       date_trunc('second', s.ts) AS ts_s,
+       CAST(s.session_id AS BIGINT) AS session_id,
+       CAST(s.ts AS DATE) AS date,
+       t2.status
+FROM s ASOF LEFT JOIN t t2
+  ON s.user_id = t2.user_id AND s.ts >= t2.t_ts
+""")
+def q_silver_view(spark, sf_dir):
+    """The medallion SILVER layer as one certified query (medallion.
+    build_silver — the reference's declared-but-unbuilt core product,
+    DataModel_SchemaDesign.md:44-62): quality-gated bronze events ->
+    LAG sessionization -> date partition column -> as-of dim
+    enrichment, end to end.  Each stage is the certified operator;
+    this row certifies the COMPOSITION the streaming silver job runs
+    inside foreachBatch."""
+    from real_timetransactionaldatalakehouse_spark.medallion import build_silver
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    timeline = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("t_ts"),
+        )
+        .agg(F.max("o_orderstatus").alias("status"))
+    )
+    silver = build_silver(
+        ev, dim_timeline=timeline,
+        expectations={"value_nonneg": F.col("value") >= 0},
+    )
+    return silver.select(
+        "event_id", "user_id",
+        LF.ts_second("ts").alias("ts_s"),
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("date"),
+        "status",
+    )
+
+
+@_q("q_window_lead", """
+SELECT user_id, event_id,
+       epoch(ts) AS ts_s,
+       epoch(LEAD(ts) OVER w) - epoch(ts) AS gap_to_next_s,
+       LEAD(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def q_window_lead(spark, sf_dir):
+    """LEAD window family: per-user time-to-next-event and the next
+    event's type — the churn/inactivity signal (the forward twin of
+    q_sessionize_lag's LAG).  Epoch subtraction keeps the gap exact
+    (integer-microsecond timestamps on both engines); one exchange
+    keyed by user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ts_s = F.col("ts").cast("double")
+    return ev.select(
+        "user_id", "event_id",
+        ts_s.alias("ts_s"),
+        (F.lead(F.col("ts")).over(w).cast("double") - ts_s).alias("gap_to_next_s"),
+        F.lead(F.col("event_type")).over(w).alias("next_type"),
+    )
+
+
 @_q("q_scd2_pointlookup", """
 WITH ordered AS (
   SELECT user_id, ts, event_id, event_type,
