@@ -859,3 +859,42 @@ def test_grouped_ols_pandas_equals_expr_and_numpy(spark):
         out = {r.g: r for r in grouped_ols(dg, ["g"], "x", "y", impl=impl).collect()}
         assert out[0].slope is None and out[0].n == 1
         assert out[1].slope is None and out[1].n == 2
+
+
+def test_new_operators_handle_empty_inputs(spark):
+    """Every round-4 wave operator must run (not raise) on an empty
+    frame and return an empty, correctly-typed result."""
+    from pyspark.sql import functions as F
+
+    from real_timetransactionaldatalakehouse_spark.operators.fitting import grouped_ols
+    from real_timetransactionaldatalakehouse_spark.operators.relational import (
+        funnel_stages, mode_per_group, session_window_agg, zscore_normalize,
+    )
+    from real_timetransactionaldatalakehouse_spark.operators.sampling import (
+        contamination_report,
+    )
+    from real_timetransactionaldatalakehouse_spark.operators.similarity import (
+        embedding_centroids, quantize_embeddings,
+    )
+    from real_timetransactionaldatalakehouse_spark.operators.text import (
+        bm25_scores, bpe_pair_counts, gopher_rules,
+    )
+
+    docs = spark.createDataFrame([], "doc_id int, text string")
+    ev = spark.createDataFrame([], "user_id int, ts timestamp, event_type string, v double")
+    emb = spark.createDataFrame([], "vec_id int, embedding array<float>, label int")
+
+    assert bm25_scores(docs).count() == 0
+    assert bpe_pair_counts(docs).count() == 0
+    assert gopher_rules(docs).count() == 0
+    assert contamination_report(docs, docs).count() == 0
+    assert embedding_centroids(emb).count() == 0
+    assert quantize_embeddings(emb).count() == 0
+    assert mode_per_group(ev, ["user_id"], "event_type").count() == 0
+    assert session_window_agg(ev, "ts", ["user_id"]).count() == 0
+    assert zscore_normalize(ev, ["user_id"], "v").count() == 0
+    assert grouped_ols(ev.select("user_id", F.col("v").alias("x"), F.col("v").alias("y")),
+                       ["user_id"], "x", "y").count() == 0
+    assert funnel_stages(
+        ev, "user_id", "ts", [("view", F.col("event_type") == "view")]
+    ).count() == 0
