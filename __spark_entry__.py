@@ -1686,6 +1686,51 @@ def q_scd2_history(spark, sf_dir):
     )
 
 
+@_q("q_keywords_per_doc", """
+WITH pairs AS (
+  SELECT doc_id, t.term AS term, COUNT(*) AS tf
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+  GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS dfc FROM pairs GROUP BY term
+), n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd FROM documents),
+scored AS (
+  SELECT p.doc_id, p.term,
+         p.tf * (ln((1.0 + n.nd) / (1.0 + dfreq.dfc)) + 1.0) AS tfidf
+  FROM pairs p JOIN dfreq USING (term), n
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term
+FROM ranked WHERE rnk <= 3
+""")
+def q_keywords_per_doc(spark, sf_dir):
+    """X4: keyword extraction — each document's top-3 terms by TF-IDF
+    (operators/text.tfidf_scores + relational.topk_per_group with a
+    term tie-break).  The ranking window runs over the (doc, term)
+    score table, never raw text; at corpus scale the window partitions
+    by doc — bounded by per-doc vocabulary.  The tfidf score itself is
+    excluded from the output (per-row double product is deterministic
+    but the top-3 CUT is what the check certifies; ranks + terms are
+    integers/strings, immune to float canon differences)."""
+    from real_timetransactionaldatalakehouse_spark.operators.relational import (
+        topk_per_group,
+    )
+    from real_timetransactionaldatalakehouse_spark.operators.text import (
+        tfidf_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scores = tfidf_scores(docs)
+    top = topk_per_group(
+        scores, ["doc_id"], "tfidf", 3, tiebreak_cols=["term"], desc=True
+    )
+    return top.select("doc_id", F.col("rank").cast("int").alias("rnk"), "term")
+
+
 @_q("q_silver_view", """
 WITH gated AS (
   SELECT * FROM events WHERE COALESCE(value >= 0, FALSE)

@@ -109,6 +109,14 @@ BENCH_QUERIES = [
 R3_COMMON = BENCH_QUERIES[:30]
 
 
+# Oracles that must never run at bench/replica scale: structurally
+# quadratic twins of bucketed algorithms (also imported by
+# tools/amortized_bench.py).
+ORACLE_SKIP = {
+    "q_neardup_minhash": "all-pairs exact-Jaccard oracle is O(n^2); minutes at sf>=0.1",
+}
+
+
 def main() -> None:
     from real_timetransactionaldatalakehouse_spark.session import batch_session, tune_for_input
 
@@ -150,9 +158,6 @@ def main() -> None:
     # Spark's min-of-N): interleaving keeps both sides of the ratio in
     # the same host-load window, so noisy-neighbor drift hits
     # numerator and denominator together instead of biasing one.
-    ORACLE_SKIP = {
-        "q_neardup_minhash": "all-pairs exact-Jaccard oracle is O(n^2); minutes at sf>=0.1",
-    }
     # Flagged for the reader of the aggregate ratio: queries where the
     # DuckDB oracle is structurally slower than the engine (its only
     # faithful formulation is row-at-a-time), so they DEFLATE the
