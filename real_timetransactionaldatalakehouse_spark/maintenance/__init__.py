@@ -395,3 +395,36 @@ def write_bucketed_table(
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    rows_per_file: int,
+    order_cols: list[str] | None = None,
+    fmt: str = "parquet",
+) -> dict:
+    """Export fixed-size training shards: at most ``rows_per_file``
+    rows per output file (``maxRecordsPerFile`` — the writer rolls
+    files mid-task, so shard size is enforced WITHOUT repartitioning
+    to one-task-per-shard), optionally range-ordered first so shard k
+    covers a contiguous id range (reproducible curriculum/resume
+    semantics for the training loader).
+
+    JSONL delivery (``fmt="json"``) ships the same shards as
+    line-delimited JSON for loaders that do not read parquet.
+    Returns ``{"files": n, "rows": n}`` for the manifest.
+    """
+    out = df
+    if order_cols:
+        out = out.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_file)
+        .format(fmt)
+        .save(path)
+    )
+    spark = df.sparkSession
+    back = spark.read.format(fmt).load(path)
+    n_files = back.select(F.input_file_name()).distinct().count()
+    return {"files": int(n_files), "rows": int(back.count())}
