@@ -1686,6 +1686,30 @@ def q_scd2_history(spark, sf_dir):
     )
 
 
+@_q("q_sample_exact_n", """
+SELECT doc_id, lang
+FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+LIMIT 100
+""")
+def q_sample_exact_n(spark, sf_dir):
+    """EXT curation: EXACT-size deterministic subsample — rank by a
+    cryptographic hash of the stable id and take the first N (the
+    companion to hash_split's rate-based sampling, for when the
+    contract is "exactly N docs", e.g. eval-set carving).  Compiles to
+    TakeOrderedAndProject: per-partition heaps of N, one tiny merge —
+    no global sort, no rand(), stable under reprocessing and engine-
+    portable (md5 of the id string is identical everywhere)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "lang")
+        .orderBy(
+            F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+        )
+        .limit(100)
+    )
+
+
 @_q("q_keywords_per_doc", """
 WITH pairs AS (
   SELECT doc_id, t.term AS term, COUNT(*) AS tf
