@@ -4257,19 +4257,22 @@ def q_embed_clusters(spark, sf_dir):
 # snapshot-diff / schema-evolution oracles), then the rows-only infra.
 # The EXT/LLM family certified green in r3 rotates out of the window.
 #
-# The round-4 wave-2..10 additions (q_intersect, q_except,
-# q_grouping_sets, q_unpivot, q_window_rank_stats, q_agg_mode,
-# q_zscore_norm, q_session_window_agg, q_bm25_search, q_embed_clusters,
-# q_running_total, q_ratio_to_total, q_array_hof, q_gopher_filter,
-# q_bpe_pairs, q_embed_centroids, q_moving_avg, q_window_range_frame,
-# q_fuzzy_pairs, q_funnel, q_agg_corr, q_embed_quantize,
-# q_neardup_free_corpus, q_union_evolve, q_collect_set, q_agg_bool,
-# q_join_asof_tolerance, q_contamination_report, q_corpus_pipeline,
-# q_sql_text, plus rows-only q_trend_slope) do not fit the 50-slot
-# window on top of the stale-rotation above; they carry pytest parity
-# evidence this round (tests/test_oracle_parity.py runs the SAME
-# differential check at sf0.001 + sf0.01) and fill the head of r5's
-# window together with q_scan_limit / q_string_funcs.
+# The round-4 session additions (35 oracle-checked: q_intersect,
+# q_except, q_grouping_sets, q_unpivot, q_window_rank_stats,
+# q_agg_mode, q_zscore_norm, q_session_window_agg, q_bm25_search,
+# q_embed_clusters, q_running_total, q_ratio_to_total, q_array_hof,
+# q_gopher_filter, q_bpe_pairs, q_embed_centroids, q_moving_avg,
+# q_window_range_frame, q_fuzzy_pairs, q_funnel, q_agg_corr,
+# q_embed_quantize, q_neardup_free_corpus, q_union_evolve,
+# q_collect_set, q_agg_bool, q_join_asof_tolerance,
+# q_contamination_report, q_corpus_pipeline, q_sql_text,
+# q_scd2_pointlookup, q_silver_view, q_window_lead,
+# q_keywords_per_doc, q_sample_exact_n; plus rows-only q_trend_slope)
+# do not fit the 50-slot window on top of the stale-rotation above;
+# they carry pytest parity evidence this round
+# (tests/test_oracle_parity.py runs the SAME differential check at
+# sf0.001 + sf0.01, latest full suite green) and fill the head of
+# r5's window together with q_scan_limit / q_string_funcs.
 _CHECK_FIRST: list[str] = [
     # r1/r2-era core: scan / filter / project.  q_scan_limit rotates
     # to r5 (r2-certified, trivial surface) for the r4-new q_lm_score.
