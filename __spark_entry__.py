@@ -1686,6 +1686,64 @@ def q_scd2_history(spark, sf_dir):
     )
 
 
+@_q("q_join_asof_nearest", """
+WITH timeline AS (
+  SELECT o_custkey AS user_id, o_orderdate AS t_ts, MAX(o_orderstatus) AS status
+  FROM orders GROUP BY 1, 2
+), u AS (
+  SELECT user_id, t_ts AS ts, 0 AS side, status, NULL AS event_id FROM timeline
+  UNION ALL
+  SELECT user_id, ts, 1 AS side, NULL AS status, event_id FROM events
+), w AS (
+  SELECT *,
+    last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER wb AS b_ts,
+    first_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER wf AS n_ts,
+    last_value(status IGNORE NULLS) OVER wb AS b_v,
+    first_value(status IGNORE NULLS) OVER wf AS n_v
+  FROM u
+  WINDOW
+    wb AS (PARTITION BY user_id ORDER BY ts, side, event_id NULLS FIRST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY user_id ORDER BY ts, side, event_id NULLS FIRST
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id, date_trunc('second', ts) AS ts_s,
+       CASE WHEN b_ts IS NULL
+                 OR (n_ts IS NOT NULL
+                     AND (epoch(n_ts) - epoch(ts)) < (epoch(ts) - epoch(b_ts)))
+            THEN n_v ELSE b_v END AS status
+FROM w WHERE side = 1
+""")
+def q_join_asof_nearest(spark, sf_dir):
+    """J5 extension: as-of join, NEAREST direction (pandas merge_asof
+    direction='nearest') — each event takes the order-status change
+    closest in time, before or after; ties and exact matches resolve
+    backward.  joins.asof_join_nearest computes both directions from
+    ONE sorted window pass (backward running-last + forward
+    running-first over the same union), so it costs the same single
+    keyed exchange as the plain as-of."""
+    from real_timetransactionaldatalakehouse_spark.operators.joins import (
+        asof_join_nearest,
+    )
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    timeline = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("t_ts"),
+        )
+        .agg(F.max("o_orderstatus").alias("status"))
+    )
+    out = asof_join_nearest(
+        events, timeline, key="user_id", fact_ts="ts", timeline_ts="t_ts",
+        value_cols=["status"], fact_tiebreaks=["event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", LF.ts_second("ts").alias("ts_s"), "status"
+    )
+
+
 @_q("q_sample_exact_n", """
 SELECT doc_id, lang
 FROM documents

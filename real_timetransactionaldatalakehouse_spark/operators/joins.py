@@ -233,3 +233,71 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return l_salted.join(r_rep, [on, "__salt"], how).drop("__salt")
+
+
+def asof_join_nearest(
+    fact: DataFrame,
+    timeline: DataFrame,
+    key: str,
+    fact_ts: str,
+    timeline_ts: str,
+    value_cols: list[str],
+    fact_tiebreaks: list[str] | None = None,
+) -> DataFrame:
+    """As-of join, NEAREST direction (pandas ``merge_asof``
+    direction='nearest'): each fact row takes the timeline row closest
+    in time, before OR after — sensor fusion / readings alignment,
+    where "latest before" is wrong near the start of a series.
+    Exact-timestamp matches resolve backward; forward/backward
+    distance ties also resolve backward (deterministic).
+
+    Same union-the-timelines shape as :func:`asof_join`, but BOTH
+    directions come from ONE sorted window pass: the backward value is
+    ``last(v) IGNORE NULLS`` over the preceding frame, the forward
+    value ``first(v) IGNORE NULLS`` over the following frame —
+    Catalyst evaluates both frames on a single sort + exchange keyed
+    by ``key``; no second join, no range explosion.
+    """
+    f_cols = [c for c in fact.columns]
+    t = timeline.select(
+        F.col(key),
+        F.col(timeline_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c) for c in value_cols],
+        *[F.lit(None).cast(fact.schema[c].dataType).alias(f"__f_{c}") for c in f_cols],
+    )
+    fct = fact.select(
+        F.col(key),
+        F.col(fact_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(timeline.schema[c].dataType).alias(c) for c in value_cols],
+        *[F.col(c).alias(f"__f_{c}") for c in f_cols],
+    )
+    order = [F.col("__ts").asc(), F.col("__side").asc()] + [
+        F.col(f"__f_{c}").asc_nulls_first() for c in (fact_tiebreaks or [])
+    ]
+    base = Window.partitionBy(key).orderBy(*order)
+    wb = base.rowsBetween(Window.unboundedPreceding, 0)
+    wf = base.rowsBetween(0, Window.unboundedFollowing)
+    tl_ts = F.when(F.col("__side") == 0, F.col("__ts"))
+    unioned = t.unionByName(fct)
+    filled = unioned.select(
+        "*",
+        F.last(tl_ts, ignorenulls=True).over(wb).alias("__b_ts"),
+        F.first(tl_ts, ignorenulls=True).over(wf).alias("__n_ts"),
+        *[F.last(F.col(c), ignorenulls=True).over(wb).alias(f"__b_{c}") for c in value_cols],
+        *[F.first(F.col(c), ignorenulls=True).over(wf).alias(f"__n_{c}") for c in value_cols],
+    )
+    ts_d = F.col("__ts").cast("double")
+    b_gap = ts_d - F.col("__b_ts").cast("double")
+    f_gap = F.col("__n_ts").cast("double") - ts_d
+    use_fwd = F.col("__b_ts").isNull() | (
+        F.col("__n_ts").isNotNull() & (f_gap < b_gap)
+    )
+    vals = [
+        F.when(use_fwd, F.col(f"__n_{c}")).otherwise(F.col(f"__b_{c}")).alias(c)
+        for c in value_cols
+    ]
+    return filled.filter(F.col("__side") == 1).select(
+        *[F.col(f"__f_{c}").alias(c) for c in f_cols], *vals
+    )

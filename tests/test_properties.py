@@ -970,3 +970,42 @@ def test_asof_join_tolerance_matches_bruteforce(spark, facts, timeline, tol):
             m_ts, m_v = max(cands)
             want = m_v if (ts - m_ts) <= tol else None
         assert got[(k, ts, fid)] == want, (k, ts, fid)
+
+
+@SETTINGS
+@given(facts=fact_rows, timeline=timeline_rows)
+def test_asof_join_nearest_matches_bruteforce(spark, facts, timeline):
+    """Nearest direction: closest timeline row before OR after; exact
+    matches and distance ties resolve backward."""
+    from real_timetransactionaldatalakehouse_spark.operators.joins import (
+        asof_join_nearest,
+    )
+
+    f = spark.createDataFrame(
+        [(k, t, i) for k, t, i in facts] or [(None, None, None)],
+        "k int, ts int, fid int",
+    ).filter(F.col("k").isNotNull())
+    t = spark.createDataFrame(
+        [(k, ts, v) for (k, ts), v in timeline.items()] or [(None, None, None)],
+        "k int, t_ts int, v int",
+    ).filter(F.col("k").isNotNull())
+    out = asof_join_nearest(
+        f, t, key="k", fact_ts="ts", timeline_ts="t_ts",
+        value_cols=["v"], fact_tiebreaks=["fid"],
+    )
+    got = {(r.k, r.ts, r.fid): r.v for r in out.collect()}
+    for k, ts, fid in facts:
+        cands = [(tts, v) for (kk, tts), v in timeline.items() if kk == k]
+        want = None
+        if cands:
+            back = [(tts, v) for tts, v in cands if tts <= ts]
+            fwd = [(tts, v) for tts, v in cands if tts > ts]
+            b = max(back) if back else None
+            fw = min(fwd) if fwd else None
+            if b is None:
+                want = fw[1] if fw else None
+            elif fw is not None and (fw[0] - ts) < (ts - b[0]):
+                want = fw[1]
+            else:
+                want = b[1]
+        assert got[(k, ts, fid)] == want, (k, ts, fid)
