@@ -1686,6 +1686,36 @@ def q_scd2_history(spark, sf_dir):
     )
 
 
+@_q("q_text_entropy", """
+WITH pairs AS (
+  SELECT doc_id, t.term AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+  GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens FROM pairs GROUP BY 1
+)
+SELECT p.doc_id, MAX(t.n_tokens) AS n_tokens,
+       CAST(-SUM(CAST((CAST(p.tf AS DOUBLE) / CAST(t.n_tokens AS DOUBLE))
+                      * ln(CAST(p.tf AS DOUBLE) / CAST(t.n_tokens AS DOUBLE))
+                      AS DECIMAL(18,6))) AS DOUBLE) AS entropy_nats
+FROM pairs p JOIN tot t ON p.doc_id = t.doc_id
+GROUP BY p.doc_id
+""")
+def q_text_entropy(spark, sf_dir):
+    """X4: per-document token-distribution Shannon entropy
+    (operators/text.token_entropy) — the diversity/boilerplate signal
+    quality pipelines threshold on.  Each term's contribution is
+    decimal-rounded at 6 digits before the commutative decimal sum
+    (the repo's engine-portable-float-log convention: libm vs JVM ln
+    differ by a last ulp on some inputs)."""
+    from real_timetransactionaldatalakehouse_spark.operators.text import (
+        token_entropy,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_entropy(docs)
+
+
 @_q("q_join_asof_nearest", """
 WITH timeline AS (
   SELECT o_custkey AS user_id, o_orderdate AS t_ts, MAX(o_orderstatus) AS status
