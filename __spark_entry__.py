@@ -1686,6 +1686,55 @@ def q_scd2_history(spark, sf_dir):
     )
 
 
+@_q("q_agg_skew", """
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(9,0)) AS c,
+         CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(19,0)) AS c2
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(c) AS DOUBLE) AS s1,
+         CAST(SUM(c2) AS DOUBLE) AS s2,
+         CAST(SUM(c2 * CAST(c AS DECIMAL(10,0))) AS DOUBLE) AS s3
+  FROM b GROUP BY 1
+)
+SELECT l_returnflag,
+       ((s3 - 3.0 * (s1 / n) * s2 + 2.0 * n * (s1 / n) * (s1 / n) * (s1 / n)) / n)
+         / (((s2 - s1 * s1 / n) / n) * sqrt((s2 - s1 * s1 / n) / n)) AS skew_cents
+FROM s
+""")
+def q_agg_skew(spark, sf_dir):
+    """Exact skewness per group (population g1), completing the
+    moment-statistics family (mean / variance / correlation): the
+    first three moments accumulate as EXACT decimals — cents cast to
+    DECIMAL(9,0), squares (19,0) and cubes (29,0) stay exact per row,
+    sums exact to 1e38 — and the closed form combines once in doubles
+    with a fixed expression tree (built-in skewness is a single-pass
+    update whose float order differs per engine).  One partial+final
+    shuffle, three extra multiplications per row."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = F.round(F.col("l_extendedprice") * 100).cast("long").cast("decimal(9,0)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(c).cast("double").alias("s1"),
+        F.sum(c * c).cast("double").alias("s2"),
+        F.sum((c * c) * c).cast("double").alias("s3"),
+    )
+    n, s1, s2, s3 = F.col("n"), F.col("s1"), F.col("s2"), F.col("s3")
+    mu = s1 / n
+    m3 = (s3 - F.lit(3.0) * mu * s2 + F.lit(2.0) * n * mu * mu * mu) / n
+    m2 = (s2 - s1 * s1 / n) / n
+    # m2^1.5 as m2*sqrt(m2): sqrt is IEEE correctly-rounded in every
+    # libm, pow(x, 1.5) is not (same last-ulp divergence as ln)
+    return s.select(
+        "l_returnflag",
+        (m3 / (m2 * F.sqrt(m2))).alias("skew_cents"),
+    )
+
+
 @_q("q_text_entropy", """
 WITH pairs AS (
   SELECT doc_id, t.term AS term, CAST(COUNT(*) AS BIGINT) AS tf

@@ -898,3 +898,31 @@ def test_new_operators_handle_empty_inputs(spark):
     assert funnel_stages(
         ev, "user_id", "ts", [("view", F.col("event_type") == "view")]
     ).count() == 0
+
+
+def test_agg_skew_close_to_python(spark, sf_small):
+    """Exact-moment skewness must match the direct centered-moment
+    computation to float tolerance."""
+    import math
+
+    import pytest as _pytest
+
+    import __spark_entry__ as entrymod
+    from real_timetransactionaldatalakehouse_spark.sources import load_table
+
+    got = {r.l_returnflag: r.skew_cents
+           for r in entrymod.queries()["q_agg_skew"](spark, sf_small).collect()}
+    li = load_table(spark, sf_small, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in li:
+        groups[r.l_returnflag].append(round(r.l_extendedprice * 100))
+    for f, xs in groups.items():
+        n = len(xs)
+        mu = sum(xs) / n
+        m2 = sum((x - mu) ** 2 for x in xs) / n
+        m3 = sum((x - mu) ** 3 for x in xs) / n
+        assert got[f] == _pytest.approx(m3 / (m2 * math.sqrt(m2)), rel=1e-9)
