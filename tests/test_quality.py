@@ -143,3 +143,48 @@ def test_observed_gate_counts_during_write(spark, tmp_path):
     # the written table carries the annotation for downstream gating
     back = spark.read.parquet(str(tmp_path / "t"))
     assert "_violations" in back.columns
+
+
+def test_observed_gate_streaming_progress_metrics(spark, tmp_path):
+    """The SAME observe() call must surface per-batch violation
+    counters in the streaming progress events — quality monitoring
+    with zero extra passes in both execution modes."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    from real_timetransactionaldatalakehouse_spark.quality import annotate
+
+    src = str(tmp_path / "in")
+    import os as _os
+    _os.makedirs(src)
+    schema = StructType([
+        StructField("id", LongType()), StructField("v", DoubleType()),
+    ])
+    spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, 2.0), (4, None)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    rules = {"v_positive": F.col("v") > 0}
+    a = annotate(stream, rules)
+    observed = a.observe(
+        "q", F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.size("_violations") == 0, 1)).alias("n_clean"),
+    )
+    q = (
+        observed.writeStream.format("memory").queryName("obs_gate_t")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    # find the progress event carrying the observed metrics
+    got = None
+    for p in q.recentProgress:
+        om = p.get("observedMetrics") if isinstance(p, dict) else p["observedMetrics"]
+        if om and "q" in om:
+            m = om["q"]
+            got = (m["n_rows"], m["n_clean"])
+    assert got == (4, 2), got
