@@ -1735,6 +1735,33 @@ def q_agg_skew(spark, sf_dir):
     )
 
 
+@_q("q_agg_geomean", """
+SELECT l_returnflag,
+       CAST(CAST(exp(
+         CAST(SUM(CAST(ln(l_extendedprice) AS DECIMAL(18,6))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE)
+       ) AS DECIMAL(18,4)) AS DOUBLE) AS geomean_price
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q_agg_geomean(spark, sf_dir):
+    """Geometric mean per group (the multiplicative-average the
+    arithmetic mean misrepresents for ratios/prices): exp of the mean
+    log.  Engine-portable float discipline on BOTH transcendentals:
+    each ln is decimal-rounded at 6 digits before the exact
+    commutative sum, and the final exp is decimal-rounded at 4 digits
+    — last-ulp libm divergence (measured for ln, same risk for exp)
+    cannot reach the certified value."""
+    li = _t(spark, sf_dir, "lineitem")
+    sum_ln = F.sum(
+        F.log(F.col("l_extendedprice")).cast("decimal(18,6)")
+    ).cast("double")
+    mean_ln = sum_ln / F.count(F.lit(1)).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.exp(mean_ln).cast("decimal(18,4)").cast("double").alias("geomean_price")
+    )
+
+
 @_q("q_text_entropy", """
 WITH pairs AS (
   SELECT doc_id, t.term AS term, CAST(COUNT(*) AS BIGINT) AS tf
