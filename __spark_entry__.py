@@ -1735,6 +1735,64 @@ def q_agg_skew(spark, sf_dir):
     )
 
 
+@_q("q_minmax_scale", """
+WITH st AS (
+  SELECT l_returnflag,
+         MIN(l_quantity) AS mn, MAX(l_quantity) AS mx
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+       CASE WHEN st.mx > st.mn
+            THEN (l.l_quantity - st.mn) / (st.mx - st.mn) END AS scaled
+FROM lineitem l JOIN st USING (l_returnflag)
+""")
+def q_minmax_scale(spark, sf_dir):
+    """Min-max feature scaling per group ((x - min)/(max - min) into
+    [0,1]) — the bounded-range companion to q_zscore_norm.  Min/max
+    are exact order statistics and the per-row division is IEEE
+    correctly-rounded, so the result is bit-portable with NO decimal
+    machinery at all; constant groups yield NULL (ANSI-safe guard).
+    Broadcast stats join — the fact side never shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    st = li.groupBy("l_returnflag").agg(
+        F.min("l_quantity").alias("__mn"), F.max("l_quantity").alias("__mx")
+    )
+    scaled = F.when(
+        F.col("__mx") > F.col("__mn"),
+        (F.col("l_quantity") - F.col("__mn")) / (F.col("__mx") - F.col("__mn")),
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .join(F.broadcast(st), "l_returnflag")
+        .select(
+            "l_orderkey", "l_linenumber", "l_returnflag",
+            scaled.alias("scaled"),
+        )
+    )
+
+
+@_q("q_agg_harmonic", """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS DOUBLE)
+         / CAST(SUM(CAST(1.0 / l_extendedprice AS DECIMAL(18,12))) AS DOUBLE)
+         AS harmonic_price
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_agg_harmonic(spark, sf_dir):
+    """Harmonic mean per group (the correct average for rates):
+    n / sum(1/x).  Each reciprocal is IEEE-exact division; the SUM is
+    the order-dependent step, so reciprocals decimal-round at 12
+    digits (values ~1e-5) into an exact commutative accumulation —
+    same discipline as every other float sum in the engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    recip = (F.lit(1.0) / F.col("l_extendedprice")).cast("decimal(18,12)")
+    return li.groupBy("l_returnflag").agg(
+        (
+            F.count(F.lit(1)).cast("double") / F.sum(recip).cast("double")
+        ).alias("harmonic_price")
+    )
+
+
 @_q("q_agg_geomean", """
 SELECT l_returnflag,
        CAST(CAST(exp(
