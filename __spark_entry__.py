@@ -4479,7 +4479,7 @@ def q_embed_clusters(spark, sf_dir):
 # snapshot-diff / schema-evolution oracles), then the rows-only infra.
 # The EXT/LLM family certified green in r3 rotates out of the window.
 #
-# The round-4 session additions (39 oracle-checked: q_intersect,
+# The round-4 session additions (41 oracle-checked: q_intersect,
 # q_except, q_grouping_sets, q_unpivot, q_window_rank_stats,
 # q_agg_mode, q_zscore_norm, q_session_window_agg, q_bm25_search,
 # q_embed_clusters, q_running_total, q_ratio_to_total, q_array_hof,
@@ -4490,8 +4490,8 @@ def q_embed_clusters(spark, sf_dir):
 # q_contamination_report, q_corpus_pipeline, q_sql_text,
 # q_scd2_pointlookup, q_silver_view, q_window_lead,
 # q_keywords_per_doc, q_sample_exact_n, q_join_asof_nearest,
-# q_text_entropy, q_agg_skew, q_agg_geomean; plus rows-only
-# q_trend_slope)
+# q_text_entropy, q_agg_skew, q_agg_geomean, q_minmax_scale,
+# q_agg_harmonic; plus rows-only q_trend_slope)
 # do not fit the 50-slot window on top of the stale-rotation above;
 # they carry pytest parity evidence this round
 # (tests/test_oracle_parity.py runs the SAME differential check at
