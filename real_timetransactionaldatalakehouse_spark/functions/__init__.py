@@ -68,6 +68,42 @@ def msum_sql(expr: str, scale: int = 2) -> str:
     return f"CAST(SUM(CAST(round({expr} * {m}) AS BIGINT)) AS DOUBLE) / {m}.0"
 
 
+def lsum(term: Column, cast_double: bool = True) -> Column:
+    """Exact order-independent sum of an INTEGRAL expression via
+    primitive-long accumulation (whole-stage codegen), bit-identical to
+    the decimal-sum-then-cast path while ~4x cheaper (Decimal's agg
+    buffer above precision 18 is a boxed BigDecimal).
+
+    Caller proves the width bound: max|term| x rows-per-group < 2^63
+    (Spark 4 ANSI mode turns a misjudged bound into an explicit
+    overflow error, never a silent wrap).  For per-row magnitudes above
+    ~2^24 where the bound gets tight, use :func:`xlsum`."""
+    s = F.sum(term.cast("long"))
+    return s.cast("double") if cast_double else s
+
+
+def xlsum(term: Column, shift: int = 24) -> Column:
+    """Exact order-independent sum of an integral expression whose
+    per-row magnitude (up to ~2^53) would push a plain long sum past
+    2^63 at large row counts: each row splits into hi/lo halves at
+    ``shift`` bits, both halves accumulate as primitive longs, and the
+    halves recombine EXACTLY in decimal once per group before the
+    single cast to DOUBLE — bit-identical to full decimal accumulation
+    with the hot path entirely in codegen long arithmetic.
+
+    Width bounds at the default shift=24: sum(lo) overflows at 2^39
+    rows per group (~5.5e11 — a full 100 TB fact table in one group);
+    sum(hi) at 2^63 * 2^24 / max|term| rows.  Above that, fall back to
+    :func:`dsum`-style decimal accumulation."""
+    t = term.cast("long")
+    hi = F.shiftright(t, shift)
+    lo = t - hi * F.lit(2**shift).cast("long")
+    return (
+        F.sum(hi).cast("decimal(38,0)") * F.lit(2**shift)
+        + F.sum(lo).cast("decimal(38,0)")
+    ).cast("double")
+
+
 def davg(col: Column | str, scale: int = 4) -> Column:
     """Order-independent mean: exact decimal sum / count, as DOUBLE."""
     c = F.col(col) if isinstance(col, str) else col

@@ -55,12 +55,39 @@ def _attach_cached(df: DataFrame, deps: list[DataFrame]) -> DataFrame:
     return df
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprint: bool = True,
+) -> DataFrame:
     """X1: one row per distinct text; keeper = min id, n_copies kept
-    for lineage.  Single hash-shuffle on the dedup key."""
-    return df.groupBy(text_col).agg(
-        F.min(id_col).alias("keeper_id"),
-        F.count(F.lit(1)).alias("n_copies"),
+    for lineage.  Single hash-shuffle on the dedup key.
+
+    With ``fingerprint=True`` (default, the scale path) the key is a
+    128-bit md5 of the text computed map-side, so the exchange carries
+    (fp, id) — tens of bytes per row — instead of the documents
+    themselves; at 100 TB a raw-text groupBy key IS the corpus.  128
+    bits keep the birthday collision probability under 1e-18 at 10^10
+    documents, so no collision-verify pass is needed (the same
+    candidates-then-verify discipline the MinHash path follows is
+    available via ``fingerprint=False`` on the candidate buckets for
+    the truly paranoid).  Output: (fp, keeper_id, n_copies).
+
+    ``fingerprint=False`` keeps the original narrow-input form that
+    groups on and returns the raw text column."""
+    if not fingerprint:
+        return df.groupBy(text_col).agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
     )
 
 

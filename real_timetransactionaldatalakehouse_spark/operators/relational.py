@@ -441,6 +441,7 @@ def zscore_normalize(
     value_col: str,
     out_col: str = "z",
     scale: int = 4,
+    integral: bool = False,
 ) -> DataFrame:
     """Per-group z-score feature normalization — the standard feature-
     engineering transform ((x - mean) / stddev within each group).
@@ -465,12 +466,25 @@ def zscore_normalize(
     of the divide-by-zero error Spark 4's default ANSI mode raises —
     the conditional guards below only evaluate the division on the
     live branch.
+
+    ``integral=True`` declares the value column integral (caller
+    proves max(x^2) x rows-per-group < 2^63): the moment sums then
+    accumulate as primitive longs (whole-stage codegen) instead of
+    boxed decimals — identical values for integral inputs, ~4x
+    cheaper; Spark 4 ANSI mode turns a misjudged bound into an
+    explicit overflow error.
     """
     n = F.count(F.lit(1))
-    sx = F.sum(F.col(value_col).cast(f"decimal(28,{scale})")).cast("double")
-    sxx = F.sum(
-        (F.col(value_col) * F.col(value_col)).cast(f"decimal(28,{scale})")
-    ).cast("double")
+    if integral:
+        sx = F.sum(F.col(value_col).cast("long")).cast("double")
+        sxx = F.sum(
+            (F.col(value_col) * F.col(value_col)).cast("long")
+        ).cast("double")
+    else:
+        sx = F.sum(F.col(value_col).cast(f"decimal(28,{scale})")).cast("double")
+        sxx = F.sum(
+            (F.col(value_col) * F.col(value_col)).cast(f"decimal(28,{scale})")
+        ).cast("double")
     stats = df.groupBy(*group_cols).agg(
         sx.alias("__sx"), sxx.alias("__sxx"), n.alias("__n")
     )

@@ -58,9 +58,13 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     A repartition to the session's shuffle parallelism costs one
     narrow exchange and unlocks the cluster for the expensive stage —
     the standard move whenever upstream produced fewer splits than
-    cores.  On a well-split 100 TB table the exchange is unnecessary —
-    size ``partitions`` from the source's actual split count."""
+    cores.  On a well-split table the exchange would re-shuffle the
+    full payload for nothing, so it is skipped whenever the input
+    already has >= the target split count (same guard as
+    operators/dedup.minhash_banded)."""
     n = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)
 
 
