@@ -17,6 +17,7 @@ Determinism rules (SURVEY.md section 7.3) applied throughout:
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -38,6 +39,7 @@ def _q(name: str, oracle: str | None = None):
     """Register a declared query (and its DuckDB oracle)."""
 
     def deco(fn):
+        @functools.wraps(fn)  # keep docstrings for tools/gen_operators_md.py
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             # queries are self-contained (each reads its tables from
@@ -1775,6 +1777,66 @@ def q_minmax_scale(spark, sf_dir):
             scaled.alias("scaled"),
         )
     )
+
+
+@_q("q_robust_scale", """
+WITH st AS (
+  SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.5) AS med,
+         quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25) AS iqr
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+       CASE WHEN st.iqr > 0
+            THEN (l.l_quantity - st.med) / st.iqr END AS scaled
+FROM lineitem l JOIN st USING (l_returnflag)
+""")
+def q_robust_scale(spark, sf_dir):
+    """Robust feature scaling per group ((x - median)/IQR,
+    operators/relational.robust_scale) — the outlier-resistant third
+    member of the normalization family (zscore / minmax / robust).
+    Exact interpolated percentiles share DuckDB's quantile_cont
+    definition (q_agg_percentile precedent) and the per-row division
+    is IEEE correctly-rounded — bit-portable with no decimal
+    machinery.  Broadcast stats join; the fact side never shuffles."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    out = R.robust_scale(li, ["l_returnflag"], "l_quantity")
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag", "scaled")
+
+
+@_q("q_spike_detect", """
+WITH binned AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS BIGINT)
+           // 600 AS bin, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), mx AS (
+  SELECT MAX(bin) AS last_bin FROM binned
+), per_key AS (
+  SELECT user_id,
+         SUM(CASE WHEN bin = last_bin THEN cnt ELSE 0 END) AS recent_cnt,
+         SUM(CASE WHEN bin < last_bin THEN cnt ELSE 0 END) AS base_sum,
+         COUNT(CASE WHEN bin < last_bin THEN 1 END) AS base_bins
+  FROM binned CROSS JOIN mx GROUP BY 1
+)
+SELECT user_id, recent_cnt,
+       CAST(base_sum AS DOUBLE) / base_bins AS base_avg,
+       recent_cnt / (CAST(base_sum AS DOUBLE) / base_bins) AS spike_ratio,
+       recent_cnt / (CAST(base_sum AS DOUBLE) / base_bins) > 3.0 AS is_spike
+FROM per_key WHERE base_bins > 0
+""")
+def q_spike_detect(spark, sf_dir):
+    """Traffic-spike detection per entity (operators/relational.
+    spike_detect) — the batch twin of the reference's "Supernova"
+    chaos scenario (MockEventGenerator.md:156-163, validated end-to-end
+    by test_chaos_supernova_viral_entity_captures_rank_one): latest
+    10-minute-bin event count vs the entity's earlier-bin average,
+    flagged above 3x.  Raw events shuffle once as (key, bin) partial
+    counts; the global MAX(bin) is a one-row broadcast."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return R.spike_detect(ev, ["user_id"], "ts", bin_seconds=600, threshold=3.0)
 
 
 @_q("q_agg_harmonic", """
@@ -4406,31 +4468,31 @@ def q_bpe_pairs(spark, sf_dir):
 
 @_q("q_embed_centroids", """
 WITH e AS (
-  SELECT label, vec_id, i.i - 1 AS dim,
-         CAST(embedding[i.i] AS DOUBLE) AS val
+  SELECT label, i.i - 1 AS dim,
+         CAST(CAST(embedding[i.i] AS DOUBLE) * 8796093022208.0 AS BIGINT) AS sv
   FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS i(i)
-), g AS (
-  SELECT label, dim,
-         list_transform(list_sort(array_agg(struct_pack(i := vec_id, v := val))),
-                        x -> x.v) AS vs,
-         CAST(COUNT(*) AS BIGINT) AS n_members
-  FROM e GROUP BY 1, 2
 )
 SELECT label, dim,
-       list_reduce(vs, (a, b) -> a + b) / CAST(n_members AS DOUBLE) AS centroid,
-       n_members
-FROM g
+       CAST(SUM(sv) AS DOUBLE) / 8796093022208.0 / COUNT(*) AS centroid,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM e GROUP BY 1, 2
 """)
 def q_embed_centroids(spark, sf_dir):
     """X3: per-label mean embedding (operators/similarity.
-    embedding_centroids, exact mode) — the mean-pooling /
-    class-prototype / IVF-refresh primitive.  The exact mode folds
-    each cell in vec_id order (fixed float association -> bit-equal
-    across engines and partitionings); the documented ``exact=False``
-    switch is the plain-sum 100 TB path."""
+    embedding_centroids, dyadic mode) — the mean-pooling /
+    class-prototype / IVF-refresh primitive.  Every float32 component
+    here is an exact multiple of 2^-43 (checked by
+    test_embeddings_are_dyadic_43), so components scale to exact longs
+    and accumulate via the split-long partial+final sum — bit-equal
+    across engines and partitionings with NO ordered fold (the r4
+    collect_list formulation went superlinear at the 50x replica);
+    the oracle's 8796093022208 literal is 2^43.  The ``exact=True``
+    ordered-fold mode remains for non-dyadic inputs."""
     from real_timetransactionaldatalakehouse_spark.operators import similarity as S
 
-    return S.embedding_centroids(_t(spark, sf_dir, "embeddings"))
+    return S.embedding_centroids(
+        _t(spark, sf_dir, "embeddings"), dyadic_bits=43
+    )
 
 
 _EMBED_CLUSTERS_ORACLE = """
@@ -4563,9 +4625,9 @@ _CHECK_FIRST: list[str] = [
     # -- r2-certified rotations promised in the r4 in-file note
     "q_scan_limit",
     "q_string_funcs",
-    # -- r5 session additions (never certified, added this round)
-    "q_minhash_streaming_ingest_twin",
-    "q_chaos_trending",
+    # -- r5 session additions (new this round, certify immediately)
+    "q_robust_scale",
+    "q_spike_detect",
 ]
 
 

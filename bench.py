@@ -97,6 +97,9 @@ BENCH_QUERIES = [
     "q_moving_avg",
     "q_funnel",
     "q_agg_corr",
+    # r5 additions
+    "q_robust_scale",
+    "q_spike_detect",
 ]
 
 # The r3 headline set (BENCH_r03.json's 30 queries): the aggregate
@@ -117,11 +120,32 @@ ORACLE_SKIP = {
 }
 
 
+def _host_control() -> dict:
+    """Host-load snapshot (r4 VERDICT ask #6): the r3->r4 common-set
+    ratio moved ~1.7x from a busier bench host alone, so every bench
+    line now records the conditions it ran under — load average,
+    schedulable CPUs, and the live process count — letting a reader
+    separate plan regressions from noisy-neighbor drift."""
+    la1, la5, la15 = os.getloadavg()
+    try:
+        nproc = sum(1 for d in os.listdir("/proc") if d.isdigit())
+    except OSError:
+        nproc = None
+    return {
+        "loadavg_1m": round(la1, 2),
+        "loadavg_5m": round(la5, 2),
+        "loadavg_15m": round(la15, 2),
+        "cpus": len(os.sched_getaffinity(0)),
+        "n_processes": nproc,
+    }
+
+
 def main() -> None:
     from real_timetransactionaldatalakehouse_spark.session import batch_session, tune_for_input
 
     import __spark_entry__ as entry
 
+    host_start = _host_control()
     spark = batch_session("lakehouse-bench")
     input_bytes = sum(
         os.path.getsize(os.path.join(r, f))
@@ -262,6 +286,8 @@ def main() -> None:
             3,
         ),
         "sf": float(sf) if sf else None,
+        "host_start": host_start,
+        "host_end": _host_control(),
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
@@ -283,6 +309,7 @@ def main() -> None:
         "steady_vs_oracle_ratio_r3common": detail["steady_vs_oracle_ratio_r3common"],
         "per_query_floor_sec": floor_s,
         "worst5_vs_oracle": worst5,
+        "host_loadavg_1m": detail["host_end"]["loadavg_1m"],
         "sf": detail["sf"],
         "detail": "BENCH_DETAIL.json",
     }

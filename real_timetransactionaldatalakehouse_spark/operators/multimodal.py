@@ -72,9 +72,55 @@ def deterministic_fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[
     return out
 
 
-def decode_image(payload: bytes):  # pragma: no cover - deployment hook
-    """Real image decode — unavailable in this container by design."""
-    raise NotImplementedError("image codecs not installed; use deterministic_fake_features")
+def decode_image(payload: bytes):
+    """Real image decode behind an optional PIL import (r4 VERDICT ask
+    #8).  Returns a ``PIL.Image.Image`` when the codec is installed;
+    raises ``NotImplementedError`` (not ImportError — callers gate on
+    one exception type) in codec-less environments like this sandbox.
+    The deterministic fake remains the oracle/bench path either way —
+    real decodes are content-dependent and cannot hash-match a SQL
+    twin."""
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - sandbox has no codecs
+        raise NotImplementedError(
+            "image codecs not installed; use deterministic_fake_features"
+        ) from exc
+    import io
+
+    return Image.open(io.BytesIO(payload))
+
+
+def real_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Deployment-path stage: rewrite ``meta.width/height`` from the
+    ACTUAL decoded image dimensions via the same Arrow ``mapInPandas``
+    plumbing the fake kernels use — per-task memory bounded by the
+    Arrow batch size, payloads never at the driver.  Requires a real
+    codec (:func:`decode_image`); in codec-less environments the tasks
+    raise ``NotImplementedError`` at execution time."""
+    out_schema = df.schema
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+
+            def remeta(row):
+                payload, meta = row
+                if payload is None:
+                    return meta
+                img = decode_image(bytes(payload))
+                w, h = img.size
+                base = dict(meta) if meta is not None else {
+                    "width": None, "height": None,
+                    "duration_ms": None, "codec": None,
+                }
+                return {**base, "width": w, "height": h,
+                        "codec": (img.format or "").lower() or base.get("codec")}
+
+            pdf["meta"] = pdf[[payload_col, "meta"]].apply(remeta, axis=1)
+            yield pdf
+
+    return df.filter(F.col("kind") == "image").mapInPandas(kernel, out_schema)
 
 
 def fake_features_expr(payload_col: str = "payload", dim: int = FEATURE_DIM) -> F.Column:

