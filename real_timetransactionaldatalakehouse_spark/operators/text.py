@@ -74,18 +74,28 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def language_id(
+    df: DataFrame, text_col: str = "text", keep_cols: bool = False
+) -> DataFrame:
     """Stopword-marker language ID (X4).  Scores each language by the
     number of distinct marker tokens present; argmax with fixed
     priority tie-break.  Pure array expressions; at scale this is a
-    map-only pass."""
+    map-only pass.
+
+    ``keep_cols=True`` appends the scores to the input columns instead
+    of projecting down to (doc_id, scores) — the enrichment shape that
+    lets pipelines chain map-only annotators in ONE scan instead of
+    computing each on its own branch and joining back by id (the r4
+    q_corpus_prep shape recomputed the kept-corpus subtree three
+    times)."""
     tok_set = F.array_distinct(tokens(text_col))
     scores = {
         lang: F.size(F.array_intersect(tok_set, F.array(*[F.lit(m) for m in markers])))
         for lang, markers in LANG_MARKERS
     }
+    lead = df.columns if keep_cols else ["doc_id"]
     out = df.select(
-        "doc_id",
+        *lead,
         *[scores[lang].cast("int").alias(f"score_{lang}") for lang, _ in LANG_MARKERS],
     )
     # argmax with priority tie-break: iterate in priority order with a
@@ -99,10 +109,14 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_guess", guess)
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame, text_col: str = "text", keep_cols: bool = False
+) -> DataFrame:
     """Heuristic quality score in [0,1] (X4): length saturation,
     stopword ratio, type-token ratio — deterministic double arithmetic
-    (same expression shape as the SQL oracle)."""
+    (same expression shape as the SQL oracle).  ``keep_cols=True``
+    appends to the input columns (chainable one-scan enrichment, see
+    :func:`language_id`)."""
     t = tokens(text_col)
     n_tok = F.size(t).cast("double")
     stop_ratio = (
@@ -113,8 +127,9 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     ttr = F.size(F.array_distinct(t)).cast("double") / n_tok
     len_sat = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    lead = df.columns if keep_cols else ["doc_id"]
     return df.select(
-        "doc_id",
+        *lead,
         stop_ratio.alias("stopword_ratio"),
         ttr.alias("ttr"),
         len_sat.alias("len_sat"),

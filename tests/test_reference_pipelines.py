@@ -225,6 +225,8 @@ def test_chaos_supernova_viral_entity_captures_rank_one(spark, tmp_path):
         for u in range(1, 21):  # baseline fleet: 5 views + 1 like / min
             eid = _ev(rows, eid, m, u, "view", n=5)
             eid = _ev(rows, eid, m, u, "like", n=1)
+    for m in range(20):  # v_999 pre-viral: one organic view per minute
+        eid = _ev(rows, eid, m, 999, "view", n=1)
     for m in range(20, 30):  # supernova: v_999 boosted 500x
         eid = _ev(rows, eid, m, 999, "view", n=60)
         eid = _ev(rows, eid, m, 999, "like", n=50)
@@ -236,6 +238,23 @@ def test_chaos_supernova_viral_entity_captures_rank_one(spark, tmp_path):
     assert top[0].c_mktsegment == "VIRAL"  # dim enrichment on the winner
     vel = {r.user_id: r.velocity for r in velocity_view(spark, as_of).collect()}
     assert all(vel[999] > v for u, v in vel.items() if u != 999), vel
+
+    # the batch spike detector (operators/relational.spike_detect) must
+    # flag the same entity from the raw events — the alerting twin of
+    # the dashboard's rank capture (bin = 10 min; the boost occupies
+    # the last bin's window while baseline users stay flat)
+    from real_timetransactionaldatalakehouse_spark.operators.relational import (
+        spike_detect,
+    )
+
+    ev = spark.createDataFrame(rows, _chaos_schema()).filter(
+        F.col("ts") < CHAOS_T0 + datetime.timedelta(minutes=30)
+    )
+    spikes = {r.user_id: r for r in spike_detect(ev, ["user_id"], "ts").collect()}
+    assert spikes[999].is_spike, spikes.get(999)
+    assert all(not r.is_spike for u, r in spikes.items() if u != 999), {
+        u: r.spike_ratio for u, r in spikes.items() if r.is_spike
+    }
 
 
 def test_chaos_broken_client_interaction_rate_drops(spark, tmp_path):

@@ -56,6 +56,15 @@ OFFSET = 10_000_000
 
 
 def build_replica(src: str, dest: str, copies: int) -> None:
+    """Write each table as a DIRECTORY of one parquet file per copy.
+
+    The r5 fidelity fix: a single-file single-row-group replica scans
+    as ONE Spark task no matter the size, so map-heavy queries were
+    timing a serialized scan stage against DuckDB's intra-file
+    parallelism — an artifact no production table has (a 100 TB table
+    is thousands of files).  One file per copy gives Spark its natural
+    split count; both engines read the same bytes (Spark reads the
+    directory, DuckDB globs it)."""
     os.makedirs(dest, exist_ok=True)
     con = duckdb.connect()
     for table, idcols in OFFSET_COLS.items():
@@ -65,17 +74,17 @@ def build_replica(src: str, dest: str, copies: int) -> None:
         out = os.path.join(dest, f"{table}.parquet")
         if os.path.exists(out):
             continue
+        os.makedirs(out)
         cols = [c[0] for c in con.execute(
             f"DESCRIBE SELECT * FROM read_parquet('{src_file}')").fetchall()]
-        selects = []
         for k in range(copies):
             proj = ", ".join(
                 f"({c} + {k * OFFSET}) AS {c}" if c in idcols else c for c in cols
             )
-            selects.append(f"SELECT {proj} FROM read_parquet('{src_file}')")
-        con.execute(
-            f"COPY ({' UNION ALL '.join(selects)}) TO '{out}' (FORMAT PARQUET)"
-        )
+            con.execute(
+                f"COPY (SELECT {proj} FROM read_parquet('{src_file}')) "
+                f"TO '{os.path.join(out, f'part-{k:04d}.parquet')}' (FORMAT PARQUET)"
+            )
     con.close()
 
 
@@ -107,7 +116,11 @@ def main() -> None:
     con = duckdb.connect()
     for t in TPCH_TABLES:
         f = os.path.join(args.out, f"{t}.parquet")
-        if os.path.exists(f):
+        if os.path.isdir(f):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{f}/*.parquet')"
+            )
+        elif os.path.exists(f):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{f}')")
 
     rows = []
