@@ -212,7 +212,11 @@ def minhash_banded(
             spark.sparkContext.defaultParallelism,
             int(spark.conf.get("spark.sql.shuffle.partitions")),
         )
-        if df.rdd.getNumPartitions() < target:
+        # spread only when it at least DOUBLES the kernel parallelism
+        # (same rule as sources.fan_out): re-shuffling the text for a
+        # fractional gain measured slower (3.66 s vs 3.46 s at the 10x
+        # replica's 10 -> 37 case)
+        if df.rdd.getNumPartitions() * 2 < target:
             spread = df.repartition(target)
     hashed = spread.select(
         F.col(id_col).alias("id"),

@@ -245,7 +245,11 @@ def decontaminate_ngram(
         fan = int(repartition)
 
     def gram_hashes(df: DataFrame, out_id: str) -> DataFrame:
-        src = df.repartition(fan) if fan else df
+        # split-count-guarded spread (sources.fan_out): no-op unless
+        # the exchange at least doubles the gram-build parallelism
+        from ..sources import fan_out
+
+        src = fan_out(df, fan) if fan else df
         return src.select(
             F.col(id_col).alias(out_id),
             F.explode(F.array_distinct(word_shingles(text_col, n))).alias("__g"),
@@ -442,7 +446,11 @@ def contamination_report(
         fan = int(repartition)
 
     def gram_hashes(df: DataFrame, out_id: str) -> DataFrame:
-        src = df.repartition(fan) if fan else df
+        # split-count-guarded spread (sources.fan_out): no-op unless
+        # the exchange at least doubles the gram-build parallelism
+        from ..sources import fan_out
+
+        src = fan_out(df, fan) if fan else df
         return src.select(
             F.col(id_col).alias(out_id),
             F.explode(F.array_distinct(word_shingles(text_col, n))).alias("__g"),

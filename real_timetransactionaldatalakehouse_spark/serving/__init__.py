@@ -133,6 +133,52 @@ def cold_start_view(
     """)
 
 
+def spike_view(
+    spark: SparkSession,
+    as_of: str,
+    recent_minutes: int = 10,
+    baseline_minutes: int = 60,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Viral-spike alert band (the read-side twin of
+    operators/relational.spike_detect, validating the reference's
+    "Supernova" chaos scenario from the dashboard side,
+    design_doc/MockEventGenerator.md:156-163): each entity's view rate
+    over the last ``recent_minutes`` against its per-minute baseline
+    over the preceding ``baseline_minutes``, flagged above
+    ``threshold``.  Two aggregations over the same gold scan (the
+    CASE-split runs inside one partial+final agg); entities with no
+    baseline are omitted (a brand-new entity alerts through the
+    cold-start gauge instead)."""
+    return spark.sql(f"""
+        WITH w AS (
+          SELECT user_id,
+                 SUM(CASE WHEN window_start
+                            >= TIMESTAMP '{as_of}' - INTERVAL {recent_minutes} MINUTES
+                          THEN views ELSE 0 END) AS recent_views,
+                 SUM(CASE WHEN window_start
+                            < TIMESTAMP '{as_of}' - INTERVAL {recent_minutes} MINUTES
+                          THEN views ELSE 0 END) AS base_views
+          FROM gold_stats_1min
+          WHERE window_start >= TIMESTAMP '{as_of}'
+                  - INTERVAL {recent_minutes + baseline_minutes} MINUTES
+            AND window_start < TIMESTAMP '{as_of}'
+          GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(recent_views AS DOUBLE) / {recent_minutes} AS recent_rate,
+               CAST(base_views AS DOUBLE) / {baseline_minutes} AS base_rate,
+               CAST(recent_views AS DOUBLE) * {baseline_minutes}
+                 / (CAST(base_views AS DOUBLE) * {recent_minutes}) AS spike_ratio,
+               CAST(recent_views AS DOUBLE) * {baseline_minutes}
+                 / (CAST(base_views AS DOUBLE) * {recent_minutes})
+                 > {threshold} AS is_spike
+        FROM w
+        WHERE base_views > 0
+        ORDER BY spike_ratio DESC, user_id ASC
+    """)
+
+
 def freshness_view(spark: SparkSession, as_of: str) -> DataFrame:
     """Freshness lag gauge (reference lakehouse_monitor.json:181)."""
     return spark.sql(f"""

@@ -1045,3 +1045,103 @@ def test_lsum_xlsum_match_exact_python_sum(spark, data):
     for k, s in want.items():
         assert got[k][0] == float(s), (k, s, got[k])
         assert got[k][1] == float(s), (k, s, got[k])
+
+
+@SETTINGS
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # group
+            st.integers(min_value=-50, max_value=50),  # value
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_robust_scale_matches_python_reference(spark, data):
+    """(x - median)/IQR per group must match a NumPy-free Python
+    reference using the same interpolated-rank percentile definition
+    Spark's `percentile` and DuckDB's `quantile_cont` share; zero-IQR
+    groups yield NULL."""
+    from real_timetransactionaldatalakehouse_spark.operators.relational import (
+        robust_scale,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k, float(v)) for i, (k, v) in enumerate(data)],
+        "rid int, k int, v double",
+    )
+    got = {r.rid: r.scaled for r in robust_scale(df, ["k"], "v").collect()}
+
+    def q(xs, p):  # interpolated rank, the quantile_cont definition
+        xs = sorted(xs)
+        pos = p * (len(xs) - 1)
+        lo, frac = int(pos), pos - int(pos)
+        return xs[lo] if frac == 0 else xs[lo] * (1 - frac) + xs[lo + 1] * frac
+
+    groups = {}
+    for i, (k, v) in enumerate(data):
+        groups.setdefault(k, []).append((i, float(v)))
+    for k, members in groups.items():
+        xs = [v for _, v in members]
+        med, iqr = q(xs, 0.5), q(xs, 0.75) - q(xs, 0.25)
+        for i, v in members:
+            if iqr > 0:
+                assert got[i] is not None and abs(got[i] - (v - med) / iqr) < 1e-12, (
+                    i, got[i], (v - med) / iqr,
+                )
+            else:
+                assert got[i] is None, (i, got[i])
+
+
+@SETTINGS
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # key
+            st.integers(min_value=0, max_value=2000),  # ts seconds
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_spike_detect_matches_python_reference(spark, data):
+    """recent-bin count vs earlier-bin average per key must match a
+    dict-based Python replay, including the drop of keys with no
+    baseline bins."""
+    import datetime as _dt
+
+    from real_timetransactionaldatalakehouse_spark.operators.relational import (
+        spike_detect,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)  # epoch alignment irrelevant: bins are global
+    df = spark.createDataFrame(
+        [(k, t0 + _dt.timedelta(seconds=s)) for k, s in data],
+        "k int, ts timestamp",
+    )
+    got = {
+        r.k: (r.recent_cnt, r.base_avg, r.is_spike)
+        for r in spike_detect(df, ["k"], "ts", bin_seconds=600, threshold=3.0).collect()
+    }
+
+    import calendar
+
+    bins = {}
+    for k, s in data:
+        b = (calendar.timegm(t0.timetuple()) + s) // 600
+        bins.setdefault(k, {}).setdefault(b, 0)
+        bins[k][b] += 1
+    last = max(b for per in bins.values() for b in per)
+    want = {}
+    for k, per in bins.items():
+        base = {b: c for b, c in per.items() if b < last}
+        if not base:
+            continue
+        recent = per.get(last, 0)
+        avg = sum(base.values()) / len(base)
+        want[k] = (recent, avg, recent / avg > 3.0)
+    assert set(got) == set(want), (set(got), set(want))
+    for k, (rc, avg, spike) in want.items():
+        grc, gavg, gspike = got[k]
+        assert grc == rc and abs(gavg - avg) < 1e-12 and gspike == spike, (k, got[k], want[k])

@@ -239,6 +239,16 @@ def test_chaos_supernova_viral_entity_captures_rank_one(spark, tmp_path):
     vel = {r.user_id: r.velocity for r in velocity_view(spark, as_of).collect()}
     assert all(vel[999] > v for u, v in vel.items() if u != 999), vel
 
+    # the read-side spike alert (serving.spike_view over the same gold
+    # rollup the dashboard reads) must flag exactly the boosted entity
+    from real_timetransactionaldatalakehouse_spark.serving import spike_view
+
+    sv = {r.user_id: r for r in spike_view(spark, as_of).collect()}
+    assert sv[999].is_spike, sv.get(999)
+    assert [u for u, r in sv.items() if r.is_spike] == [999], {
+        u: r.spike_ratio for u, r in sv.items() if r.is_spike
+    }
+
     # the batch spike detector (operators/relational.spike_detect) must
     # flag the same entity from the raw events — the alerting twin of
     # the dashboard's rank capture (bin = 10 min; the boost occupies
