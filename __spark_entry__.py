@@ -3946,7 +3946,7 @@ def q_agg_corr(spark, sf_dir):
     Accumulation is primitive-long (LF.lsum) for the narrow terms and
     hi/lo split-long with exact decimal recombine (LF.xlsum) for the
     wide ones (c*c reaches 1.2e14 per row — its group sum is 7.4e18 at
-    sf0.1, already 80%% of Long.MAX, so the plain long sum is one
+    sf0.1, already 80 percent of Long.MAX, so the plain long sum is one
     doubling from overflow while the split path is exact to 2^39 rows
     per group).  Bit-identical to the previous DECIMAL(38,0)
     accumulation — exact integer sums, one rounding at the double cast

@@ -216,7 +216,7 @@ def minhash_banded(
         # (same rule as sources.fan_out): re-shuffling the text for a
         # fractional gain measured slower (3.66 s vs 3.46 s at the 10x
         # replica's 10 -> 37 case)
-        if df.rdd.getNumPartitions() * 2 < target:
+        if df.rdd.getNumPartitions() * 2 <= target:
             spread = df.repartition(target)
     hashed = spread.select(
         F.col(id_col).alias("id"),

@@ -95,9 +95,11 @@ def real_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Deployment-path stage: rewrite ``meta.width/height`` from the
     ACTUAL decoded image dimensions via the same Arrow ``mapInPandas``
     plumbing the fake kernels use — per-task memory bounded by the
-    Arrow batch size, payloads never at the driver.  Requires a real
-    codec (:func:`decode_image`); in codec-less environments the tasks
-    raise ``NotImplementedError`` at execution time."""
+    Arrow batch size, payloads never at the driver.  Non-image rows
+    (audio/video) pass through UNCHANGED — the stage rewrites image
+    meta, it never filters the table.  Requires a real codec
+    (:func:`decode_image`); in codec-less environments the image
+    tasks raise ``NotImplementedError`` at execution time."""
     out_schema = df.schema
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -120,7 +122,8 @@ def real_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             pdf["meta"] = pdf[[payload_col, "meta"]].apply(remeta, axis=1)
             yield pdf
 
-    return df.filter(F.col("kind") == "image").mapInPandas(kernel, out_schema)
+    images = df.filter(F.col("kind") == "image").mapInPandas(kernel, out_schema)
+    return images.unionByName(df.filter(F.col("kind") != "image"))
 
 
 def fake_features_expr(payload_col: str = "payload", dim: int = FEATURE_DIM) -> F.Column:

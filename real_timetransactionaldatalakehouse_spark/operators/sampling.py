@@ -245,11 +245,18 @@ def decontaminate_ngram(
         fan = int(repartition)
 
     def gram_hashes(df: DataFrame, out_id: str) -> DataFrame:
-        # split-count-guarded spread (sources.fan_out): no-op unless
-        # the exchange at least doubles the gram-build parallelism
+        # default spread goes through the split-count guard
+        # (sources.fan_out: no-op unless the exchange at least doubles
+        # the gram-build parallelism); an EXPLICIT integer count is a
+        # caller override and repartitions unconditionally
         from ..sources import fan_out
 
-        src = fan_out(df, fan) if fan else df
+        if repartition is True:
+            src = fan_out(df, fan)
+        elif fan:
+            src = df.repartition(fan)
+        else:
+            src = df
         return src.select(
             F.col(id_col).alias(out_id),
             F.explode(F.array_distinct(word_shingles(text_col, n))).alias("__g"),
@@ -446,11 +453,18 @@ def contamination_report(
         fan = int(repartition)
 
     def gram_hashes(df: DataFrame, out_id: str) -> DataFrame:
-        # split-count-guarded spread (sources.fan_out): no-op unless
-        # the exchange at least doubles the gram-build parallelism
+        # default spread goes through the split-count guard
+        # (sources.fan_out: no-op unless the exchange at least doubles
+        # the gram-build parallelism); an EXPLICIT integer count is a
+        # caller override and repartitions unconditionally
         from ..sources import fan_out
 
-        src = fan_out(df, fan) if fan else df
+        if repartition is True:
+            src = fan_out(df, fan)
+        elif fan:
+            src = df.repartition(fan)
+        else:
+            src = df
         return src.select(
             F.col(id_col).alias(out_id),
             F.explode(F.array_distinct(word_shingles(text_col, n))).alias("__g"),

@@ -65,7 +65,7 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     replica cost 1.5x total wall; 1 -> 32 on the single-row-group
     bench file wins 10x)."""
     n = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() * 2 >= n:
+    if df.rdd.getNumPartitions() * 2 > n:  # exchange gains < 2x: skip
         return df
     return df.repartition(n)
 

@@ -65,6 +65,8 @@ def build_replica(src: str, dest: str, copies: int) -> None:
     is thousands of files).  One file per copy gives Spark its natural
     split count; both engines read the same bytes (Spark reads the
     directory, DuckDB globs it)."""
+    import shutil
+
     os.makedirs(dest, exist_ok=True)
     con = duckdb.connect()
     for table, idcols in OFFSET_COLS.items():
@@ -72,8 +74,13 @@ def build_replica(src: str, dest: str, copies: int) -> None:
         if not os.path.exists(src_file):
             continue
         out = os.path.join(dest, f"{table}.parquet")
-        if os.path.exists(out):
-            continue
+        if os.path.isdir(out):
+            done = [f for f in os.listdir(out) if f.endswith(".parquet")]
+            if len(done) == copies:
+                continue  # complete build from a prior run
+            shutil.rmtree(out)  # crashed mid-build: rebuild from scratch
+        elif os.path.exists(out):
+            os.remove(out)  # stale pre-r5 single-file replica
         os.makedirs(out)
         cols = [c[0] for c in con.execute(
             f"DESCRIBE SELECT * FROM read_parquet('{src_file}')").fetchall()]
