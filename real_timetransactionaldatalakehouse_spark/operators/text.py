@@ -375,7 +375,9 @@ def ngram_lm_score(
     spark = df.sparkSession
     fan = spark.sparkContext.defaultParallelism
     t = tokens(text_col)
-    toked = df.repartition(fan).select(
+    from ..sources import fan_out
+
+    toked = fan_out(df, fan).select(
         F.col(id_col), t.alias("__t"), F.size(t).alias("__n")
     )
     # per-doc bigram stream, gram keys pre-hashed to 64-bit ints: the
