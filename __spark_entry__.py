@@ -2647,6 +2647,63 @@ def q_neardup_minhash(spark, sf_dir):
     ).select("id_a", "id_b")
 
 
+_NEARDUP_CROSS_ORACLE = f"""
+WITH incoming AS (
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1,
+             greatest(len(string_split(text, ' ')) - 2, 1)), ' ') AS text
+  FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, text
+  FROM documents WHERE doc_id >= 20 AND doc_id < 30
+), shl AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+             i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS s
+  FROM documents
+), shr AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+             i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS s
+  FROM incoming
+)
+SELECT left_id, right_id FROM (
+  SELECT a.id AS left_id, b.id AS right_id, {_SHINGLE_JACCARD} AS jaccard
+  FROM shl a JOIN shr b ON TRUE
+) WHERE jaccard >= 0.5
+"""
+
+
+@_q("q_neardup_cross_corpus", _NEARDUP_CROSS_ORACLE)
+def q_neardup_cross_corpus(spark, sf_dir):
+    """X2 cross-corpus: which INCOMING documents near-duplicate the
+    existing corpus (operators/dedup.minhash_cross_pairs) — the
+    dedupe-the-new-crawl primitive and batch twin of the streaming
+    band-index probe.  Incoming = 20 mutated near-copies (drop last 2
+    words) + 10 exact copies under fresh ids.  The oracle is the exact
+    cross-side shingle-Jaccard >= 0.5 pair set; the same margin
+    argument as q_neardup_minhash applies (no cross pair sits in the
+    (0.35, 0.65) estimate band, so the 32-hash estimate cannot flip
+    one across the gate)."""
+    from real_timetransactionaldatalakehouse_spark.operators import dedup as D
+
+    corpus = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    mutated = corpus.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))).alias("text"),
+    )
+    copies = corpus.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 30)).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    incoming = mutated.unionByName(copies)
+    return D.minhash_cross_pairs(
+        corpus, incoming, jaccard_threshold=0.5
+    ).select("left_id", "right_id")
+
+
 @_q("q_neardup_verified", _NEARDUP_VERIFIED_ORACLE)
 def q_neardup_verified(spark, sf_dir):
     """X2 end-to-end: MinHash candidates -> exact shingle-set Jaccard
@@ -4630,6 +4687,9 @@ _CHECK_FIRST: list[str] = [
     "q_robust_scale",
     "q_spike_detect",
 ]
+# r6 window note: q_neardup_cross_corpus (added late in r5, window
+# already full) carries sf0.001+sf0.01 pytest parity this round and
+# must head r6's window together with any r6 additions/changes.
 
 
 def _ranked(names: dict[str, object]) -> list[str]:

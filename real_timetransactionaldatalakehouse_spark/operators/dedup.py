@@ -303,6 +303,75 @@ def minhash_neardup_pairs(
     )
 
 
+def minhash_cross_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 1024,
+    repartition: bool = True,
+) -> DataFrame:
+    """X2 cross-corpus: MinHash+LSH near-duplicate pairs BETWEEN two
+    corpora — "which incoming documents near-duplicate something the
+    corpus already has", the dedupe-the-new-crawl primitive and the
+    batch twin of the streaming ingest's persisted band-index probe
+    (``streaming/jobs.py`` near-dup ingest).
+
+    Both sides band with the SAME seeded hash family, tag their side,
+    and union into one band table; candidate generation is the same
+    bucket-local half-triangle as the single-corpus path (ONE groupBy
+    shuffle of B small rows per doc — never a pair space, never a
+    join of banded tables), keeping only cross-side pairs.  Same-side
+    duplicates are ignored by construction: dedupe each corpus with
+    :func:`minhash_neardup_pairs` first if that matters.  Id spaces
+    may overlap freely across sides — the output keys are
+    (left_id, right_id), not least/greatest.
+
+    Output: ``(left_id, right_id, jaccard_est)`` with the signature-
+    agreement estimate >= ``jaccard_threshold``.  Dropping the matched
+    incoming docs is one anti-join on ``right_id`` (the
+    neardup-free composition pattern)."""
+    kwargs = dict(
+        text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        bands=bands, shingle_n=shingle_n, repartition=repartition,
+    )
+    both = (
+        minhash_banded(left, **kwargs).withColumn("side", F.lit(0))
+        .unionByName(minhash_banded(right, **kwargs).withColumn("side", F.lit(1)))
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_l"), F.col("sig_r"), lambda a, b: (a == b).cast("int")),
+                lambda x: x == 1,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    pairs = _bucket_pairs(both, ["band", "bhash"], max_bucket)
+    return (
+        pairs.filter(F.col("p.a.side") != F.col("p.b.side"))
+        .select(
+            F.when(F.col("p.a.side") == 0, F.col("p.a.id"))
+            .otherwise(F.col("p.b.id")).alias("left_id"),
+            F.when(F.col("p.a.side") == 0, F.col("p.b.id"))
+            .otherwise(F.col("p.a.id")).alias("right_id"),
+            F.when(F.col("p.a.side") == 0, F.col("p.a.sig"))
+            .otherwise(F.col("p.b.sig")).alias("sig_l"),
+            F.when(F.col("p.a.side") == 0, F.col("p.b.sig"))
+            .otherwise(F.col("p.a.sig")).alias("sig_r"),
+        )
+        .withColumn("jaccard_est", est)
+        .filter(F.col("jaccard_est") >= jaccard_threshold)
+        .dropDuplicates(["left_id", "right_id"])
+        .select("left_id", "right_id", "jaccard_est")
+    )
+
+
 def _bucket_pairs(banded: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
     """Unordered candidate pairs within each bucket, as one exploded
     struct column ``p`` with fields ``a``/``b`` (the non-key columns of
