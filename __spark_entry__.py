@@ -4687,8 +4687,9 @@ _CHECK_FIRST: list[str] = [
     "q_robust_scale",
     "q_spike_detect",
 ]
-# r6 window note: q_neardup_cross_corpus (added late in r5, window
-# already full) carries sf0.001+sf0.01 pytest parity this round and
+# r6 window note: q_neardup_cross_corpus (added late in r5) and
+# q_lm_score (implementation changed late in r5: single-pass persisted
+# position stream) carry sf0.001+sf0.01 pytest parity this round and
 # must head r6's window together with any r6 additions/changes.
 
 
