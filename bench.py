@@ -166,12 +166,16 @@ def main() -> None:
         qs[wq](spark, "/root/testdata/sf0.001").collect()
 
     def run_df(df) -> float:
+        # drop anything the query BUILD persisted (e.g. the LM scorer's
+        # position-stream cache, populated by its plan-build count)
+        # BEFORE the clock starts: every timed run must pay the full
+        # end-to-end cost including cache rebuild, or min-of-N would
+        # select a warm-cache run and understate the query
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df.write.mode("overwrite").format("noop").save()
         dt = time.perf_counter() - t0
-        # isolate queries: drop persisted signature tables the query
-        # may have left and pay GC debt outside the timed region
-        spark.catalog.clearCache()
+        # pay GC debt outside the timed region
         spark.sparkContext._jvm.System.gc()
         return dt
 

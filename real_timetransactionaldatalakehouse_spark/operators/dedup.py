@@ -271,15 +271,7 @@ def minhash_neardup_pairs(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands,
         shingle_n=shingle_n, repartition=repartition,
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: (a == b).cast("int")),
-                lambda x: x == 1,
-            )
-        ).cast("double")
-        / F.lit(float(num_hashes))
-    )
+    est = _sig_agreement_est(F.col("sig_a"), F.col("sig_b"), num_hashes)
     # Bucket-local pair generation (see _bucket_pairs): ONE shuffle
     # groups each band bucket's members, the cap drops degenerate
     # buckets as a size filter, and candidate pairs are emitted
@@ -300,6 +292,21 @@ def minhash_neardup_pairs(
         .filter(F.col("jaccard_est") >= jaccard_threshold)
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+def _sig_agreement_est(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
+    """MinHash Jaccard estimate: fraction of agreeing signature rows —
+    the ONE definition both the single-corpus and cross-corpus pair
+    paths share."""
+    return (
+        F.size(
+            F.filter(
+                F.zip_with(sig_a, sig_b, lambda a, b: (a == b).cast("int")),
+                lambda x: x == 1,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
     )
 
 
@@ -343,15 +350,7 @@ def minhash_cross_pairs(
         minhash_banded(left, **kwargs).withColumn("side", F.lit(0))
         .unionByName(minhash_banded(right, **kwargs).withColumn("side", F.lit(1)))
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("sig_l"), F.col("sig_r"), lambda a, b: (a == b).cast("int")),
-                lambda x: x == 1,
-            )
-        ).cast("double")
-        / F.lit(float(num_hashes))
-    )
+    est = _sig_agreement_est(F.col("sig_l"), F.col("sig_r"), num_hashes)
     pairs = _bucket_pairs(both, ["band", "bhash"], max_bucket)
     return (
         pairs.filter(F.col("p.a.side") != F.col("p.b.side"))
@@ -603,9 +602,11 @@ def simhash_neardup_pairs(
     pipeline (signature -> banding -> hamming) an exact DuckDB twin.
 
     Signatures come from :func:`simhash_sigs` (all-JVM SWAR
-    aggregation, one text shuffle); banding and pair generation add one
-    exchange each, so the whole operator is three shuffles and zero
-    Python stages.
+    aggregation; its one exchange carries either the text — severely
+    under-split inputs — or the per-document accumulator partials,
+    whichever is cheaper, see its docstring); banding and pair
+    generation add one exchange each, so the whole operator is three
+    shuffles and zero Python stages.
     """
     sig_df = simhash_sigs(df, text_col, id_col, token_hash)
     chunks = F.array(

@@ -392,7 +392,7 @@ def ngram_lm_score(
     # one explode over ALL n positions: w1 everywhere, bg null at the
     # last position (so unigram counts cover every token while the
     # scoring/bigram stream filters to bg IS NOT NULL)
-    pos_idx = F.sequence(F.lit(1), F.greatest(F.col("__n"), F.lit(1)))
+    pos_idx = F.sequence(F.lit(1), F.col("__n"))  # the filter pins __n >= 1
     doc_tok = toked.filter(F.col("__n") >= 1).select(
         F.col(id_col),
         F.explode(
@@ -439,7 +439,9 @@ def ngram_lm_score(
         (dsum("__logp", 6) / F.count(F.lit(1)).cast("double")).alias("avg_logprob"),
     )
     if persist:
-        out._cached_deps = [doc_tok]
+        from .dedup import _attach_cached
+
+        out = _attach_cached(out, [doc_tok])
     return out
 
 
