@@ -1816,7 +1816,13 @@ WITH binned AS (
   SELECT MAX(bin) AS last_bin FROM binned
 ), per_key AS (
   SELECT user_id,
-         SUM(CASE WHEN bin = last_bin THEN cnt ELSE 0 END) AS recent_cnt,
+         -- CAST: DuckDB integer SUM yields HUGEINT, which the driver's
+         -- pandas canonicalizer renders as float64 ("0.0" vs Spark's
+         -- "0") -> hash mismatch.  r5's only red row; BIGINT restores
+         -- the int64 dtype.  base_sum is consumed via CAST AS DOUBLE
+         -- below and never projected, so it needs no cast.
+         CAST(SUM(CASE WHEN bin = last_bin THEN cnt ELSE 0 END) AS BIGINT)
+           AS recent_cnt,
          SUM(CASE WHEN bin < last_bin THEN cnt ELSE 0 END) AS base_sum,
          COUNT(CASE WHEN bin < last_bin THEN 1 END) AS base_bins
   FROM binned CROSS JOIN mx GROUP BY 1
@@ -2231,6 +2237,7 @@ def q_text_redact(spark, sf_dir):
     docs = fan_out(
         _t(spark, sf_dir, "documents"),
         spark.sparkContext.defaultParallelism,
+        guard=True,
     ).select(
         "doc_id",
         F.concat(
@@ -4043,20 +4050,32 @@ WITH m AS (
 SELECT vec_id,
        CASE WHEN maxabs > 0 THEN 127.0 / maxabs END AS scale,
        CASE WHEN maxabs > 0 THEN
-         list_transform(embedding,
-                        x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / maxabs))
-                                  AS INTEGER))
-       END AS qvec
+         array_to_string(
+           list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / maxabs))
+                                    AS INTEGER)), ',')
+       END AS qvec_csv
 FROM m
 """)
 def q_embed_quantize(spark, sf_dir):
     """X3: symmetric int8 embedding quantization (operators/similarity.
     quantize_embeddings) — the 4x ANN storage/bandwidth shrink.
     Map-only higher-order expressions; both engines round ties away
-    from zero, so the codes hash-match bit-for-bit."""
+    from zero, so the codes hash-match bit-for-bit.
+
+    The certified projection joins the int8 codes to a canonical CSV
+    string (changed in r6): the driver's pandas canonicalizer crashes
+    on list-valued columns (CORRECTNESS_r05 ``err``), so the raw
+    ``ARRAY<INT>`` shape can never certify.  ``quantize_embeddings``
+    itself still returns the array column and stays pytest-covered."""
     from real_timetransactionaldatalakehouse_spark.operators import similarity as S
 
-    return S.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    q = S.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id", "scale",
+        F.array_join(F.col("qvec").cast("array<string>"), ",")
+        .alias("qvec_csv"),
+    )
 
 
 @_q("q_trend_slope")  # rows-only: per-group float fits are Spark-
@@ -4192,7 +4211,8 @@ def q_union_evolve(spark, sf_dir):
 
 @_q("q_collect_set", """
 SELECT user_id,
-       list_sort(list_distinct(array_agg(event_type))) AS types,
+       array_to_string(list_sort(list_distinct(array_agg(event_type))), ',')
+         AS types_csv,
        CAST(len(list_distinct(array_agg(event_type))) AS INTEGER) AS n_types
 FROM events GROUP BY user_id
 """)
@@ -4200,10 +4220,18 @@ def q_collect_set(spark, sf_dir):
     """Set aggregation to an array column: the distinct event types
     per user, SORTED so the array value is deterministic (collect_set
     order is partitioning-dependent; sort_array pins it).  Partial
-    map-side set union bounds the shuffle to distinct values per key."""
+    map-side set union bounds the shuffle to distinct values per key.
+
+    The certified projection joins the array to a canonical CSV string
+    (changed in r6): the driver's pandas canonicalizer cannot sort
+    list-valued columns (``TypeError: unhashable type: 'list'`` — both
+    ``err`` rows in CORRECTNESS_r05), so an array output column can
+    never certify.  The array-typed aggregation itself is unchanged and
+    remains pytest-covered."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",")
+        .alias("types_csv"),
         F.size(F.collect_set("event_type")).alias("n_types"),
     )
 

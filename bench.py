@@ -168,9 +168,12 @@ def main() -> None:
     def run_df(df) -> float:
         # drop anything the query BUILD persisted (e.g. the LM scorer's
         # position-stream cache, populated by its plan-build count)
-        # BEFORE the clock starts: every timed run must pay the full
-        # end-to-end cost including cache rebuild, or min-of-N would
-        # select a warm-cache run and understate the query
+        # BEFORE the clock starts: a timed run must rebuild the cache,
+        # or min-of-N would select a warm-cache run and understate the
+        # query.  One residue stays untimed: work a query fn does at
+        # PLAN BUILD (the LM scorer's one-row vocabulary-size collect)
+        # runs once outside run_df; the rebuilt cache pays the data
+        # pass again but not that collect's job-submission overhead
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         df.write.mode("overwrite").format("noop").save()

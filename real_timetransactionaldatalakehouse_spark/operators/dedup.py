@@ -74,6 +74,13 @@ def exact_dedup(
     available via ``fingerprint=False`` on the candidate buckets for
     the truly paranoid).  Output: (fp, keeper_id, n_copies).
 
+    .. note:: CHANGED in r5 — the default output schema moved from
+       ``(text, keeper_id, n_copies)`` to ``(fp, keeper_id,
+       n_copies)`` when ``fingerprint`` became the default.  Callers
+       that selected the text column from the result must either pass
+       ``fingerprint=False`` or join the fingerprints back to the
+       corpus on ``md5(text)``.
+
     ``fingerprint=False`` keeps the original narrow-input form that
     groups on and returns the raw text column."""
     if not fingerprint:

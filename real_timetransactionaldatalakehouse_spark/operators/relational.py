@@ -565,9 +565,17 @@ def spike_detect(
     the binned counts (never the raw events); one more keyed agg folds
     each entity's history into (recent, baseline).  Raw events shuffle
     exactly once, as (key, bin) partial counts.  Bins derive from
-    second-truncated epochs so both engines bin identically."""
+    second-truncated epochs so both engines bin identically.
+
+    Binning uses FLOOR division, not Spark's ``DIV`` (which truncates
+    toward zero): for pre-1970 timestamps the epoch is negative and the
+    two roundings assign different bins, diverging from the DuckDB
+    ``//`` (floor) oracle.  ``pmod`` keeps the arithmetic all-integer —
+    ``(a - pmod(a, b)) DIV b`` is exact floor division for any long."""
     bin_col = F.expr(
-        f"CAST(date_trunc('second', {ts_col}) AS LONG) DIV {bin_seconds}"
+        f"(CAST(date_trunc('second', {ts_col}) AS LONG)"
+        f" - pmod(CAST(date_trunc('second', {ts_col}) AS LONG), {bin_seconds}))"
+        f" DIV {bin_seconds}"
     )
     binned = (
         df.select(*key_cols, bin_col.alias("__bin"))

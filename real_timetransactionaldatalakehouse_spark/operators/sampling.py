@@ -252,7 +252,7 @@ def decontaminate_ngram(
         from ..sources import fan_out
 
         if repartition is True:
-            src = fan_out(df, fan)
+            src = fan_out(df, fan, guard=True)
         elif fan:
             src = df.repartition(fan)
         else:
@@ -460,7 +460,7 @@ def contamination_report(
         from ..sources import fan_out
 
         if repartition is True:
-            src = fan_out(df, fan)
+            src = fan_out(df, fan, guard=True)
         elif fan:
             src = df.repartition(fan)
         else:

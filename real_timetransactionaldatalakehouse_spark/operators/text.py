@@ -386,7 +386,11 @@ def ngram_lm_score(
     t = tokens(text_col)
     from ..sources import fan_out
 
-    toked = fan_out(df, fan).select(
+    # guard=True: the fan is an opportunistic spread before the
+    # tokenize+explode map — on an already-well-split corpus the
+    # exchange would shuffle the full text for nothing (r5 ADVICE:
+    # explicit targets now bypass the guard by default, so say so)
+    toked = fan_out(df, fan, guard=True).select(
         F.col(id_col), t.alias("__t"), F.size(t).alias("__n")
     )
     # one explode over ALL n positions: w1 everywhere, bg null at the

@@ -35,6 +35,31 @@ def test_every_query_has_callable():
     assert set(_ORACLES) <= set(_QUERIES)
 
 
+def test_oracle_outputs_are_driver_certifiable(sf_small):
+    """No oracle may produce a column the DRIVER's pandas-based
+    canonicalizer mangles or crashes on — the repo's fetchall-based
+    harness masks both failure classes, so they only surface in
+    CORRECTNESS_r*.json (r5: the project's first red row + two errs):
+
+    - DuckDB HUGEINT (any uncast integer SUM) materializes as float64
+      in pandas -> "0.0" vs Spark's "0" -> hash mismatch
+      (q_spike_detect, r5).  CAST(... AS BIGINT) in the oracle.
+    - LIST columns crash pandas sort_values (unhashable type
+      'list') -> the row errs forever (q_collect_set /
+      q_embed_quantize, r5).  Join to a canonical CSV string on
+      both sides instead."""
+    con = duckdb_connection(sf_small)
+    bad = []
+    for name, sql in _ORACLES.items():
+        rel = con.sql(sql)
+        for c, t in zip(rel.columns, rel.types):
+            ts = str(t)
+            if ts in ("HUGEINT", "UHUGEINT") or ts.endswith("[]"):
+                bad.append((name, c, ts))
+    con.close()
+    assert not bad, f"driver-uncertifiable oracle columns: {bad}"
+
+
 @pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
 def test_rows_only_queries_run(name, spark, sf_medium):
     """Queries without a SQL oracle still must execute deterministically:

@@ -218,6 +218,12 @@ def test_fan_out_skips_exchange_for_well_split_input(spark, sf_medium):
     # under-split input still fans out (the single-row-group case)
     plan_narrow = P.formatted_plan(fan_out(docs))
     assert "RoundRobinPartitioning" in plan_narrow, plan_narrow
+    # r5 ADVICE: an EXPLICIT partitions target is a caller override and
+    # repartitions unconditionally (pre-r5 contract) ...
+    plan_explicit = P.formatted_plan(fan_out(pre_split, target))
+    assert "RoundRobinPartitioning" in plan_explicit, plan_explicit
+    # ... unless the caller opts back into the guard (gram-spread sites)
+    assert fan_out(pre_split, target, guard=True) is pre_split
 
 
 def test_exact_dedup_shuffle_carries_no_text(spark, sf_medium):

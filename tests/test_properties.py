@@ -1145,3 +1145,30 @@ def test_spike_detect_matches_python_reference(spark, data):
     for k, (rc, avg, spike) in want.items():
         grc, gavg, gspike = got[k]
         assert grc == rc and abs(gavg - avg) < 1e-12 and gspike == spike, (k, got[k], want[k])
+
+
+def test_spike_detect_floor_bins_pre_1970(spark):
+    """Negative epoch seconds (pre-1970 timestamps) must bin with FLOOR
+    division like the DuckDB ``//`` oracle, not truncate-toward-zero
+    (r5 ADVICE: Spark's DIV truncates, so -1 s and +1 s would share
+    bin 0 and silently break bit-parity on such data)."""
+    import calendar
+    import datetime as _dt
+
+    from real_timetransactionaldatalakehouse_spark.operators.relational import (
+        spike_detect,
+    )
+
+    t0 = _dt.datetime(1969, 12, 31, 23, 30)  # epoch -1800 s
+    rows = [("a", t0 + _dt.timedelta(seconds=s))
+            for s in (0, 10, 1700, 1750, 1790, 3000, 3500)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {r.k: (r.recent_cnt, r.base_avg)
+           for r in spike_detect(df, ["k"], "ts", bin_seconds=600).collect()}
+    bins = {}
+    for _, ts in rows:
+        b = calendar.timegm(ts.timetuple()) // 600  # Python // floors
+        bins[b] = bins.get(b, 0) + 1
+    last = max(bins)
+    base = {b: c for b, c in bins.items() if b < last}
+    assert got["a"] == (bins[last], sum(base.values()) / len(base))
