@@ -4078,25 +4078,61 @@ def q_embed_quantize(spark, sf_dir):
     )
 
 
-@_q("q_trend_slope")  # rows-only: per-group float fits are Spark-
-# deterministic (in-kernel sort fixes summation order) but not
-# bit-portable across engines; equivalence to the JVM moment-sum twin
-# is pinned by pytest instead
+@_q("q_trend_slope", """
+WITH b AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS BIGINT)
+           - 1704067200 AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+  FROM b GROUP BY 1
+)
+SELECT user_id,
+       CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+            THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+       CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+            THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+            END AS intercept,
+       CASE WHEN n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS r2,
+       CAST(n AS BIGINT) AS n
+FROM s
+""")
 def q_trend_slope(spark, sf_dir):
     """Per-user OLS trend of event value over time (operators/fitting.
-    grouped_ols, grouped-map ``applyInPandas`` Arrow kernel — the one
-    batch API family the rest of the engine deliberately avoids, used
-    where per-entity model fitting genuinely needs it).  One shuffle
-    moves each user's history once; the kernel sorts in-group so the
-    result is bit-deterministic regardless of partitioning."""
+    grouped_ols).  The certified path is ``impl="exact"`` (changed in
+    r6 from rows-only pandas — VERDICT r5 ask #4): inputs quantize to
+    integers (epoch seconds from a fixed 2024-01-01 origin; value in
+    cents — exact for this corpus, pinned by pytest), the five moment
+    sums accumulate exactly (lsum/xlsum, exact to 2^39 rows/group),
+    and the closed form combines them once in doubles with the same
+    expression tree as the oracle — bit-portable, hence hashable, the
+    corr/covar discipline applied to fitting.  Slope units: cents per
+    second.  The grouped-map pandas kernel (the flexible path for fits
+    that are NOT five aggregates) stays pytest-pinned equivalent.
+
+    One partial+final shuffle of six longs per (user, partition) —
+    events never shuffle whole.  The origin shift keeps x to ~2^25 for
+    a year of data so x*x stays within xlsum's per-row bound."""
     from real_timetransactionaldatalakehouse_spark.operators.fitting import (
         grouped_ols,
     )
 
     ev = _t(spark, sf_dir, "events").select(
-        "user_id", F.col("ts").cast("double").alias("x"), F.col("value").alias("y")
+        "user_id",
+        (F.col("ts").cast("long") - F.lit(1704067200)).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
     )
-    return grouped_ols(ev, ["user_id"], "x", "y", impl="pandas")
+    return grouped_ols(ev, ["user_id"], "x", "y", impl="exact")
 
 
 _NEARDUP_FREE_ORACLE = """

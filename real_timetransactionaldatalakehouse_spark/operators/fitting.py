@@ -42,7 +42,15 @@ def grouped_ols(
     moment sums (one partial+final shuffle, no Python); float partial
     merge order makes it deterministic-in-practice within a session
     but not bit-portable — equivalence to the pandas path is pinned to
-    1e-9 relative by ``tests/test_llm_ops.py``.
+    1e-9 relative by ``tests/test_llm_ops.py``.  ``impl="exact"``:
+    requires INTEGRAL ``x_col``/``y_col`` (the caller quantizes —
+    epoch seconds from a fixed origin, fixed-point cents, ...); the
+    five moment sums accumulate exactly (primitive-long for the linear
+    terms, hi/lo split-long for the products — exact to 2^39
+    rows/group at per-row magnitudes up to ~2^53), and the closed form
+    combines them once in doubles with a fixed expression tree, so the
+    result is BIT-PORTABLE across engines — the same discipline as the
+    corr/covar family.
     """
     out_fields = ", ".join(
         f"{c} {t}" for c, t in df.select(*group_cols).dtypes
@@ -51,15 +59,27 @@ def grouped_ols(
         f"{out_fields}, slope double, intercept double, r2 double, n bigint"
     )
 
-    if impl == "expr":
-        x = F.col(x_col).cast("double")
-        y = F.col(y_col).cast("double")
-        s = df.groupBy(*group_cols).agg(
-            F.count(F.lit(1)).cast("double").alias("n"),
-            F.sum(x).alias("sx"), F.sum(y).alias("sy"),
-            F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
-            F.sum(x * y).alias("sxy"),
-        )
+    if impl in ("expr", "exact"):
+        if impl == "exact":
+            from ..functions import lsum, xlsum
+
+            x = F.col(x_col).cast("long")
+            y = F.col(y_col).cast("long")
+            s = df.groupBy(*group_cols).agg(
+                F.count(F.lit(1)).cast("double").alias("n"),
+                lsum(x).alias("sx"), lsum(y).alias("sy"),
+                xlsum(x * x).alias("sxx"), xlsum(y * y).alias("syy"),
+                xlsum(x * y).alias("sxy"),
+            )
+        else:
+            x = F.col(x_col).cast("double")
+            y = F.col(y_col).cast("double")
+            s = df.groupBy(*group_cols).agg(
+                F.count(F.lit(1)).cast("double").alias("n"),
+                F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+                F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+                F.sum(x * y).alias("sxy"),
+            )
         n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
         sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
         dx = n * sxx - sx * sx

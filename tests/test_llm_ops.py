@@ -851,11 +851,27 @@ def test_grouped_ols_pandas_equals_expr_and_numpy(spark):
         assert via_ex[g].slope == _pytest.approx(via_pd[g].slope, rel=1e-9)
         assert via_ex[g].r2 == _pytest.approx(via_pd[g].r2, rel=1e-9)
         assert via_pd[g].n == 25
+    # impl="exact" on quantized (integer) inputs must match the pandas
+    # kernel run on the same integer values — the bit-portable path
+    # q_trend_slope certifies against the DuckDB oracle
+    rng_i = [(g, x, int(round((2.0 * g * x + 3.0 + ((x * 7919) % 11) / 10.0) * 10)))
+             for g in range(3) for x in range(25)]
+    dfi = spark.createDataFrame(rng_i, "g int, x long, y long")
+    via_xc = {r.g: r for r in grouped_ols(dfi, ["g"], "x", "y", impl="exact").collect()}
+    via_pdi = {r.g: r for r in grouped_ols(
+        dfi.select("g", F.col("x").cast("double").alias("x"),
+                   F.col("y").cast("double").alias("y")),
+        ["g"], "x", "y", impl="pandas").collect()}
+    for g in range(3):
+        assert via_xc[g].slope == _pytest.approx(via_pdi[g].slope, rel=1e-9)
+        assert via_xc[g].intercept == _pytest.approx(via_pdi[g].intercept, rel=1e-9)
+        assert via_xc[g].r2 == _pytest.approx(via_pdi[g].r2, rel=1e-9)
+        assert via_xc[g].n == 25
     # degenerate groups: single point and zero x-variance -> NULL fits
     dg = spark.createDataFrame(
         [(0, 1.0, 5.0), (1, 2.0, 1.0), (1, 2.0, 9.0)], "g int, x double, y double"
     )
-    for impl in ("pandas", "expr"):
+    for impl in ("pandas", "expr", "exact"):
         out = {r.g: r for r in grouped_ols(dg, ["g"], "x", "y", impl=impl).collect()}
         assert out[0].slope is None and out[0].n == 1
         assert out[1].slope is None and out[1].n == 2
