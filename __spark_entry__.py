@@ -4673,88 +4673,81 @@ def q_embed_clusters(spark, sf_dir):
 # The driver certifies the FIRST 50 entries of queries() (r1/r2 evidence:
 # CORRECTNESS_r0{1,2}.json each hold exactly the first 50 registered names).
 # Registration order in this file is didactic (SURVEY section order), so we
-# re-rank here.  Round-5 rotation (VERDICT r4 "Next round" #1, the
-# completion of the rolling certification): the 42 queries that have
-# NEVER appeared in any CORRECTNESS_r*.json — the 41 r4 session
-# additions plus rows-only q_trend_slope — fill the head of the window,
-# followed by the queries whose implementation changed this round
-# (q_dedup_exact fingerprint shuffle, q_json_parse_struct fan_out
-# removal, q_agg_variance long-sum path, q_corpus_prep via exact_dedup)
-# and the two r2-certified rotations promised in the r4 note
-# (q_scan_limit, q_string_funcs).  After this round every declared
-# query has been driver-certified at least once; everything rotating
-# out holds a green r3/r4 row and the judge-rerun sf0.01 parity suite.
+# re-rank here.
+#
+# ROTATION RULE (standing, from VERDICT r5 ask #9): once a round's window
+# is fixed (the round's CORRECTNESS_r*.json lands), no new query may enter
+# queries() and no certified query's implementation or oracle may change
+# UNLESS its name is placed at the head of the NEXT round's _CHECK_FIRST.
+# Every name rotating out must already hold a hash-green driver row from a
+# past round AND pass the sf0.001+sf0.01 pytest parity sweep.
+#
+# Round-6 window: the five queries that have never earned a hash-green
+# row (r5's red + the two canonicalizer crashes, now reshaped; the
+# late-r5 cross-corpus join; q_trend_slope's new exact-moment oracle),
+# the late-r5 q_lm_score rewrite, the three fan_out-guard-affected
+# queries, and this round's perf-touched queries — then the oldest
+# (r3-certified) greens rotate back in to re-verify against current code.
 _CHECK_FIRST: list[str] = [
-    # -- never-certified: the as-of variants first (most user-facing,
-    # VERDICT r4 ask #7; reference Silver design
-    # design_doc/DataModel_SchemaDesign.md:48)
-    "q_join_asof_nearest",
-    "q_join_asof_tolerance",
-    # -- never-certified: set ops / grouping surfaces (r4 additions)
-    "q_intersect",
-    "q_except",
-    "q_grouping_sets",
-    "q_unpivot",
-    "q_union_evolve",
-    # -- never-certified: window / ordered-analytics family
-    "q_window_rank_stats",
-    "q_window_lead",
-    "q_window_range_frame",
-    "q_moving_avg",
-    "q_running_total",
-    "q_ratio_to_total",
-    "q_session_window_agg",
-    "q_funnel",
-    "q_silver_view",
-    # -- never-certified: aggregate statistics family (q_agg_corr and
-    # q_zscore_norm additionally changed this round: primitive-long /
-    # split-long accumulation replacing DECIMAL(38,0) buffers)
-    "q_agg_corr",
-    "q_agg_skew",
-    "q_agg_geomean",
-    "q_agg_harmonic",
-    "q_agg_mode",
-    "q_agg_bool",
-    "q_collect_set",
-    "q_zscore_norm",
-    "q_minmax_scale",
-    "q_trend_slope",
-    # -- never-certified: array / SQL-entry / SCD surfaces
-    "q_array_hof",
-    "q_sql_text",
-    "q_scd2_pointlookup",
-    # -- never-certified: text / retrieval EXT family
-    "q_bm25_search",
-    "q_keywords_per_doc",
-    "q_text_entropy",
-    "q_gopher_filter",
-    "q_bpe_pairs",
-    "q_fuzzy_pairs",
-    # -- never-certified: embedding EXT family
-    "q_embed_quantize",
-    "q_embed_centroids",
-    "q_embed_clusters",
-    "q_neardup_free_corpus",
-    # -- never-certified: sampling / pipeline compositions
-    "q_sample_exact_n",
+    # -- never hash-green / changed after their last green row
+    "q_neardup_cross_corpus",   # added late r5, never driver-checked
+    "q_lm_score",               # rewritten late r5 (single position stream)
+    "q_spike_detect",           # r5 red: oracle HUGEINT cast + floor bins
+    "q_collect_set",            # r5 err: array output -> CSV projection
+    "q_embed_quantize",         # r5 err: array output -> CSV projection
+    "q_trend_slope",            # rows-only -> exact-moment hashed oracle (r6)
+    # -- fan_out guard semantics changed under these (r5 ADVICE #2)
+    "q_text_redact",
+    "q_decontaminate_ngram",
     "q_contamination_report",
-    "q_corpus_pipeline",
-    # -- implementation changed this round (re-certify)
-    "q_dedup_exact",
-    "q_json_parse_struct",
-    "q_agg_variance",
-    "q_corpus_prep",
-    # -- r2-certified rotations promised in the r4 in-file note
-    "q_scan_limit",
-    "q_string_funcs",
-    # -- r5 session additions (new this round, certify immediately)
-    "q_robust_scale",
-    "q_spike_detect",
+    # -- perf-touched this round (VERDICT r5 asks #5/#6)
+    "q_bm25_search",
+    "q_text_repetition",
+    # -- oldest greens (r3) rotate back in: re-verify against r6 code
+    "q_agg_count_distinct",
+    "q_agg_pct_threshold",
+    "q_agg_ratio_velocity",
+    "q_balance_cap",
+    "q_cohort_retention",
+    "q_column_profile",
+    "q_decontaminate",
+    "q_dedup_latest",
+    "q_embed_neardup",
+    "q_embed_neardup_lsh",
+    "q_ewma_anomaly",
+    "q_ewma_state",
+    "q_first_value_ignore_nulls",
+    "q_freshness_view",
+    "q_jaccard_pairs",
+    "q_join_asof",
+    "q_knn_ivf",
+    "q_knn_lsh",
+    "q_knn_topk",
+    "q_max_over_partition",
+    "q_merge_upsert",
+    "q_neardup_verified",
+    "q_sessionize_lag",
+    "q_split_assign",
+    "q_stratified_sample",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_stats",
+    "q_text_tokens",
+    "q_text_winnow",
+    "q_topk_per_group",
+    "q_vocab_topn",
+    "q_window_sliding",
+    "q_window_tumbling_1min",
+    # -- oldest r4 greens fill the remaining slots
+    "q_agg_binned_heatmap",
+    "q_agg_conditional_counts",
+    "q_agg_count_by_key",
+    "q_agg_global",
 ]
-# r6 window note: q_neardup_cross_corpus (added late in r5) and
-# q_lm_score (implementation changed late in r5: single-pass persisted
-# position stream) carry sf0.001+sf0.01 pytest parity this round and
-# must head r6's window together with any r6 additions/changes.
+# r7 window note: every query above the r3-rotation block heads this
+# round's window per the ROTATION RULE; if round 6 adds or changes
+# anything after CORRECTNESS_r06 lands, its name must head r7's window.
 
 
 def _ranked(names: dict[str, object]) -> list[str]:
