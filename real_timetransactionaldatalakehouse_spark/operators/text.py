@@ -542,28 +542,37 @@ def bm25_scores(
         idf  = ln(1 + (N - df + 0.5) / (df + 0.5))
         w    = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
 
-    Plan mirrors :func:`tfidf_scores`: ONE explode into a (doc, term)
-    partial-agg count; doc length and document frequency both derive
-    from that pair table (no second pass over raw text); corpus stats
-    (N, avgdl) ride in as a broadcast one-row aggregate and the tiny
-    (term, df) table joins broadcast-style back onto the postings.
-    Shuffles carry (doc, term, count) rows only — raw text crosses the
-    wire zero times, and every arithmetic step is a fixed per-row
-    expression tree (deterministic, engine-portable).
+    Plan (r6, one keyed agg fewer than the tfidf shape): doc length is
+    computed MAP-SIDE as ``size(tokens(text))`` before the explode and
+    rides the (doc, term) grouping key, so the postings never reshuffle
+    on doc_id — the previous ``doclen`` aggregate and its join back
+    onto the full postings (a second shuffle of every posting row) are
+    gone.  Document frequency derives from the pair table; corpus
+    stats (N, avgdl) are one broadcast row aggregated from the same
+    persisted postings.  Shuffles carry (doc, dl, term, count) rows
+    only — raw text crosses the wire zero times, and every arithmetic
+    step is a fixed per-row expression tree (deterministic,
+    engine-portable).
     """
+    toks = tokens(text_col)
     pairs = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-        .groupBy(id_col, "term")
+        df.select(F.col(id_col), toks.alias("__t"))
+        .select(
+            id_col, F.size("__t").alias("dl"), F.explode("__t").alias("term")
+        )
+        .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .persist()
     )
-    # dl is an exact BIGINT sum; avgdl/N are one broadcast row
-    doclen = pairs.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    # N / avgdl from the postings: exact integers, one broadcast row
+    # (same doubles as the old per-doc dl aggregate: sum(tf) == total
+    # tokens, countDistinct(id) == docs with at least one term)
     corpus = F.broadcast(
-        doclen.agg(
-            F.count(F.lit(1)).cast("double").alias("__n"),
+        pairs.agg(
+            F.countDistinct(F.col(id_col)).cast("double").alias("__n"),
             (
-                F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+                F.sum("tf").cast("double")
+                / F.countDistinct(F.col(id_col)).cast("double")
             ).alias("__avgdl"),
         )
     )
@@ -575,7 +584,6 @@ def bm25_scores(
     norm = tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("__avgdl"))
     out = (
         pairs.join(docfreq.crossJoin(corpus).withColumn("idf", idf), "term")
-        .join(doclen, id_col)
         .select(
             id_col, "term", "tf", "df", "dl",
             (F.col("idf") * (tf * (k1 + 1.0)) / norm).alias("bm25"),
@@ -597,13 +605,56 @@ def search_bm25(
     require_all: bool = True,
 ) -> DataFrame:
     """BM25 keyword search: documents ranked by summed BM25 weight of
-    the query terms (all required when ``require_all``).  Identical
-    read-path shape to :func:`search_ranked` — the postings table is
-    cut to the query terms BEFORE any ranking work, so only matching
-    (doc, term) rows flow; persist :func:`bm25_scores` output as the
-    materialized index for repeated serving queries."""
-    scores = bm25_scores(df, text_col, id_col, k1=k1, b=b).filter(
-        F.col("term").isin(list(terms))
+    the query terms (all required when ``require_all``).
+
+    The term filter pushes BELOW the pair aggregation (r6): because
+    doc length is computed map-side (``size(tokens)``) before the
+    explode, a posting row is self-sufficient — so non-query terms
+    drop at the scan and the shuffle carries ONLY query-term postings
+    (at 100 TB: a handful of rows per matching doc instead of the full
+    inverted index).  Corpus stats (N, avgdl) come from a map-only
+    pass over the token counts — one broadcast row, no keyed shuffle —
+    and per-term document frequency is a COUNT window over the
+    filtered postings themselves (identical values: df counts docs
+    containing the term; the postings are at most a few rows per
+    matching doc, so the window's term-keyed exchange is trivial, the
+    corpus scans exactly twice — once for stats, once for postings —
+    and there is no self-join and nothing persisted).  Persist
+    :func:`bm25_scores` output as the materialized index for repeated
+    serving queries instead."""
+    toks = tokens(text_col)
+    pairs = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .select(
+            id_col, F.size("__t").alias("dl"), F.explode("__t").alias("term")
+        )
+        .filter(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    corpus = F.broadcast(
+        df.select(F.size(toks).alias("__dl"))
+        .filter(F.col("__dl") > 0)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            (
+                F.sum("__dl").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("__avgdl"),
+        )
+    )
+    from pyspark.sql import Window
+
+    withdf = pairs.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    idf = F.log(
+        1.0 + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf = F.col("tf").cast("double")
+    norm = tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("__avgdl"))
+    scores = withdf.crossJoin(corpus).select(
+        id_col, (idf * (tf * (k1 + 1.0)) / norm).alias("bm25")
     )
     agg = scores.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_matched"),
