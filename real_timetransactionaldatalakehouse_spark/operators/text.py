@@ -358,14 +358,15 @@ def ngram_lm_score(
     ``logp(w1 w2) = ln((c(w1,w2) + alpha) / (c(w1) + alpha * V))``
     with ``V`` the corpus vocabulary size.
 
-    Plan shape (r5: ONE tokenize pass): the corpus tokenizes and
-    explodes ONCE into a persisted position stream of narrow
-    ``(id, w1_hash, bg_hash-or-null)`` rows (the last position of each
-    document carries a null bigram), and all three consumers — the
-    unigram model, the bigram model, and the scoring stream — read
-    that cache instead of re-running the explode (the previous
-    branch-per-consumer shape re-tokenized the corpus ~4x: measured
-    9.9 s -> 4.4 s at the 50x replica).  Gram keys are pre-hashed to
+    Plan shape (r5: ONE tokenize pass; r6: ONE model pass): the corpus
+    tokenizes and explodes ONCE into a persisted position stream of
+    narrow ``(id, w1_hash, bg_hash-or-null)`` rows (the last position
+    of each document carries a null bigram); the unigram AND bigram
+    models aggregate together in a single keyed count over a
+    (kind, key) fan-out of that cache, and the scoring stream joins
+    both filtered views of the persisted model back (the r5 shape ran
+    two separate full-stream aggregations; the r4 shape re-tokenized
+    the corpus ~4x: measured 9.9 s -> 4.4 s at the 50x replica).  Gram keys are pre-hashed to
     64-bit ints: the model joins are engine-internal (the oracle joins
     on the raw strings), so narrow hash keys shuffle ~3x less than the
     gram text and hash-join faster.  ``V`` is a one-row aggregate
@@ -418,12 +419,33 @@ def ngram_lm_score(
     if persist:
         doc_tok = doc_tok.persist()
 
-    uni = doc_tok.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
-    bi = (
-        doc_tok.filter(F.col("bg").isNotNull())
-        .groupBy("bg").agg(F.count(F.lit(1)).alias("__cb"))
+    # BOTH models in ONE pass over the position stream (r6): each
+    # position fans into a (kind=0, w1) and a (kind=1, bg) key row and
+    # a single keyed count aggregates them together — the map-side
+    # combine collapses the doubled stream to vocabulary size
+    # immediately, so fusing halves the number of full position-stream
+    # aggregations (the r5 shape ran a w1 agg and a bg agg separately).
+    # The fused model table persists too: the second broadcast build
+    # and the vocabulary count read it back instead of re-aggregating.
+    kv = doc_tok.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("kind"), F.col("w1").alias("key")),
+                F.struct(F.lit(1).alias("kind"), F.col("bg").alias("key")),
+            )
+        ).alias("kv")
+    ).select("kv.kind", "kv.key").filter(F.col("key").isNotNull())
+    model = kv.groupBy("kind", "key").agg(F.count(F.lit(1)).alias("__c"))
+    if persist:
+        model = model.persist()
+    uni = model.filter(F.col("kind") == 0).select(
+        F.col("key").alias("w1"), F.col("__c").alias("__c1")
     )
-    v = uni.count()  # vocabulary size: one scalar; also fills the cache
+    bi = model.filter(F.col("kind") == 1).select(
+        F.col("key").alias("bg"), F.col("__c").alias("__cb")
+    )
+    # vocabulary size: one scalar; also fills both caches at plan build
+    v = uni.count()
 
     scored = (
         doc_tok.filter(F.col("bg").isNotNull())
@@ -445,7 +467,7 @@ def ngram_lm_score(
     if persist:
         from .dedup import _attach_cached
 
-        out = _attach_cached(out, [doc_tok])
+        out = _attach_cached(out, [doc_tok, model])
     return out
 
 
