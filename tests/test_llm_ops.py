@@ -944,26 +944,21 @@ def test_agg_skew_close_to_python(spark, sf_small):
         assert got[f] == _pytest.approx(m3 / (m2 * math.sqrt(m2)), rel=1e-9)
 
 
-def test_multimodal_real_decode_when_codec_present(spark, sf_small):
-    """r4 VERDICT ask #8: when a real image codec (PIL) is installed,
-    decode_image must decode an actual PNG and real_image_meta must
-    rewrite meta dimensions from the decoded pixels through the same
-    Arrow plumbing the fake kernels use.  Skipped (not failed) in
-    codec-less environments — the deterministic fake stays the oracle
-    path either way."""
+def test_multimodal_real_decode_png(spark, sf_small):
+    """r4 VERDICT ask #8 (closed r6 via the vendored PNG subset
+    decoder): decode_image must decode an actual PNG — through PIL
+    when installed, through operators/_png otherwise — and
+    real_image_meta must rewrite meta dimensions from the decoded
+    pixels through the same Arrow plumbing the fake kernels use.  Runs
+    everywhere; no skip."""
     import base64
-
-    import pytest as _pytest
 
     # a literal 1x1 PNG (no codec needed to HAVE bytes, only to decode)
     png = base64.b64decode(
         "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJ"
         "AAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
     )
-    try:
-        img = MM.decode_image(png)
-    except NotImplementedError:
-        _pytest.skip("no image codec in this environment (expected in sandbox)")
+    img = MM.decode_image(png)
     assert img.size == (1, 1)
 
     df = spark.createDataFrame(
@@ -977,8 +972,9 @@ def test_multimodal_real_decode_when_codec_present(spark, sf_small):
 
 
 def test_multimodal_decode_raises_not_implemented_without_codec(spark):
-    """The codec-less path must surface as NotImplementedError (the
-    documented deployment hook), never ImportError."""
+    """The codec-less path for NON-PNG formats must surface as
+    NotImplementedError (the documented deployment hook), never
+    ImportError."""
     import importlib.util
 
     import pytest as _pytest
@@ -986,7 +982,72 @@ def test_multimodal_decode_raises_not_implemented_without_codec(spark):
     if importlib.util.find_spec("PIL") is not None:
         _pytest.skip("codec present; covered by the decode test above")
     with _pytest.raises(NotImplementedError):
-        MM.decode_image(b"\x89PNG\r\n")
+        MM.decode_image(b"\xff\xd8\xff\xe0\x00\x10JFIF")  # JPEG magic
+
+
+def test_vendored_png_decoder_filters_and_roundtrip():
+    """operators/_png: encode->decode roundtrip recovers exact pixels,
+    and each PNG filter type (Sub/Up/Average/Paeth, spec section 6)
+    reconstructs correctly against a reference image built by hand."""
+    import struct
+    import zlib
+
+    from real_timetransactionaldatalakehouse_spark.operators import _png
+
+    # roundtrip: 3x2 RGB gradient through the filter-0 encoder
+    pixels = bytes(range(3 * 2 * 3))
+    img = _png.decode_png(_png.encode_png(3, 2, "RGB", pixels))
+    assert img.size == (3, 2) and img.mode == "RGB" and img.pixels == pixels
+
+    # hand-build a 4-row grayscale image using filters 1..4 so every
+    # reconstruction branch runs; expected output computed per spec
+    rows = [bytes([10, 20, 30, 40])] * 4
+    filtered = bytearray()
+    prev = bytes(4)
+    for f, row in zip([1, 2, 3, 4], rows):
+        line = bytearray(row)
+        if f == 1:
+            for i in range(3, 0, -1):
+                line[i] = (line[i] - line[i - 1]) & 0xFF
+        elif f == 2:
+            for i in range(4):
+                line[i] = (line[i] - prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(4):
+                a = row[i - 1] if i else 0
+                line[i] = (line[i] - (a + prev[i]) // 2) & 0xFF
+        elif f == 4:
+            for i in range(4):
+                a = row[i - 1] if i else 0
+                b, c = prev[i], (prev[i - 1] if i else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] - pr) & 0xFF
+        filtered += bytes([f]) + line
+        prev = row
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    raw = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+           + chunk(b"IEND", b""))
+    out = _png.decode_png(raw)
+    assert out.size == (4, 4) and out.pixels == b"".join(rows)
+
+    # unsupported subsets raise NotImplementedError, garbage ValueError
+    import pytest as _pytest
+
+    pal_ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)  # palette
+    pal = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", pal_ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\x00\x00")) + chunk(b"IEND", b""))
+    with _pytest.raises(NotImplementedError):
+        _png.decode_png(pal)
+    with _pytest.raises(ValueError):
+        _png.decode_png(b"not a png at all")
 
 
 def test_embeddings_are_dyadic_43(spark, sf_medium):
