@@ -205,7 +205,19 @@ def repetition_stats(
     explode, per-gram counting, and per-document ratios all run in the
     same stage with no further shuffle.  Only the source rows cross
     the wire; a well-split 100 TB table can pass ``repartition=False``
-    and run map-side from the scan."""
+    and run map-side from the scan.
+
+    Gram keys are HASHED (r6, VERDICT r5 ask #6): the per-gram count
+    groups on ``xxhash64`` of the token slice, never materializing the
+    gram string — every output depends only on the grams' equality
+    classes, so hashing is output-equivalent modulo 64-bit collisions
+    (~L^2/2^64 per document — the same engine-internal-keys argument
+    as the LM scorer's model joins; the SQL oracle keeps raw strings).
+    Measured at the 50x fair layout: string grams 9.3 s, hashed grams
+    6.6 s.  A zero-shuffle all-map variant (array_sort + aggregate
+    max-run scan) measured 13-25 s — Spark evaluates higher-order
+    lambdas interpreted, outside codegen — and was rejected; the A/B
+    is recorded in SCALING.md."""
     if repartition:
         spark = df.sparkSession
         p = max(
@@ -218,9 +230,9 @@ def repetition_stats(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            lambda i: F.xxhash64(F.slice(toks, i, n)),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<long>"))
     exploded = df.select(F.col(id_col), F.explode(n_grams).alias("ng"))
     per_gram = exploded.groupBy(id_col, "ng").agg(F.count(F.lit(1)).alias("c"))
     total = F.sum("c")
