@@ -4666,6 +4666,168 @@ def q_embed_clusters(spark, sf_dir):
     return D.neardup_clusters(pairs.select("id_a", "id_b"))
 
 
+@_q("q_sample_weighted", """
+WITH c AS (
+  SELECT doc_id, n_chars,
+         CAST(SUM(n_chars) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(n_chars) OVER () AS BIGINT) AS total
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS weight,
+       cum AS cum_weight,
+       CAST((cum * 37) // total - ((cum - n_chars) * 37) // total AS BIGINT)
+         AS n_tickets
+FROM c
+WHERE (cum * 37) // total > ((cum - n_chars) * 37) // total
+""")
+def q_sample_weighted(spark, sf_dir):
+    """X6: systematic PPS (probability-proportional-to-size) weighted
+    sampling — 37 tickets dropped on the cumulative-weight line, docs
+    weighted by length (operators/sampling.sample_systematic).  Pure
+    integer ticket arithmetic over an exact two-phase distributed
+    prefix sum, so the sample is deterministic, retry-stable and
+    bit-identical across engines — the portable alternative to
+    float exponential-race reservoirs, and the exact analogue of the
+    reference's deterministic-id discipline for splits
+    (stream_dims.py CDC keys).  sum(n_tickets) == 37 exactly."""
+    from real_timetransactionaldatalakehouse_spark.operators import sampling as Smp
+
+    return Smp.sample_systematic(
+        _t(spark, sf_dir, "documents"), k=37, weight_col="n_chars"
+    )
+
+
+@_q("q_vocab_coverage", """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token
+), ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS pos,
+         CAST(SUM(n) OVER (ORDER BY n DESC, token ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(n) OVER () AS BIGINT) AS total
+  FROM counts
+)
+SELECT t.target_pct,
+       CAST(MIN(CASE WHEN cum * 100 >= t.target_pct * total THEN pos END)
+            AS BIGINT) AS n_terms,
+       CAST(MIN(CASE WHEN cum * 100 >= t.target_pct * total THEN cum END)
+            AS BIGINT) AS tokens_covered
+FROM ranked CROSS JOIN (VALUES (50), (90), (99)) AS t(target_pct)
+GROUP BY t.target_pct
+""")
+def q_vocab_coverage(spark, sf_dir):
+    """X4/X6h: tokenizer-design coverage curve — smallest vocabulary
+    (terms in descending corpus frequency) covering >= 50/90/99% of
+    token occurrences (operators/text.vocab_coverage).  The corpus
+    pass is the token_counts partial agg; the rank+running-sum over
+    the VOCABULARY uses the two-phase prefix sum (no single-partition
+    window at any vocab size); the coverage test is exact integer
+    (cum*100 >= pct*total), so rows hash bit-for-bit."""
+    from real_timetransactionaldatalakehouse_spark.operators import text as T
+
+    return T.vocab_coverage(
+        _t(spark, sf_dir, "documents"), targets=(50, 90, 99)
+    )
+
+
+@_q("q_dedup_passage", f"""
+WITH {_MUTATED_CORPUS_CTE}, t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs
+), c AS (
+  SELECT doc_id, toks, CAST(len(toks) // 8 AS INT) AS nc
+  FROM t WHERE len(toks) >= 8
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(0, nc - 1),
+                s -> array_to_string(list_slice(toks, s*8 + 1, s*8 + 8), ' ')))
+           AS gram
+  FROM c
+), occ AS (
+  SELECT gram, COUNT(*) AS o FROM g GROUP BY gram
+)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN occ.o > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks
+FROM g JOIN occ USING (gram)
+GROUP BY g.doc_id
+""")
+def q_dedup_passage(spark, sf_dir):
+    """X1/X4b: inter-document PASSAGE-level duplication profile
+    (operators/dedup.passage_repetition) — non-overlapping 8-token
+    chunks fingerprinted and counted corpus-wide; per doc the number
+    of chunks appearing more than once anywhere (the MassiveText /
+    RefinedWeb boilerplate signal whole-document dedup cannot see).
+    Same mutant injection as the near-dup queries (docs 0-19 get a
+    2-token-trimmed copy) so duplicated passages exist by
+    construction.  The oracle groups on RAW gram strings while the
+    engine groups on md5-60 fingerprints — parity doubles as the
+    collision-freeness check.  Chunks shuffle as (fp, id) pairs,
+    never text (exact_dedup's fingerprint discipline)."""
+    from real_timetransactionaldatalakehouse_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    mutated = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))
+        ).alias("text"),
+    )
+    return D.passage_repetition(docs.unionByName(mutated), chunk=8)
+
+
+@_q("q_split_leakage", f"""
+WITH {_MUTATED_CORPUS_CTE}, {_SHINGLES_CTE},
+pairs AS (
+  SELECT id_a, id_b, jaccard FROM (
+    SELECT a.id AS id_a, b.id AS id_b, {_SHINGLE_JACCARD} AS jaccard
+    FROM sh a JOIN sh b ON a.id < b.id
+  ) WHERE jaccard >= 0.5
+), splits AS (
+  SELECT id,
+         CASE WHEN ('0x' || substr(md5(CAST(id AS VARCHAR) || ':split-v1'),
+                    1, 15))::BIGINT % 1000 < 900
+              THEN 'train' ELSE 'eval' END AS split
+  FROM sh
+)
+SELECT p.id_a, p.id_b, p.jaccard,
+       sa.split AS split_a, sb.split AS split_b
+FROM pairs p
+JOIN splits sa ON p.id_a = sa.id
+JOIN splits sb ON p.id_b = sb.id
+WHERE sa.split <> sb.split
+""")
+def q_split_leakage(spark, sf_dir):
+    """X6: train/eval near-dup LEAKAGE audit
+    (operators/sampling.split_leakage) — hash_split 90/10 over the
+    mutated corpus, verified MinHash near-dup pairs (candidates ->
+    exact shingle Jaccard at 0.5, the q_neardup_verified pipeline),
+    keep pairs straddling the split boundary.  Trimmed mutants hash
+    to different buckets than their originals, so cross-split
+    near-dup leakage exists by construction — the audit a split
+    table must publish before eval numbers are trusted (benchmark
+    decontamination's in-corpus sibling)."""
+    from real_timetransactionaldatalakehouse_spark.operators import sampling as Smp
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    mutated = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))
+        ).alias("text"),
+    )
+    return Smp.split_leakage(
+        docs.unionByName(mutated),
+        jaccard_threshold=0.5,
+        weights={"train": 0.90, "eval": 0.10},
+        seed="split-v1",
+    )
+
+
 # =====================================================================
 # Driver contract surface
 # =====================================================================
@@ -4696,6 +4858,11 @@ _CHECK_FIRST: list[str] = [
     "q_collect_set",            # r5 err: array output -> CSV projection
     "q_embed_quantize",         # r5 err: array output -> CSV projection
     "q_trend_slope",            # rows-only -> exact-moment hashed oracle (r6)
+    # -- new in r6 (rotation rule: new queries head the round's window)
+    "q_sample_weighted",        # systematic PPS sampling (prefix-sum)
+    "q_vocab_coverage",         # tokenizer coverage curve
+    "q_dedup_passage",          # inter-doc passage duplication profile
+    "q_split_leakage",          # train/eval near-dup leakage audit
     # -- fan_out guard semantics changed under these (r5 ADVICE #2)
     "q_text_redact",
     "q_decontaminate_ngram",
@@ -4739,11 +4906,6 @@ _CHECK_FIRST: list[str] = [
     "q_vocab_topn",
     "q_window_sliding",
     "q_window_tumbling_1min",
-    # -- oldest r4 greens fill the remaining slots
-    "q_agg_binned_heatmap",
-    "q_agg_conditional_counts",
-    "q_agg_count_by_key",
-    "q_agg_global",
 ]
 # r7 window note: every query above the r3-rotation block heads this
 # round's window per the ROTATION RULE; if round 6 adds or changes

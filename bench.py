@@ -100,6 +100,11 @@ BENCH_QUERIES = [
     # r5 additions
     "q_robust_scale",
     "q_spike_detect",
+    # r6 additions
+    "q_sample_weighted",
+    "q_vocab_coverage",
+    "q_dedup_passage",
+    "q_split_leakage",
 ]
 
 # The r3 headline set (BENCH_r03.json's 30 queries): the aggregate
@@ -117,6 +122,11 @@ R3_COMMON = BENCH_QUERIES[:30]
 # tools/amortized_bench.py).
 ORACLE_SKIP = {
     "q_neardup_minhash": "all-pairs exact-Jaccard oracle is O(n^2); minutes at sf>=0.1",
+    "q_neardup_cross_corpus": (
+        "cross-side exact-Jaccard oracle is O(corpus x incoming); it hangs "
+        "at the 50x replica (375M list_intersect pairs) — the engine side "
+        "stays banded and is timed without the control"
+    ),
 }
 
 

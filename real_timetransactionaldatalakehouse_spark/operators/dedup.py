@@ -818,3 +818,65 @@ def drop_near_duplicates(
         .select(F.col("id").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def passage_repetition(
+    df: DataFrame,
+    chunk: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5_60",
+) -> DataFrame:
+    """Inter-document PASSAGE-level duplication profile — the
+    boilerplate/near-template signal MassiveText- and
+    RefinedWeb-style curation filters on (headers, navigation
+    chrome, license blurbs shared verbatim across documents that
+    whole-document dedup cannot see).
+
+    Each document's token stream is cut into non-overlapping
+    ``chunk``-token passages (stride == chunk; the ragged tail is
+    dropped so both engines see identical chunk sets), every passage
+    is fingerprinted, and a global occurrence count per fingerprint
+    marks which passages appear more than once ANYWHERE in the
+    corpus.  Output, one row per document with at least one full
+    chunk: ``(id, n_chunks, dup_chunks)``; a downstream gate drops or
+    trims documents whose ``dup_chunks / n_chunks`` exceeds a
+    threshold.
+
+    Scale shape: passages are built and hashed map-side, so the
+    occurrence-count shuffle carries (fp, id) pairs — never text —
+    exactly like :func:`exact_dedup`'s fingerprint path; the count
+    join is fp-co-partitioned (AQE reuses the exchange) and the final
+    per-document rollup is one more narrow shuffle on the id.
+    ``hash_fn='md5_60'`` keeps the exact DuckDB twin; production runs
+    use ``'xxhash64'`` (~10x cheaper, same collision argument as
+    every gram pipeline here).
+    """
+    hasher = _md5_60 if hash_fn == "md5_60" else TOKEN_HASHES[hash_fn]
+    t = tokens(text_col)
+    base = (
+        df.select(F.col(id_col), t.alias("__t"))
+        .withColumn("__nc", (F.size("__t") / chunk).cast("int"))
+        .filter(F.col("__nc") >= 1)
+    )
+    fps = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__nc") - 1),
+                lambda i: hasher(
+                    F.concat_ws(" ", F.slice("__t", i * chunk + 1, chunk))
+                ),
+            )
+        ).alias("__fp"),
+    )
+    occ = fps.groupBy("__fp").agg(F.count(F.lit(1)).alias("__occ"))
+    return (
+        fps.join(occ, "__fp")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("__occ") > 1, 1).otherwise(0))
+            .cast("long").alias("dup_chunks"),
+        )
+    )

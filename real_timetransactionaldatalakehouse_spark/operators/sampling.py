@@ -489,3 +489,194 @@ def contamination_report(
             F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
         )
     )
+
+
+def _global_cumsum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list,
+    partitions: int | None = None,
+):
+    """Global 1-based position and INCLUSIVE running sum of
+    ``value_col`` over a total order, without ever funneling the data
+    through a single-partition window: range-shuffle on the order
+    keys, ``row_number``/``sum`` windows within each partition, then
+    add per-partition (rows, sum) offsets computed from a
+    metadata-sized collect (one row per partition) — the same
+    two-phase prefix sum as :func:`relational.global_rank` and
+    :func:`pack_sequences`.
+
+    ``order_cols`` may mix column names and Column expressions (e.g.
+    ``F.col("cnt").desc()``) but must form a TOTAL order (unique
+    tiebreak) so positions are partition-boundary-independent.
+
+    Returns ``(out, total_rows, total_sum)``; ``out`` carries the
+    input columns plus ``__pos`` and ``__cum``.  The ranged frame is
+    persisted (RangePartitioner boundaries are sampled per job and
+    must agree across the offset pass and the output pass); the
+    caller should route through :func:`dedup._attach_cached` when it
+    builds further cached plans on top.
+    """
+    from pyspark.sql import Window
+
+    from .relational import _partition_offset_expr
+
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).persist()
+    totals = sorted(
+        (r["__pid"], r["c"], r["s"]) for r in
+        with_pid.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("c"),
+             F.sum(F.col(value_col).cast("long")).alias("s"))
+        .collect()
+    )
+    row_offsets, sum_offsets = [], []
+    rows_acc = total_sum = 0
+    for pid, c, s in totals:
+        row_offsets.append((pid, rows_acc))
+        sum_offsets.append((pid, total_sum))
+        rows_acc += int(c)
+        total_sum += int(s)
+    w = Window.partitionBy("__pid").orderBy(*cols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    row_off = _partition_offset_expr(row_offsets)
+    sum_off = _partition_offset_expr(sum_offsets)
+    joined = with_pid
+    if row_off is None:
+        off_df = F.broadcast(spark.createDataFrame(
+            [(p, r, s[1]) for (p, r), s in zip(row_offsets, sum_offsets)],
+            "__pid int, __row_off long, __sum_off long",
+        ))
+        joined = with_pid.join(off_df, "__pid")
+        row_off, sum_off = F.col("__row_off"), F.col("__sum_off")
+    out = (
+        joined
+        .withColumn("__pos", F.row_number().over(w) + row_off)
+        .withColumn(
+            "__cum", F.sum(F.col(value_col).cast("long")).over(w) + sum_off
+        )
+        .drop("__pid", "__row_off", "__sum_off")
+    )
+    from .dedup import _attach_cached
+
+    return _attach_cached(out, [with_pid]), rows_acc, total_sum
+
+
+def sample_systematic(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    order_cols: list[str] | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size (PPS) sampling:
+    pick ``k`` documents with inclusion probability proportional to a
+    positive INTEGER weight (quality score, token count, boost
+    factor) using exact integer arithmetic — the deterministic,
+    retry-stable alternative to exponential-race weighted reservoirs
+    (Efraimidis–Spirakis), whose float ``u^(1/w)`` keys are not
+    bit-portable across engines or libm versions.
+
+    Lay the documents on a line in a fixed total order (``order_cols``,
+    default the unique id), each covering an interval of length equal
+    to its weight; drop ``k`` evenly spaced tickets on the line and
+    keep every document whose interval contains a ticket.  With
+    cumulative weight ``C_i`` and total ``T``, doc ``i`` is selected
+    iff ``floor(C_i*k/T) > floor((C_i - w_i)*k/T)`` — pure integer
+    ops, so Spark and any ANSI engine agree bit-for-bit.  A document
+    with ``w_i > T/k`` can cover several tickets (``n_tickets > 1``):
+    the standard PPS multiplicity, reported rather than resampled.
+
+    Output: ``(id, weight, cum_weight, n_tickets)`` for selected
+    documents only; ``sum(n_tickets) == k`` exactly.
+
+    Scale shape: one range shuffle (the two-phase prefix sum above),
+    a metadata-sized per-partition totals collect, and a map-side
+    filter.  No single-partition stage at any size.  Guards ``T * k``
+    against int64 overflow — at corpus scales beyond ~2^63/T tickets,
+    switch the ticket arithmetic to DECIMAL(38,0).
+    """
+    order = order_cols or [id_col]
+    cum_df, _, total = _global_cumsum(
+        df, weight_col, order, partitions=partitions
+    )
+    if total <= 0:
+        raise ValueError(f"total weight must be positive, got {total}")
+    if total > (2**63 - 1) // max(k, 1):
+        raise OverflowError(
+            f"T*k = {total}*{k} overflows int64; use DECIMAL ticket math"
+        )
+    w = F.col(weight_col).cast("long")
+    # ticket index at the doc's interval end vs start: integer div on
+    # non-negative longs == floor division in both engines
+    hi_t = F.expr(f"(__cum * {k}) div {total}")
+    lo_t = F.expr(f"((__cum - CAST({weight_col} AS BIGINT)) * {k}) div {total}")
+    out = (
+        cum_df
+        .withColumn("__nt", (hi_t - lo_t).cast("long"))
+        .filter(F.col("__nt") >= 1)
+        .select(
+            F.col(id_col),
+            w.alias("weight"),
+            F.col("__cum").alias("cum_weight"),
+            F.col("__nt").alias("n_tickets"),
+        )
+    )
+    from .dedup import _attach_cached
+
+    return _attach_cached(out, getattr(cum_df, "_cached_deps", []))
+
+
+def split_leakage(
+    df: DataFrame,
+    jaccard_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: str = "split-v1",
+    **neardup_kwargs,
+) -> DataFrame:
+    """Train/eval LEAKAGE audit — the check that must pass after
+    :func:`hash_split` and near-dup ingestion compose: find verified
+    near-duplicate pairs whose endpoints landed in DIFFERENT splits.
+    Whole-document hash splitting is immune to exact duplicates only
+    if dedup ran first and caught everything; near-duplicates (the
+    trimmed/mutated copies MinHash exists for) can still straddle the
+    boundary and leak eval content into training.  Publishing this
+    audit next to the split table is standard practice for the same
+    reason decontamination ships :func:`contamination_report`.
+
+    Plan: split assignment is the map-only hash bucket; pair
+    generation is :func:`dedup.minhash_verified_neardup_pairs`
+    (banded candidates -> exact Jaccard, never the pair space); the
+    split labels join back by id (two broadcast-or-shuffle key joins
+    on the PAIR table, which is tiny relative to the corpus).
+
+    Output: ``(id_a, id_b, jaccard, split_a, split_b)`` with
+    ``split_a != split_b`` — empty means the split is leakage-free at
+    the audited threshold.
+    """
+    from .dedup import minhash_verified_neardup_pairs
+
+    weights = weights or {"train": 0.90, "eval": 0.10}
+    labeled = hash_split(
+        df, id_col=id_col, weights=weights, seed=seed, out_col="split"
+    ).select(F.col(id_col).alias("__id"), "split")
+    pairs = minhash_verified_neardup_pairs(
+        df, text_col=text_col, id_col=id_col,
+        jaccard_threshold=jaccard_threshold, **neardup_kwargs,
+    )
+    sa = labeled.select(F.col("__id").alias("id_a"),
+                        F.col("split").alias("split_a"))
+    sb = labeled.select(F.col("__id").alias("id_b"),
+                        F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+    )

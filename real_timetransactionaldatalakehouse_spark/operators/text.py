@@ -863,3 +863,61 @@ def token_entropy(
             (-F.sum(contrib).cast("double")).alias("entropy_nats"),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    targets: tuple[int, ...] = (50, 90, 99),
+    text_col: str = "text",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Tokenizer-design coverage curve: for each target percentage,
+    the smallest vocabulary (terms taken in descending corpus
+    frequency) that covers at least that share of all token
+    occurrences — the standard diagnostic for sizing a vocab /
+    choosing a BPE merge count over a new corpus.
+
+    Output: one row per target, ``(target_pct, n_terms,
+    tokens_covered)`` — all exact integers: the coverage test is
+    ``cum * 100 >= target_pct * total`` so no float division enters
+    the result.
+
+    Scale shape: the corpus pass is the :func:`token_counts` partial
+    aggregation (the only full-data shuffle); everything after runs
+    on the VOCABULARY (millions of rows at web scale, not billions),
+    ranked + running-summed by the same two-phase prefix sum as
+    :func:`sampling._global_cumsum` — no single-partition window even
+    at a 10^8-term vocab.  The final per-target reduction is one
+    global min-aggregate producing ``len(targets)`` rows.
+    """
+    from .dedup import _attach_cached
+    from .sampling import _global_cumsum
+
+    counts = token_counts(df, text_col)
+    ranked, _, total = _global_cumsum(
+        counts, "n",
+        [F.col("n").desc(), F.col("token").asc()],
+        partitions=partitions,
+    )
+    # min pos satisfying the coverage test; cum is monotone in pos, so
+    # min(cum | test) is the running total AT that pos
+    aggs = []
+    for t in targets:
+        hit = F.col("__cum") * 100 >= F.lit(int(t)) * F.lit(total)
+        aggs.append(F.min(F.when(hit, F.col("__pos"))).alias(f"__n{t}"))
+        aggs.append(F.min(F.when(hit, F.col("__cum"))).alias(f"__c{t}"))
+    one = ranked.agg(*aggs)
+    per_target = F.array(*[
+        F.struct(
+            F.lit(int(t)).alias("target_pct"),
+            F.col(f"__n{t}").alias("n_terms"),
+            F.col(f"__c{t}").alias("tokens_covered"),
+        )
+        for t in targets
+    ])
+    out = one.select(F.explode(per_target).alias("r")).select(
+        F.col("r.target_pct").alias("target_pct"),
+        F.col("r.n_terms").cast("long").alias("n_terms"),
+        F.col("r.tokens_covered").cast("long").alias("tokens_covered"),
+    )
+    return _attach_cached(out, getattr(ranked, "_cached_deps", []))

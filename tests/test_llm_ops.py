@@ -1093,3 +1093,129 @@ def test_centroids_dyadic_matches_ordered_fold(spark, sf_small):
         cb, nb = b[k]
         assert na == nb
         assert abs(ca - cb) <= 1e-12 * max(1.0, abs(ca)), (k, ca, cb)
+
+
+def test_sample_systematic_invariants(spark, sf_small):
+    """PPS sampling: sum(n_tickets) == k exactly; selection is a pure
+    function of (order, weights) — re-partitioning the input cannot
+    move the sample (the retry-stability contract)."""
+    from real_timetransactionaldatalakehouse_spark.operators.sampling import (
+        sample_systematic,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    k = 13
+    got = sample_systematic(docs, k=k, weight_col="n_chars").collect()
+    assert sum(r.n_tickets for r in got) == k
+    assert all(r.n_tickets >= 1 for r in got)
+    # layout independence: a different partitioning yields the identical set
+    again = sample_systematic(
+        docs.repartition(7), k=k, weight_col="n_chars", partitions=3
+    ).collect()
+    assert {(r.doc_id, r.n_tickets) for r in got} == {
+        (r.doc_id, r.n_tickets) for r in again
+    }
+    # brute-force oracle: single-pass cumulative ticket walk
+    rows = sorted((r.doc_id, r.n_chars) for r in docs.collect())
+    total = sum(w for _, w in rows)
+    cum, expect = 0, {}
+    for doc_id, w in rows:
+        lo, cum = cum, cum + w
+        nt = (cum * k) // total - (lo * k) // total
+        if nt >= 1:
+            expect[doc_id] = nt
+    assert {r.doc_id: r.n_tickets for r in got} == expect
+
+
+def test_sample_systematic_heavy_weight_multiplicity(spark):
+    """A weight above T/k covers several tickets: reported as
+    n_tickets > 1, never silently resampled."""
+    from real_timetransactionaldatalakehouse_spark.operators.sampling import (
+        sample_systematic,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 1), (3, 1)], "doc_id long, w long"
+    )
+    got = {r.doc_id: r.n_tickets
+           for r in sample_systematic(df, k=10, weight_col="w").collect()}
+    assert got[1] >= 9
+    assert sum(got.values()) == 10
+
+
+def test_passage_repetition_values(spark):
+    """Known corpus: doc B repeats doc A's first chunk; ragged tails
+    are dropped; intra-document repeats count too."""
+    from real_timetransactionaldatalakehouse_spark.operators.dedup import (
+        passage_repetition,
+    )
+
+    a = "w0 w1 w2 w3 x0 x1 x2 x3 tail"        # chunks: [w0..w3], [x0..x3]
+    b = "w0 w1 w2 w3 y0 y1 y2 y3"             # shares A's first chunk
+    c = "z0 z1 z2 z3 z0 z1 z2 z3"             # repeats its own chunk
+    d = "short doc"                           # no full chunk -> absent
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d)], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_chunks, r.dup_chunks)
+           for r in passage_repetition(df, chunk=4).collect()}
+    assert got == {1: (2, 1), 2: (2, 1), 3: (2, 2)}
+
+
+def test_vocab_coverage_values(spark):
+    """Counts 4/3/2/1 over 10 tokens: 50% needs 2 terms (7 covered),
+    90% hits the exact boundary at 3 terms (9*100 == 90*10), 99%
+    needs the full 4."""
+    from real_timetransactionaldatalakehouse_spark.operators.text import (
+        vocab_coverage,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a a b b b"), (2, "c c d")], "doc_id long, text string"
+    )
+    got = {r.target_pct: (r.n_terms, r.tokens_covered)
+           for r in vocab_coverage(df, targets=(50, 90, 99)).collect()}
+    assert got == {50: (2, 7), 90: (3, 9), 99: (4, 10)}
+
+
+def test_split_leakage_finds_cross_split_neardups(spark, sf_small):
+    """Mutant docs hash to other buckets than their originals, so the
+    audit must surface at least one cross-split near-dup pair; every
+    reported pair really does straddle the split and really is a
+    verified near-dup."""
+    from real_timetransactionaldatalakehouse_spark.operators.sampling import (
+        hash_split, split_leakage,
+    )
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    mutated = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(mutated)
+    weights = {"train": 0.90, "eval": 0.10}
+    leaks = split_leakage(
+        corpus, jaccard_threshold=0.5, weights=weights
+    ).collect()
+    assert leaks, "constructed mutants must produce at least one leak"
+    split_of = {
+        r.doc_id: r.split
+        for r in hash_split(corpus, weights=weights).select(
+            "doc_id", "split"
+        ).collect()
+    }
+    verified = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in D.minhash_verified_neardup_pairs(
+            corpus, jaccard_threshold=0.5
+        ).select("id_a", "id_b").collect()
+    }
+    for r in leaks:
+        assert split_of[r.id_a] != split_of[r.id_b]
+        assert r.split_a == split_of[r.id_a]
+        assert r.split_b == split_of[r.id_b]
+        assert tuple(sorted((r.id_a, r.id_b))) in verified
+        assert r.jaccard >= 0.5
