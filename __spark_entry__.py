@@ -4863,6 +4863,12 @@ _CHECK_FIRST: list[str] = [
     "q_vocab_coverage",         # tokenizer coverage curve
     "q_dedup_passage",          # inter-doc passage duplication profile
     "q_split_leakage",          # train/eval near-dup leakage audit
+    # -- minhash fp-shortcut (r6): exact-dup pairs skip array compares;
+    #    every consumer of the pair pipeline changed plan and re-certifies
+    "q_neardup_minhash",
+    "q_neardup_clusters",
+    "q_neardup_free_corpus",
+    "q_corpus_pipeline",
     # -- fan_out guard semantics changed under these (r5 ADVICE #2)
     "q_text_redact",
     "q_decontaminate_ngram",
@@ -4902,10 +4908,6 @@ _CHECK_FIRST: list[str] = [
     "q_text_stats",
     "q_text_tokens",
     "q_text_winnow",
-    "q_topk_per_group",
-    "q_vocab_topn",
-    "q_window_sliding",
-    "q_window_tumbling_1min",
 ]
 # r7 window note: every query above the r3-rotation block heads this
 # round's window per the ROTATION RULE; if round 6 adds or changes

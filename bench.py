@@ -127,6 +127,11 @@ ORACLE_SKIP = {
         "at the 50x replica (375M list_intersect pairs) — the engine side "
         "stays banded and is timed without the control"
     ),
+    "q_split_leakage": (
+        "the leakage audit's control is the same all-pairs exact-Jaccard "
+        "twin as q_neardup_minhash (O(n^2) list_intersect); the engine "
+        "side stays banded and is timed without the control"
+    ),
 }
 
 

@@ -198,6 +198,7 @@ def minhash_banded(
     bands: int = 8,
     shingle_n: int = 3,
     repartition: bool = True,
+    include_fp: bool = False,
 ) -> DataFrame:
     """The shared signature+banding front end of MinHash LSH:
     ``(id, sig, band, bhash)`` — ``bands`` small rows per document.
@@ -210,6 +211,16 @@ def minhash_banded(
     or already >= target partitions; r3 VERDICT "What's wrong" #2).
     Used by :func:`minhash_neardup_pairs` (batch pair generation) and
     the streaming near-dup ingest (band-index probes).
+
+    ``include_fp=True`` adds ``fp`` (map-side xxhash64 of the raw
+    text, one long per row): identical texts have identical
+    signatures, so downstream pair stages use ``fp_a == fp_b`` as an
+    exact-duplicate shortcut — estimate and exact shingle Jaccard are
+    both exactly 1.0 without touching the arrays.  This is what keeps
+    pair generation linear-per-pair on duplicate-heavy crawls (a
+    50-copy boilerplate clique otherwise pays an array comparison for
+    every one of its O(m^2) bucket pairs).  Off by default so the
+    streaming band-index schema is unchanged.
     """
     rows_per_band = num_hashes // bands
     spread = df
@@ -225,12 +236,16 @@ def minhash_banded(
         # replica's 10 -> 37 case)
         if df.rdd.getNumPartitions() * 2 <= target:
             spread = df.repartition(target)
+    fp_cols = [F.xxhash64(F.col(text_col)).alias("fp")] if include_fp else []
     hashed = spread.select(
         F.col(id_col).alias("id"),
         F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("th"),
+        *fp_cols,
     )
+    carry = ["fp"] if include_fp else []
     sig = hashed.select(
-        "id", _minhash_sig_udf(num_hashes, shingle_n)(F.col("th")).alias("sig")
+        "id", _minhash_sig_udf(num_hashes, shingle_n)(F.col("th")).alias("sig"),
+        *carry,
     )
     band_cols = F.array(
         *[
@@ -241,8 +256,9 @@ def minhash_banded(
             for b in range(bands)
         ]
     )
-    return sig.select("id", "sig", F.explode(band_cols).alias("bb")).select(
-        "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
+    return sig.select("id", "sig", *carry, F.explode(band_cols).alias("bb")).select(
+        "id", "sig", *carry,
+        F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"),
     )
 
 
@@ -256,6 +272,7 @@ def minhash_neardup_pairs(
     jaccard_threshold: float = 0.5,
     max_bucket: int = 1024,
     repartition: bool = True,
+    with_same_fp: bool = False,
 ) -> DataFrame:
     """X2: MinHash+LSH near-duplicate pairs with estimated Jaccard.
 
@@ -276,9 +293,20 @@ def minhash_neardup_pairs(
     """
     banded = minhash_banded(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands,
-        shingle_n=shingle_n, repartition=repartition,
+        shingle_n=shingle_n, repartition=repartition, include_fp=True,
     )
-    est = _sig_agreement_est(F.col("sig_a"), F.col("sig_b"), num_hashes)
+    # Exact-duplicate shortcut: identical texts carry identical
+    # signatures, so their agreement estimate is 1.0 by construction —
+    # emit the literal instead of comparing 2*num_hashes array
+    # elements.  On duplicate-heavy crawls (the replica's 50-copy
+    # cliques, real boilerplate) the same-fp pairs DOMINATE the bucket
+    # pair stream, and this turns their per-pair cost into a long
+    # compare.  Output-equivalent modulo xxhash64 text collisions —
+    # the same engine-internal-key argument as the gram pipelines.
+    same_fp = F.col("p.a.fp") == F.col("p.b.fp")
+    est = F.when(same_fp, F.lit(1.0)).otherwise(
+        _sig_agreement_est(F.col("p.a.sig"), F.col("p.b.sig"), num_hashes)
+    )
     # Bucket-local pair generation (see _bucket_pairs): ONE shuffle
     # groups each band bucket's members, the cap drops degenerate
     # buckets as a size filter, and candidate pairs are emitted
@@ -288,17 +316,19 @@ def minhash_neardup_pairs(
     # co-bucketing in several bands is scored redundantly (cheap,
     # map-side), but the distinct only shuffles surviving pairs.
     pairs = _bucket_pairs(banded, ["band", "bhash"], max_bucket)
+    out_cols = ["id_a", "id_b", "jaccard_est"] + (
+        ["same_fp"] if with_same_fp else []
+    )
     return (
         pairs.select(
             F.least(F.col("p.a.id"), F.col("p.b.id")).alias("id_a"),
             F.greatest(F.col("p.a.id"), F.col("p.b.id")).alias("id_b"),
-            F.col("p.a.sig").alias("sig_a"),
-            F.col("p.b.sig").alias("sig_b"),
+            est.alias("jaccard_est"),
+            same_fp.alias("same_fp"),
         )
-        .withColumn("jaccard_est", est)
         .filter(F.col("jaccard_est") >= jaccard_threshold)
         .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", "jaccard_est")
+        .select(*out_cols)
     )
 
 
@@ -352,12 +382,19 @@ def minhash_cross_pairs(
     kwargs = dict(
         text_col=text_col, id_col=id_col, num_hashes=num_hashes,
         bands=bands, shingle_n=shingle_n, repartition=repartition,
+        include_fp=True,
     )
     both = (
         minhash_banded(left, **kwargs).withColumn("side", F.lit(0))
         .unionByName(minhash_banded(right, **kwargs).withColumn("side", F.lit(1)))
     )
-    est = _sig_agreement_est(F.col("sig_l"), F.col("sig_r"), num_hashes)
+    # same exact-duplicate shortcut as minhash_neardup_pairs: an
+    # incoming doc byte-identical to a corpus doc scores 1.0 without
+    # the array comparison (the dominant case when re-crawls re-ingest
+    # unchanged pages)
+    est = F.when(F.col("p.a.fp") == F.col("p.b.fp"), F.lit(1.0)).otherwise(
+        _sig_agreement_est(F.col("p.a.sig"), F.col("p.b.sig"), num_hashes)
+    )
     pairs = _bucket_pairs(both, ["band", "bhash"], max_bucket)
     return (
         pairs.filter(F.col("p.a.side") != F.col("p.b.side"))
@@ -366,12 +403,8 @@ def minhash_cross_pairs(
             .otherwise(F.col("p.b.id")).alias("left_id"),
             F.when(F.col("p.a.side") == 0, F.col("p.b.id"))
             .otherwise(F.col("p.a.id")).alias("right_id"),
-            F.when(F.col("p.a.side") == 0, F.col("p.a.sig"))
-            .otherwise(F.col("p.b.sig")).alias("sig_l"),
-            F.when(F.col("p.a.side") == 0, F.col("p.b.sig"))
-            .otherwise(F.col("p.a.sig")).alias("sig_r"),
+            est.alias("jaccard_est"),
         )
-        .withColumn("jaccard_est", est)
         .filter(F.col("jaccard_est") >= jaccard_threshold)
         .dropDuplicates(["left_id", "right_id"])
         .select("left_id", "right_id", "jaccard_est")
@@ -666,12 +699,25 @@ def minhash_verified_neardup_pairs(
     candidates, joined back to shingle sets by id — two key shuffles);
     the estimate gate sits 0.2 below the verify threshold so estimator
     variance (~1/sqrt(num_hashes)) does not drop true pairs.
+
+    Exact-duplicate pairs (``same_fp`` from the candidate stage) skip
+    the shingle join entirely: identical texts have identical distinct
+    shingle sets, so their exact Jaccard is the literal 1.0 — the
+    same value the array path computes, without moving two shingle
+    arrays per pair.  On duplicate-heavy corpora the same-fp pairs are
+    nearly ALL candidate pairs (every m-copy clique contributes
+    O(m^2) of them), so the verify stage's array traffic drops to the
+    genuinely-fuzzy remainder.
     """
     est_gate = max(jaccard_threshold - 0.2, 0.0)
     cand = minhash_neardup_pairs(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands,
-        shingle_n=shingle_n, jaccard_threshold=est_gate,
-    ).select("id_a", "id_b")
+        shingle_n=shingle_n, jaccard_threshold=est_gate, with_same_fp=True,
+    ).select("id_a", "id_b", "same_fp")
+    exact = cand.filter(F.col("same_fp")).select(
+        "id_a", "id_b", F.lit(1.0).alias("jaccard")
+    )
+    fuzzy = cand.filter(~F.col("same_fp")).select("id_a", "id_b")
     # persist the shingle table: the n-gram HOF build is the verify
     # stage's dominant cost and BOTH join sides read it — without the
     # cache Catalyst recomputes the transform per branch (measured 2x
@@ -686,13 +732,14 @@ def minhash_verified_neardup_pairs(
     inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b")))
     union = F.size(F.array_union(F.col("tok_a"), F.col("tok_b")))
     out = (
-        cand.join(a, "id_a")
+        fuzzy.join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a", "id_b",
             (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
+        .unionByName(exact)
     )
     return _attach_cached(out, [toks])
 
