@@ -710,10 +710,16 @@ def minhash_verified_neardup_pairs(
     genuinely-fuzzy remainder.
     """
     est_gate = max(jaccard_threshold - 0.2, 0.0)
+    # persist the candidate table: the exact and fuzzy branches are two
+    # consumers of the same pair plan, and without the cache each would
+    # re-run the whole signature+banding pipeline (the sig kernel is
+    # the front end's dominant cost).  Candidates are (long, long,
+    # bool) rows — the materialized candidate list every
+    # candidates-then-verify system keeps anyway.
     cand = minhash_neardup_pairs(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands,
         shingle_n=shingle_n, jaccard_threshold=est_gate, with_same_fp=True,
-    ).select("id_a", "id_b", "same_fp")
+    ).select("id_a", "id_b", "same_fp").persist()
     exact = cand.filter(F.col("same_fp")).select(
         "id_a", "id_b", F.lit(1.0).alias("jaccard")
     )
@@ -741,7 +747,7 @@ def minhash_verified_neardup_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .unionByName(exact)
     )
-    return _attach_cached(out, [toks])
+    return _attach_cached(out, [toks, cand])
 
 
 def jaccard_pairs(

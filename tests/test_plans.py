@@ -534,3 +534,52 @@ def test_bucketed_join_has_no_exchange(spark, sf_small, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_sample_weighted_no_single_partition(spark, sf_medium):
+    """Systematic PPS sampling must plan the two-phase prefix sum —
+    range exchanges and per-partition windows, never a one-partition
+    global window."""
+    plan = P.formatted_plan(_Q["q_sample_weighted"](spark, sf_medium))
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan, plan
+
+
+def test_vocab_coverage_single_partition_post_agg_only(spark, sf_medium):
+    """The coverage curve's only SinglePartition exchange is the final
+    global min-aggregate over per-partition partials (len(targets)
+    rows of longs) — the corpus pass and the vocabulary prefix sum
+    must stay partitioned."""
+    df = _Q["q_vocab_coverage"](spark, sf_medium)
+    plan = P.formatted_plan(df)
+    assert P.has_partial_aggregation(df), plan
+    assert plan.count("SinglePartition") == 1, plan
+    assert "rangepartitioning" in plan, plan
+
+
+def test_passage_repetition_shuffles_fingerprints_not_text(spark, sf_medium):
+    """Passage chunks must be hashed map-side: no exchange may carry
+    the raw text or token-array column (the exact_dedup fingerprint
+    discipline), and the occurrence count must partial-aggregate."""
+    df = _Q["q_dedup_passage"](spark, sf_medium)
+    plan = P.formatted_plan(df)
+    assert P.has_partial_aggregation(df), plan
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert "text" not in keys and "__t" not in keys, plan
+
+
+def test_minhash_same_fp_shortcut_in_plan(spark, sf_medium):
+    """The candidate estimate must contain the fp-equality shortcut
+    (CASE WHEN fp = fp THEN 1.0) so exact-duplicate pairs never pay
+    the signature array comparison."""
+    from real_timetransactionaldatalakehouse_spark.operators import dedup as D
+    from real_timetransactionaldatalakehouse_spark.sources import load_table
+
+    docs = load_table(spark, sf_medium, "documents").select("doc_id", "text")
+    df = D.minhash_neardup_pairs(docs, jaccard_threshold=0.3)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "CASE WHEN" in plan and "1.0" in plan, plan
+    assert plan.count("xxhash64(text") >= 1, plan
