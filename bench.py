@@ -238,21 +238,26 @@ def main() -> None:
     # analysis is done once (as in any long-running job), while every
     # run still executes the full physical plan (scans, shuffles,
     # kernels — caches are cleared between runs, nothing is a cached
-    # result).  min-of-5 filters single-run JVM noise (GC pauses,
+    # result).  min-of-N filters single-run JVM noise (GC pauses,
     # compilation, noisy-neighbor CPU stalls on a shared host).
-    # min-of-3 re-executions (was 5, then 4): the headline list grew
-    # from 30 to 49 queries; successive minima differ by noise while
-    # the whole run must stay inside the driver's capture envelope
+    # N=4 re-executions for Spark, 3 for DuckDB (r6, was 3/2): two
+    # back-to-back r6 runs of identical code put the 30-query r3common
+    # steady sum at 6.90 s and 7.24 s — a +-0.35 s noise band on a
+    # metric whose round-over-round gate moves on less, so both
+    # estimators get one more sample SYMMETRICALLY (min-of-N is the
+    # standard steady-state estimate; raising N on one side only would
+    # bias the ratio).  Cost: ~25 s per full run, inside the driver's
+    # capture envelope.
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
     for name in BENCH_QUERIES:
         df = qs[name](spark, SF_DIR)
         timings[name] = round(run_df(df), 4)
-        steady[name] = round(min(run_df(df) for _ in range(3)), 4)
+        steady[name] = round(min(run_df(df) for _ in range(4)), 4)
         if con is not None and name in osql and name not in ORACLE_SKIP:
             try:
                 best = float("inf")
-                for _ in range(2):
+                for _ in range(3):
                     t0 = time.perf_counter()
                     con.execute(osql[name]).fetchall()
                     best = min(best, time.perf_counter() - t0)
