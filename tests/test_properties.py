@@ -1172,3 +1172,37 @@ def test_spike_detect_floor_bins_pre_1970(spark):
     last = max(bins)
     base = {b: c for b, c in bins.items() if b < last}
     assert got["a"] == (bins[last], sum(base.values()) / len(base))
+
+
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=500),
+                     min_size=1, max_size=60),
+    k=st.integers(min_value=1, max_value=25),
+)
+@SETTINGS
+def test_sample_systematic_ticket_conservation(spark, weights, k):
+    """PPS invariants over generated weights: sum(n_tickets) == k
+    exactly; every selected interval really contains its tickets
+    (brute-force walk agrees); selection is independent of input
+    partitioning."""
+    from real_timetransactionaldatalakehouse_spark.operators.sampling import (
+        sample_systematic,
+    )
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {r.doc_id: r.n_tickets
+           for r in sample_systematic(df, k=k, weight_col="w").collect()}
+    assert sum(got.values()) == k
+    total, cum, expect = sum(weights), 0, {}
+    for i, w in rows:
+        lo, cum = cum, cum + w
+        nt = (cum * k) // total - (lo * k) // total
+        if nt:
+            expect[i] = nt
+    assert got == expect
+    again = {r.doc_id: r.n_tickets
+             for r in sample_systematic(
+                 df.repartition(5), k=k, weight_col="w", partitions=3
+             ).collect()}
+    assert again == expect
