@@ -132,6 +132,10 @@ ORACLE_SKIP = {
         "twin as q_neardup_minhash (O(n^2) list_intersect); the engine "
         "side stays banded and is timed without the control"
     ),
+    "q_neardup_verified": (
+        "all-pairs exact-Jaccard control, O(n^2) at replica scale; "
+        "engine side timed without it"
+    ),
 }
 
 
