@@ -4779,6 +4779,37 @@ def q_dedup_passage(spark, sf_dir):
     return D.passage_repetition(docs.unionByName(mutated), chunk=8)
 
 
+@_q("q_shard_layout", """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle-v1:shard'),
+          1, 15))::BIGINT % 8 AS shard,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle-v1:pos'),
+          1, 15))::BIGINT AS oh
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY oh ASC, doc_id ASC)
+            AS INTEGER) AS pos
+FROM h
+""")
+def q_shard_layout(spark, sf_dir):
+    """X6: deterministic training-shard shuffle layout
+    (operators/sampling.training_shard_layout) — every document gets
+    a (shard, pos) such that reading shards in position order yields
+    a fixed pseudo-random global permutation, with NO global sort:
+    shard assignment is a map-only md5 bucket and the position is one
+    keyed window per shard.  Retry-stable and layout-independent
+    (pure function of id and seed), unlike rand()/repartition order —
+    the same determinism discipline as hash_split, applied to
+    training ORDER."""
+    from real_timetransactionaldatalakehouse_spark.operators import sampling as Smp
+
+    return Smp.training_shard_layout(
+        _t(spark, sf_dir, "documents"), shards=8, seed="shuffle-v1"
+    )
+
+
 @_q("q_split_leakage", f"""
 WITH {_MUTATED_CORPUS_CTE}, {_SHINGLES_CTE},
 pairs AS (
@@ -4863,6 +4894,7 @@ _CHECK_FIRST: list[str] = [
     "q_vocab_coverage",         # tokenizer coverage curve
     "q_dedup_passage",          # inter-doc passage duplication profile
     "q_split_leakage",          # train/eval near-dup leakage audit
+    "q_shard_layout",           # deterministic training-shard shuffle
     # -- minhash fp-shortcut (r6): exact-dup pairs skip array compares;
     #    every consumer of the pair pipeline changed plan and re-certifies
     "q_neardup_minhash",
@@ -4907,7 +4939,6 @@ _CHECK_FIRST: list[str] = [
     "q_text_quality",
     "q_text_stats",
     "q_text_tokens",
-    "q_text_winnow",
 ]
 # r7 window note: every query above the r3-rotation block heads this
 # round's window per the ROTATION RULE; if round 6 adds or changes

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "q_vocab_coverage",
     "q_dedup_passage",
     "q_split_leakage",
+    "q_shard_layout",
 ]
 
 # The r3 headline set (BENCH_r03.json's 30 queries): the aggregate

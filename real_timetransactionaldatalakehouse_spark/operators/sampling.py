@@ -680,3 +680,51 @@ def split_leakage(
         .filter(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "jaccard", "split_a", "split_b")
     )
+
+
+def training_shard_layout(
+    df: DataFrame,
+    shards: int,
+    id_col: str = "doc_id",
+    seed: str = "shuffle-v1",
+) -> DataFrame:
+    """Deterministic global training-order shuffle WITHOUT a global
+    sort: every example gets a shard and a position inside it, such
+    that readers streaming shard 0..N-1 in position order see a fixed
+    pseudo-random permutation of the corpus — the layout step between
+    "curated corpus" and "training shards".
+
+    Shard and order both derive from the md5-prefix hash of
+    ``(id, seed)`` (:func:`split_bucket` discipline): re-running any
+    partition, appending a source, or changing executor counts cannot
+    move an example (``rand()``/``repartition`` order can and do),
+    and changing ``seed`` is a fresh epoch-level reshuffle.
+
+    Scale shape: shard assignment is map-only; the position is ONE
+    keyed window per shard (parallelism = ``shards``, each reducer
+    sorts its shard's (hash, id) pairs — choose ``shards`` >= cluster
+    cores so no reducer holds more than corpus/shards rows).  No
+    global sort, no single-partition stage, text never shuffles if
+    the caller projects ids first and joins the layout back.
+
+    Output: ``(id, shard, pos)`` — ``pos`` is 1-based within shard.
+    """
+    from pyspark.sql import Window
+
+    h_shard = split_bucket(id_col, seed + ":shard", shards)
+    order_h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"),
+                           F.lit(":" + seed + ":pos"))),
+            1, 15,
+        ), 16, 10,
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__oh").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(F.col(id_col), h_shard.alias("shard"),
+                  order_h.alias("__oh"))
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )

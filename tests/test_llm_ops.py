@@ -1219,3 +1219,31 @@ def test_split_leakage_finds_cross_split_neardups(spark, sf_small):
         assert r.split_b == split_of[r.id_b]
         assert tuple(sorted((r.id_a, r.id_b))) in verified
         assert r.jaccard >= 0.5
+
+
+def test_training_shard_layout_is_a_permutation(spark, sf_small):
+    """Every doc appears exactly once; positions within each shard are
+    1..n contiguous; the layout is a pure function of (id, seed) —
+    re-partitioning cannot move anything, a new seed reshuffles."""
+    from real_timetransactionaldatalakehouse_spark.operators.sampling import (
+        training_shard_layout,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    n = docs.count()
+    got = training_shard_layout(docs, shards=8).collect()
+    assert len(got) == n
+    assert len({r.doc_id for r in got}) == n
+    by_shard = {}
+    for r in got:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    again = training_shard_layout(docs.repartition(5), shards=8).collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in got} == {
+        (r.doc_id, r.shard, r.pos) for r in again
+    }
+    other = training_shard_layout(docs, shards=8, seed="shuffle-v2").collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in other} != {
+        (r.doc_id, r.shard, r.pos) for r in got
+    }
