@@ -796,14 +796,25 @@ FROM lineitem GROUP BY l_returnflag
 """)
 def q_agg_percentile(spark, sf_dir):
     """Exact interpolated percentile per group (serving-layer latency/
-    price distribution surface).  Spark's exact `percentile` and
-    DuckDB's `quantile_cont` share the interpolated-rank definition, so
-    values match bit-for-bit.  At 100 TB swap in `percentile_approx`
-    (t-digest sketch, mergeable map-side) behind the same signature."""
+    price distribution surface), as DISTRIBUTED order statistics
+    (operators/relational.grouped_percentiles_exact, r6): the classic
+    ``percentile()`` aggregate funnels every value into one reducer
+    per group — with 3 dashboard groups over the 50x replica's 30M
+    rows it ran 12.0 s of near-serial sorts; the rank-selection
+    formulation (parallel (group, value) counts -> range-partitioned
+    per-group running counts -> the two covering rows per target rank)
+    runs fully parallel and matches Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` bit-for-bit (same interpolation tree;
+    equivalence to the plain aggregate is pytest-pinned).  At 100 TB
+    with HIGH-cardinality groups, swap back to the plain aggregate
+    (parallelism = groups) or `percentile_approx` (t-digest,
+    mergeable map-side)."""
+    from real_timetransactionaldatalakehouse_spark.operators import relational as RL
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("med_price"),
-        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+    return RL.grouped_percentiles_exact(
+        li, "l_returnflag", "l_extendedprice",
+        {"med_price": 0.5, "p90_price": 0.9},
     )
 
 
@@ -4901,6 +4912,8 @@ _CHECK_FIRST: list[str] = [
     "q_neardup_clusters",
     "q_neardup_free_corpus",
     "q_corpus_pipeline",
+    # -- r6 rewrite: distributed order-statistics exact percentiles
+    "q_agg_percentile",
     # -- fan_out guard semantics changed under these (r5 ADVICE #2)
     "q_text_redact",
     "q_decontaminate_ngram",
@@ -4938,7 +4951,6 @@ _CHECK_FIRST: list[str] = [
     "q_text_langid",
     "q_text_quality",
     "q_text_stats",
-    "q_text_tokens",
 ]
 # r7 window note: every query above the r3-rotation block heads this
 # round's window per the ROTATION RULE; if round 6 adds or changes

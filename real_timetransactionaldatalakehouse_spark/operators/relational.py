@@ -653,3 +653,127 @@ def funnel_stages(
         F.lit(0),
     )
     return out.withColumn("stage", stage.cast("int"))
+
+
+def grouped_percentiles_exact(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: dict[str, float],
+    partitions: int | None = None,
+) -> DataFrame:
+    """EXACT interpolated percentiles per group as distributed order
+    statistics — the shape that survives LOW-cardinality group sets
+    at corpus scale, where the classic ``percentile()`` aggregate
+    funnels every value into one reducer per group (3 dashboard
+    groups over 30M rows = three near-serial sorts; measured 12.0 s
+    at the 50x replica vs 1.6 s for this formulation).
+
+    Plan: (1) one parallel hash agg collapses rows to
+    ``(group, value, count)`` (map-side combine; duplicate-heavy
+    metric columns collapse hard, distinct-valued ones pass through
+    but stay FULLY parallel); (2) range-partition by
+    ``(group, value)`` and build each group's running count with the
+    two-phase prefix sum (per-partition windows + a metadata-sized
+    per-(partition, group) totals collect — sized by |groups| x
+    |partitions|, so this operator is for dashboard-scale group sets;
+    HIGH-cardinality groups don't have the funnel problem and should
+    keep the plain aggregate); (3) each needed order statistic
+    ``k`` lives in the single row whose count interval covers it
+    (``cum - c < k <= cum``) — filter those rows and one tiny final
+    agg interpolates ``v_lo * (1 - frac) + v_hi * frac`` — that
+    EXACT tree, not the algebraically-equal ``v_lo + frac *
+    (v_hi - v_lo)``: both Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` evaluate the two-sided form, and the one-sided
+    form differs by 1 ulp on real data (caught by the sf0.001 parity
+    gate) — so results stay bit-identical to both.
+
+    ``probs`` maps output column name -> quantile in [0, 1].
+    Output: one row per group: ``(group, <name>...)``.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    g, v = F.col(group_col), F.col(value_col)
+    gtype = df.schema[group_col].dataType.simpleString()
+    cnt = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("__c"))
+    ranged = cnt.repartitionByRange(n, g, v).sortWithinPartitions(g, v)
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).persist()
+    # per-(partition, group) totals: |groups| x |partitions| rows
+    totals = sorted(
+        ((r["__pid"], r[group_col], r["t"]) for r in
+         with_pid.groupBy("__pid", group_col)
+         .agg(F.sum("__c").alias("t")).collect()),
+        key=lambda x: (x[1] is not None, x[1], x[0]),
+    )
+    group_n: dict = {}
+    offsets: list[tuple[int, object, int]] = []
+    for pid, grp, t in totals:
+        offsets.append((pid, grp, group_n.get(grp, 0)))
+        group_n[grp] = group_n.get(grp, 0) + int(t)
+    # needed 1-based positions per group: floor/ceil of rank (n-1)*p
+    targets: dict = {}
+    for grp, n_g in group_n.items():
+        pos = set()
+        for p in probs.values():
+            rk = (n_g - 1) * p
+            pos.add(math.floor(rk) + 1)
+            pos.add(math.ceil(rk) + 1)
+        targets[grp] = sorted(pos)
+    if not offsets:  # empty input: empty result with the right schema
+        return df.groupBy(group_col).agg(
+            *[F.lit(None).cast("double").alias(k) for k in probs]
+        )
+    off_df = F.broadcast(spark.createDataFrame(
+        [(p, grp, o) for p, grp, o in offsets],
+        f"__pid int, {group_col} {gtype}, __off long",
+    ))
+    w = Window.partitionBy("__pid", group_col).orderBy(v).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        with_pid.join(off_df, ["__pid", group_col])
+        .withColumn("__cum", F.sum("__c").over(w) + F.col("__off"))
+    )
+    pos_df = F.broadcast(spark.createDataFrame(
+        [(grp, k) for grp, ks in targets.items() for k in ks],
+        f"{group_col} {gtype}, __k long",
+    ))
+    hits = cum.join(pos_df, group_col).filter(
+        (F.col("__cum") - F.col("__c") < F.col("__k"))
+        & (F.col("__k") <= F.col("__cum"))
+    ).select(group_col, "__k", value_col)
+    aggs = []
+    for name, p in probs.items():
+        lo_of, hi_of, frac_of = {}, {}, {}
+        for grp, n_g in group_n.items():
+            rk = (n_g - 1) * p
+            lo_of[grp] = math.floor(rk) + 1
+            hi_of[grp] = math.ceil(rk) + 1
+            frac_of[grp] = rk - math.floor(rk)
+
+        def _match(of):
+            e = None
+            for grp, k in of.items():
+                c = (g == F.lit(grp)) & (F.col("__k") == F.lit(k))
+                e = c if e is None else e | c
+            return e
+
+        v_lo = F.max(F.when(_match(lo_of), F.col(value_col)))
+        v_hi = F.max(F.when(_match(hi_of), F.col(value_col)))
+        frac = None
+        for grp, fr in frac_of.items():
+            frac = (F.when(g == F.lit(grp), F.lit(fr)) if frac is None
+                    else frac.when(g == F.lit(grp), F.lit(fr)))
+        frac = F.max(frac)
+        aggs.append(
+            (v_lo * (F.lit(1.0) - frac) + v_hi * frac)
+            .cast("double").alias(name)
+        )
+    out = hits.groupBy(group_col).agg(*aggs)
+    from .dedup import _attach_cached
+
+    return _attach_cached(out, [with_pid])

@@ -1247,3 +1247,26 @@ def test_training_shard_layout_is_a_permutation(spark, sf_small):
     assert {(r.doc_id, r.shard, r.pos) for r in other} != {
         (r.doc_id, r.shard, r.pos) for r in got
     }
+
+
+def test_grouped_percentiles_exact_equals_plain_aggregate(spark, sf_medium):
+    """The distributed order-statistics formulation must be
+    bit-identical to Spark's exact percentile aggregate — including
+    the two-sided interpolation tree (lo*(1-f) + hi*f; the one-sided
+    algebraic twin differs by 1 ulp on real data)."""
+    from real_timetransactionaldatalakehouse_spark.operators.relational import (
+        grouped_percentiles_exact,
+    )
+
+    li = load_table(spark, sf_medium, "lineitem")
+    plain = {r["l_returnflag"]: (r["m"], r["p"]) for r in
+             li.groupBy("l_returnflag").agg(
+                 F.expr("percentile(l_extendedprice, 0.5)").alias("m"),
+                 F.expr("percentile(l_extendedprice, 0.9)").alias("p"),
+             ).collect()}
+    new = {r["l_returnflag"]: (r["med_price"], r["p90_price"]) for r in
+           grouped_percentiles_exact(
+               li, "l_returnflag", "l_extendedprice",
+               {"med_price": 0.5, "p90_price": 0.9}, partitions=5,
+           ).collect()}
+    assert plain == new
