@@ -106,6 +106,11 @@ BENCH_QUERIES = [
     "q_dedup_passage",
     "q_split_leakage",
     "q_shard_layout",
+    # r6 semantic tier (semdedup's k-row seed collect runs at declare
+    # time — the same accepted plan-build cost as q_knn_ivf's
+    # quantizer, noted in bench run_df's comment)
+    "q_semdedup",
+    "q_semantic_decontaminate",
 ]
 
 # The r3 headline set (BENCH_r03.json's 30 queries): the aggregate
