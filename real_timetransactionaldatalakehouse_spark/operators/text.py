@@ -241,7 +241,17 @@ def repetition_stats(
             int(spark.conf.get("spark.sql.shuffle.partitions")),
         )
         df = df.repartition(p, id_col)
-    toks = tokens(text_col)
+    # Materialize the token array as its own projection BEFORE the
+    # gram transform references it (same defect class as the r6
+    # winnowing fix): the lambda body runs interpreted, outside
+    # codegen's subexpression elimination, so an unbound ``tokens()``
+    # split inlined into ``slice`` re-splits the text once per gram
+    # position — O(L) splits per document.  Safe from CollapseProject
+    # re-inlining because the alias is referenced three times
+    # (two sizes + the slice).  Measured 0.49 s -> 0.31 s at sf0.1 on
+    # identical output.
+    tdf = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    toks = F.col("__toks")
     n_grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -249,7 +259,7 @@ def repetition_stats(
             lambda i: F.xxhash64(F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    exploded = df.select(F.col(id_col), F.explode(n_grams).alias("ng"))
+    exploded = tdf.select(F.col(id_col), F.explode(n_grams).alias("ng"))
     per_gram = exploded.groupBy(id_col, "ng").agg(F.count(F.lit(1)).alias("c"))
     total = F.sum("c")
     distinct = F.count(F.lit(1))
