@@ -1036,13 +1036,22 @@ FROM events
 """)
 def q_json_parse_struct(spark, sf_dir):
     """H1: from_json with explicit schema (reference streaming_job.py:200).
-    No ``fan_out`` here: a schema'd ``from_json`` is whole-stage-codegen
-    cheap, so repartitioning the raw JSON payload first costs more than
-    it saves at any scale where the exchange isn't already a no-op
-    (measured 0.15 s -> 0.88 s at sf0.1 when r4 added it; reverted).
-    ``fan_out`` stays reserved for genuinely expensive per-row kernels
-    (see q_text_redact) and is now split-count guarded."""
-    ev = _t(spark, sf_dir, "events").select("event_id", "props")
+    GUARDED ``fan_out`` before the parse (r6 re-A/B): Jackson parsing
+    is ~3 us/row — on the single-row-group bench file the unfanned
+    form runs the whole parse in ONE task (measured 0.42 s unfanned vs
+    0.24 s fanned at sf0.1; the r4-era 0.88 s fan regression predates
+    the core-count target and no longer reproduces).  The guard keeps
+    the exchange a no-op on a well-split table (the 100 TB case), so
+    the fan only fires when the scan under-splits."""
+    from real_timetransactionaldatalakehouse_spark.sources import fan_out
+
+    p = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    ev = fan_out(
+        _t(spark, sf_dir, "events").select("event_id", "props"), p, guard=True
+    )
     return ev.select(
         "event_id", LF.json_parse("props", "k INT").getField("k").alias("k")
     )
@@ -5042,6 +5051,8 @@ _CHECK_FIRST: list[str] = [
     # -- perf-touched this round (VERDICT r5 asks #5/#6)
     "q_bm25_search",
     "q_text_repetition",
+    "q_json_parse_struct",      # r6 late: guarded fan_out before the parse
+                                # (0.42 -> 0.24 s; stale r4 A/B superseded)
     "q_text_winnow",            # r6 scale fix: materialized gram-hash array
                                 # (O(L^2) interpreted md5 -> O(L); 51 s -> 1.1 s
                                 # at sf0.1); q_decontaminate shares the fix and
@@ -5071,12 +5082,13 @@ _CHECK_FIRST: list[str] = [
     "q_neardup_verified",
     "q_sessionize_lag",
     "q_split_assign",
-    "q_stratified_sample",
     "q_text_fingerprint",
     # (q_text_langid / q_text_quality / q_text_stats rotated out to
     # make room for the two r6 semantic-tier additions and the
-    # q_text_winnow re-certification: all three hold r3 hash-green
-    # rows and run in the pytest parity sweep every session)
+    # q_text_winnow re-certification; q_stratified_sample rotated out
+    # for the late-r6 q_json_parse_struct fan_out change: all four
+    # hold r3/r4 hash-green rows and run in the pytest parity sweep
+    # every session)
 ]
 # r7 window note: every query above the r3-rotation block heads this
 # round's window per the ROTATION RULE; if round 6 adds or changes

@@ -123,26 +123,24 @@ def ewma_batch_oracle(df: DataFrame, key_col: str, ts_col: str,
     the oracle-checked declared query ``q_ewma_state`` (DuckDB
     ``list_reduce`` replicates the identical left-to-right double
     fold, so the hash compare is bit-exact)."""
-    order_cols = [F.col(ts_col).asc()] + (
-        [F.col(tiebreak_col).asc()] if tiebreak_col else []
-    )
-    ordered = (
-        df.select(
-            F.col(key_col),
+    # Order via the struct sort alone (r6): ``array_sort`` on
+    # struct(ts, tiebreak, v) IS the (ts, tiebreak) ordering when the
+    # tiebreak makes rows unique — the previous row_number window only
+    # re-derived a rank the sort then re-sorted by, paying a full
+    # per-key sort stage twice (measured 0.49 s -> 0.33 s at sf0.1 on
+    # identical output).  Without a tiebreak, ties order by value —
+    # exactly as deterministic as row_number's arbitrary tie order.
+    ordered = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.struct(
             F.col(ts_col),
-            *( [F.col(tiebreak_col)] if tiebreak_col else [] ),
+            *([F.col(tiebreak_col)] if tiebreak_col else []),
             F.col(value_col).cast("double").alias("__v"),
-        )
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                __import__("pyspark.sql.window", fromlist=["Window"]).Window
-                .partitionBy(key_col).orderBy(*order_cols)
-            ),
-        )
+        ).alias("__e"),
     )
     seq = ordered.groupBy(key_col).agg(
-        F.array_sort(F.collect_list(F.struct("__rn", "__v"))).alias("__s"),
+        F.array_sort(F.collect_list("__e")).alias("__s"),
         F.count(F.lit(1)).alias("n_events"),
         F.max(F.col(ts_col)).alias("__max_ts"),
     )
@@ -274,22 +272,19 @@ def ewma_anomaly_batch_oracle(
     struct-typed ``aggregate`` — same left-to-right double ops, so the
     streaming replay, this twin, and the DuckDB ``list_reduce`` oracle
     agree bit-for-bit."""
-    order_cols = [F.col(ts_col).asc()] + (
-        [F.col(tiebreak_col).asc()] if tiebreak_col else []
-    )
-    from pyspark.sql.window import Window
-
+    # Same windowless struct-sort ordering as ewma_batch_oracle (r6):
+    # the row_number window only re-derived what array_sort computes.
     ordered = df.select(
         F.col(key_col),
         F.col(ts_col),
-        *([F.col(tiebreak_col)] if tiebreak_col else []),
-        F.col(value_col).cast("double").alias("__v"),
-    ).withColumn(
-        "__rn",
-        F.row_number().over(Window.partitionBy(key_col).orderBy(*order_cols)),
+        F.struct(
+            F.col(ts_col),
+            *([F.col(tiebreak_col)] if tiebreak_col else []),
+            F.col(value_col).cast("double").alias("__v"),
+        ).alias("__e"),
     )
     seq = ordered.groupBy(key_col).agg(
-        F.array_sort(F.collect_list(F.struct("__rn", "__v"))).alias("__s"),
+        F.array_sort(F.collect_list("__e")).alias("__s"),
         F.count(F.lit(1)).alias("n_events"),
         F.unix_timestamp(F.max(F.col(ts_col))).alias("last_ts_s"),
     )
