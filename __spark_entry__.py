@@ -5053,6 +5053,8 @@ _CHECK_FIRST: list[str] = [
     "q_text_repetition",
     "q_json_parse_struct",      # r6 late: guarded fan_out before the parse
                                 # (0.42 -> 0.24 s; stale r4 A/B superseded)
+    "q_simhash_neardup",        # r6 late: 3x21-bit SWAR lanes + pre-explode
+                                # size cap (sig stage 0.43 -> 0.35 s)
     "q_text_winnow",            # r6 scale fix: materialized gram-hash array
                                 # (O(L^2) interpreted md5 -> O(L); 51 s -> 1.1 s
                                 # at sf0.1); q_decontaminate shares the fix and
@@ -5081,12 +5083,12 @@ _CHECK_FIRST: list[str] = [
     "q_merge_upsert",
     "q_neardup_verified",
     "q_sessionize_lag",
-    "q_split_assign",
     "q_text_fingerprint",
     # (q_text_langid / q_text_quality / q_text_stats rotated out to
     # make room for the two r6 semantic-tier additions and the
-    # q_text_winnow re-certification; q_stratified_sample rotated out
-    # for the late-r6 q_json_parse_struct fan_out change: all four
+    # q_text_winnow re-certification; q_stratified_sample and
+    # q_split_assign rotated out for the late-r6 q_json_parse_struct
+    # fan_out change and the q_simhash_neardup SWAR re-lane: all five
     # hold r3/r4 hash-green rows and run in the pytest parity sweep
     # every session)
 ]
