@@ -738,44 +738,48 @@ def minhash_verified_neardup_pairs(
     genuinely-fuzzy remainder.
     """
     est_gate = max(jaccard_threshold - 0.2, 0.0)
-    # persist the candidate table: the exact and fuzzy branches are two
-    # consumers of the same pair plan, and without the cache each would
-    # re-run the whole signature+banding pipeline (the sig kernel is
-    # the front end's dominant cost).  Candidates are (long, long,
-    # bool) rows — the materialized candidate list every
-    # candidates-then-verify system keeps anyway.
     cand = minhash_neardup_pairs(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands,
         shingle_n=shingle_n, jaccard_threshold=est_gate, with_same_fp=True,
-    ).select("id_a", "id_b", "same_fp").persist()
-    exact = cand.filter(F.col("same_fp")).select(
-        "id_a", "id_b", F.lit(1.0).alias("jaccard")
-    )
-    fuzzy = cand.filter(~F.col("same_fp")).select("id_a", "id_b")
-    # persist the shingle table: the n-gram HOF build is the verify
-    # stage's dominant cost and BOTH join sides read it — without the
-    # cache Catalyst recomputes the transform per branch (measured 2x
-    # the whole verify wall at bench scale).  At corpus scale this is
-    # the materialized shingle index next to the signature index.
+    ).select("id_a", "id_b", "same_fp")
+    # SINGLE-PASS verify (r6): explode each candidate pair to its two
+    # endpoint ids, join the shingle table ONCE, and regroup the pair
+    # to compute the exact Jaccard from the two collected arrays
+    # (intersection/union are symmetric, so collect_list order is
+    # irrelevant).  The previous shape — exact/fuzzy branch split over
+    # a PERSISTED candidate table plus a PERSISTED shingle table
+    # joined once per side — had two consumers racing each cold cache
+    # inside one job, so the signature pipeline and the shingle build
+    # each computed ~twice per execution (block-level first-writer-
+    # wins, no cross-stage wait); one consumer per subplan needs no
+    # cache at all and drops the verify from two key joins to one
+    # (measured 1.88 s -> 1.24 s at sf0.1, identical output).
+    # Same-fp pairs keep the literal 1.0 shortcut via the CASE: the
+    # regroup they ride along in is pair-count-sized, not corpus-sized.
     toks = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(text_col, shingle_n)).alias("tok"),
-    ).persist()
-    a = toks.select(F.col("id").alias("id_a"), F.col("tok").alias("tok_a"))
-    b = toks.select(F.col("id").alias("id_b"), F.col("tok").alias("tok_b"))
-    inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b")))
-    union = F.size(F.array_union(F.col("tok_a"), F.col("tok_b")))
-    out = (
-        fuzzy.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
+    )
+    sides = cand.select(
+        "id_a", "id_b", "same_fp",
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id"),
+    )
+    grouped = (
+        sides.join(toks, "id")
+        .groupBy("id_a", "id_b", "same_fp")
+        .agg(F.collect_list("tok").alias("__tt"))
+    )
+    inter = F.size(F.array_intersect(F.element_at("__tt", 1), F.element_at("__tt", 2)))
+    union = F.size(F.array_union(F.element_at("__tt", 1), F.element_at("__tt", 2)))
+    return (
+        grouped.select(
             "id_a", "id_b",
-            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+            F.when(F.col("same_fp"), F.lit(1.0))
+            .otherwise(inter.cast("double") / union.cast("double"))
+            .alias("jaccard"),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
-        .unionByName(exact)
     )
-    return _attach_cached(out, [toks, cand])
 
 
 def jaccard_pairs(
