@@ -5055,6 +5055,8 @@ _CHECK_FIRST: list[str] = [
                                 # (0.42 -> 0.24 s; stale r4 A/B superseded)
     "q_simhash_neardup",        # r6 late: 3x21-bit SWAR lanes + pre-explode
                                 # size cap (sig stage 0.43 -> 0.35 s)
+    "q_search_ranked",          # r6 late: tfidf docfreq side broadcast
+    "q_keywords_per_doc",       # explicitly (cold-cache race fix)
     "q_text_winnow",            # r6 scale fix: materialized gram-hash array
                                 # (O(L^2) interpreted md5 -> O(L); 51 s -> 1.1 s
                                 # at sf0.1); q_decontaminate shares the fix and
@@ -5063,7 +5065,6 @@ _CHECK_FIRST: list[str] = [
     "q_agg_count_distinct",
     "q_agg_pct_threshold",
     "q_agg_ratio_velocity",
-    "q_balance_cap",
     "q_cohort_retention",
     "q_column_profile",
     "q_decontaminate",
@@ -5074,7 +5075,6 @@ _CHECK_FIRST: list[str] = [
     "q_ewma_state",
     "q_first_value_ignore_nulls",
     "q_freshness_view",
-    "q_jaccard_pairs",
     "q_join_asof",
     "q_knn_ivf",
     "q_knn_lsh",
@@ -5086,11 +5086,12 @@ _CHECK_FIRST: list[str] = [
     "q_text_fingerprint",
     # (q_text_langid / q_text_quality / q_text_stats rotated out to
     # make room for the two r6 semantic-tier additions and the
-    # q_text_winnow re-certification; q_stratified_sample and
-    # q_split_assign rotated out for the late-r6 q_json_parse_struct
-    # fan_out change and the q_simhash_neardup SWAR re-lane: all five
-    # hold r3/r4 hash-green rows and run in the pytest parity sweep
-    # every session)
+    # q_text_winnow re-certification; q_stratified_sample,
+    # q_split_assign, q_balance_cap and q_jaccard_pairs rotated out
+    # for the late-r6 changed queries above (q_json_parse_struct fan,
+    # q_simhash_neardup SWAR re-lane, tfidf broadcast race fix): all
+    # seven hold r3/r4 hash-green rows and run in the pytest parity
+    # sweep every session)
 ]
 # r7 window note: every query above the r3-rotation block heads this
 # round's window per the ROTATION RULE; if round 6 adds or changes

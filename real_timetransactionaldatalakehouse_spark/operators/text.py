@@ -583,8 +583,16 @@ def tfidf_scores(
     pairs = pairs.persist()
     docfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((1.0 + F.col("__n")) / (1.0 + F.col("df"))) + 1.0
+    # the (term, df, idf) side broadcasts EXPLICITLY (r6): its eager
+    # broadcast build runs before the probe stage and populates the
+    # pairs cache sequentially — left to stats-blind planning the join
+    # can fall back to SMJ, whose two shuffle stages race the cold
+    # cache and re-aggregate the postings twice in one job
     out = (
-        pairs.join(docfreq.crossJoin(n_row).withColumn("idf", idf), "term")
+        pairs.join(
+            F.broadcast(docfreq.crossJoin(n_row).withColumn("idf", idf)),
+            "term",
+        )
         .select(
             id_col, "term", "tf", "df",
             (F.col("tf").cast("double") * F.col("idf")).alias("tfidf"),
@@ -675,8 +683,13 @@ def bm25_scores(
     )
     tf = F.col("tf").cast("double")
     norm = tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("__avgdl"))
+    # explicit broadcast for the same cold-cache-race reason as
+    # tfidf_scores (the (term, df, idf) table is the tiny side)
     out = (
-        pairs.join(docfreq.crossJoin(corpus).withColumn("idf", idf), "term")
+        pairs.join(
+            F.broadcast(docfreq.crossJoin(corpus).withColumn("idf", idf)),
+            "term",
+        )
         .select(
             id_col, "term", "tf", "df", "dl",
             (F.col("idf") * (tf * (k1 + 1.0)) / norm).alias("bm25"),
