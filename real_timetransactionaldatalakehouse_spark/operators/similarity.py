@@ -68,6 +68,12 @@ def knn_bruteforce(
             norm(F.col(vec_col)).alias("q_norm"),
         )
     )
+    # guarded fan before the per-pair fold work (r6): a single-split
+    # candidate scan otherwise streams all |Q| x |C| interpreted dots
+    # through one task; no-op on a well-split table
+    from ..sources import fan_out
+
+    candidates = fan_out(candidates)
     # norms are computed ONCE per row on each side, not once per pair:
     # cosine(a,b) folds three 64-element aggregates; factoring the two
     # norms out of the |Q| x |C| product leaves one dot fold per pair.
@@ -839,8 +845,13 @@ def semantic_dedup(
     """
     from .dedup import neardup_clusters
 
+    import math
+
     base = df if max_id is None else df.filter(F.col(id_col) < max_id)
-    base = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = base.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("__vn"),
+    )
     id_hash = F.conv(
         F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10
     ).cast("long")
@@ -848,11 +859,24 @@ def semantic_dedup(
         base.orderBy(id_hash.asc(), F.col("id").asc()).limit(k).collect()
     )
     C = [list(r.v) for r in sorted(seeds, key=lambda r: r.id)]
+    # Norms factored ONCE (r6): interpreted HOF lambdas are not
+    # constant-folded nor CSE'd, so cosine() inlined per centroid
+    # re-folded norm(v) k times per row and norm(centroid) k times per
+    # row.  The centroid norms are Python floats computed with the
+    # IDENTICAL left-to-right sum-of-squares fold + IEEE sqrt, so the
+    # scores stay bit-equal to the cosine() tree the oracle replicates.
+    def _pynorm(cv):
+        s = 0.0
+        for x in cv:
+            s = s + float(x) * float(x)
+        return math.sqrt(s)
+
     cells = F.array(
         *[
             F.struct(
-                cosine(
-                    F.col("v"), F.array(*[F.lit(float(x)) for x in cv])
+                (
+                    dot(F.col("v"), F.array(*[F.lit(float(x)) for x in cv]))
+                    / (F.col("__vn") * F.lit(_pynorm(cv)))
                 ).alias("cos"),
                 F.lit(-i).alias("negidx"),
             )
@@ -863,20 +887,25 @@ def semantic_dedup(
     assigned = base.select(
         "id",
         "v",
+        "__vn",
         (-best["negidx"]).alias("cell"),
         best["cos"].alias("cent_cos"),
     )
     a = assigned.select(
-        "cell", F.col("id").alias("id_a"), F.col("v").alias("va")
+        "cell", F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("__vn").alias("__na"),
     )
     b = assigned.select(
-        "cell", F.col("id").alias("id_b"), F.col("v").alias("vb")
+        "cell", F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("__vn").alias("__nb"),
     )
     pairs = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("score")
+            "id_a", "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb")))
+            .alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
@@ -927,13 +956,33 @@ def semantic_contamination(
     ship the clean split, or review the report sorted by
     ``top_score``.
     """
-    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # guarded fan before the per-pair fold work (r6): a single-split
+    # corpus scan (the single-row-group bench file; small ingest
+    # batches) otherwise streams EVERY |corpus| x |eval| interpreted
+    # dot through one task; on a well-split 100 TB corpus the exchange
+    # is a no-op
+    from ..sources import fan_out
+
+    corpus = fan_out(corpus)
+    # norms factored once per side (r6): cosine() inlined per pair
+    # re-folds both norms for every (corpus, eval) combination —
+    # |eval| redundant corpus-norm folds per corpus row; the factored
+    # score is the same expression tree, bit-equal to the oracle
+    c = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("__vn"),
+    )
     e = evalset.select(
-        F.col(eval_id_col).alias("eid"), F.col(eval_vec_col).alias("ev")
+        F.col(eval_id_col).alias("eid"), F.col(eval_vec_col).alias("ev"),
+        norm(F.col(eval_vec_col)).alias("__en"),
     )
     hits = (
         c.crossJoin(F.broadcast(e))
-        .select("id", "eid", cosine(F.col("v"), F.col("ev")).alias("score"))
+        .select(
+            "id", "eid",
+            (dot(F.col("v"), F.col("ev")) / (F.col("__vn") * F.col("__en")))
+            .alias("score"),
+        )
         .filter(F.col("score") >= threshold)
     )
     return hits.groupBy("id").agg(
