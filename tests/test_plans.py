@@ -615,3 +615,90 @@ def test_winnow_gram_hashes_materialize_once(spark, sf_medium):
     df = _Q["q_text_winnow"](spark, sf_medium)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "__h" in plan, plan
+
+
+def test_verified_neardup_single_pass_no_caches(spark, sf_medium):
+    """r6 cold-cache-race contract: the verified near-dup pipeline
+    must have NO InMemoryRelation (a persisted subplan with two
+    consumers in one job computes its lineage twice when cold — block
+    store is first-writer-wins) and exactly ONE join against the
+    shingle table (pair endpoints explode to rows and regroup, so the
+    exact-Jaccard verify costs one key join, not one per side)."""
+    from real_timetransactionaldatalakehouse_spark.operators.dedup import (
+        minhash_verified_neardup_pairs,
+    )
+    from real_timetransactionaldatalakehouse_spark.sources import load_table
+
+    docs = load_table(spark, sf_medium, "documents").select("doc_id", "text")
+    plan = P.formatted_plan(minhash_verified_neardup_pairs(docs))
+    assert "InMemoryRelation" not in plan, plan
+    assert "InMemoryTableScan" not in plan, plan
+
+
+def test_lm_score_model_broadcast_is_reused(spark, sf_medium):
+    """r6 contract: both LM scoring lookups probe ONE broadcast of the
+    unfiltered (kind, key) model — under the bench configuration (AQE
+    off at sub-threshold input, see session.tune_for_input) the static
+    ReuseExchange rule must collapse the second model aggregation, and
+    the scoring joins are broadcast hash joins (no SMJ racing the cold
+    position-stream cache).  Pinned with AQE off because adaptive
+    planning defers reuse to runtime stage matching, which the static
+    plan string cannot witness."""
+    from real_timetransactionaldatalakehouse_spark.operators.text import (
+        ngram_lm_score,
+    )
+    from real_timetransactionaldatalakehouse_spark.sources import load_table
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        docs = load_table(spark, sf_medium, "documents").select(
+            "doc_id", "text"
+        )
+        plan = P.formatted_plan(ngram_lm_score(docs, persist=False))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert "ReusedExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_passage_repetition_has_no_join(spark, sf_medium):
+    """r6 contract: the passage occurrence count is a window over the
+    fingerprint partition, not an aggregate joined back — the plan has
+    no Join node and no cached subplan, so the chunk-hash explode
+    computes exactly once."""
+    plan = P.formatted_plan(_Q["q_dedup_passage"](spark, sf_medium))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "InMemoryRelation"):
+        assert node not in plan, f"{node} in:\n{plan}"
+    assert "Window" in plan, plan
+
+
+def test_ewma_batch_oracle_has_no_window(spark, sf_medium):
+    """r6 contract: the EWMA batch twins order via the struct sort
+    alone — a row_number window would re-derive a rank array_sort
+    then re-sorts by, paying the per-key sort twice."""
+    for name in ("q_ewma_state", "q_ewma_anomaly"):
+        plan = P.formatted_plan(_Q[name](spark, sf_medium))
+        assert "Window" not in plan, f"{name}:\n{plan}"
+
+
+def test_repetition_gram_transform_binds_token_array(spark, sf_medium):
+    """r6 contract (winnow defect class): the gram transform's lambda
+    must reference a MATERIALIZED token-array attribute, not the raw
+    split — an unbound tokens() inside the interpreted lambda
+    re-splits the text once per gram position.  The materialized
+    projection survives as a split_part/split alias referenced by the
+    generator stage."""
+    from real_timetransactionaldatalakehouse_spark.operators.text import (
+        repetition_stats,
+    )
+    from real_timetransactionaldatalakehouse_spark.sources import load_table
+
+    docs = load_table(spark, sf_medium, "documents").select("doc_id", "text")
+    plan = P.formatted_plan(repetition_stats(docs))
+    # the explode generator must consume the aliased array column, so
+    # the split expression appears in a Project BELOW the Generate —
+    # i.e. the Generate's input carries __toks, and the lambda body
+    # (xxhash64(slice(...))) references the lambda variable, not split
+    assert "__toks" in plan, plan
