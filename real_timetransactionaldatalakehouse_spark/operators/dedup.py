@@ -754,18 +754,29 @@ def minhash_verified_neardup_pairs(
     # wins, no cross-stage wait); one consumer per subplan needs no
     # cache at all and drops the verify from two key joins to one
     # (measured 1.88 s -> 1.24 s at sf0.1, identical output).
-    # Same-fp pairs keep the literal 1.0 shortcut via the CASE: the
-    # regroup they ride along in is pair-count-sized, not corpus-sized.
+    # Same-fp pairs keep the literal-1.0 shortcut STRUCTURALLY, not
+    # just in the CASE: they explode to a single NULL endpoint, which
+    # the left join cannot match, so no shingle array is ever attached
+    # to an exact-duplicate pair — on the 50x replica's 50-copy
+    # cliques (~6.1M same-fp pairs) routing them through the array
+    # join instead measured 80 s vs 20 s for the whole leakage audit.
     toks = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(text_col, shingle_n)).alias("tok"),
     )
     sides = cand.select(
         "id_a", "id_b", "same_fp",
-        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id"),
+        F.explode(
+            F.when(
+                # a single NULL endpoint of the id's own type (ids may
+                # be strings): F.when with no otherwise is NULL
+                F.col("same_fp"),
+                F.array(F.when(F.lit(False), F.col("id_a"))),
+            ).otherwise(F.array(F.col("id_a"), F.col("id_b")))
+        ).alias("id"),
     )
     grouped = (
-        sides.join(toks, "id")
+        sides.join(toks, "id", "left")
         .groupBy("id_a", "id_b", "same_fp")
         .agg(F.collect_list("tok").alias("__tt"))
     )
