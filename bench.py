@@ -189,6 +189,19 @@ def main() -> None:
         "q_orderby_limit_topk", "q_dedup_latest", "q_neardup_minhash",
     ):
         qs[wq](spark, "/root/testdata/sf0.001").collect()
+    # OS page-cache warmup for the measured SF (r6): the sf0.001
+    # warmup above never touches the SF_DIR files, so whichever query
+    # scans a table FIRST paid its cold disk read (measured 5.4 s cold
+    # vs 0.4 s warm on the events scan after drop_caches) — a cost
+    # that lands on arbitrary composition members while every later
+    # query reads warm.  One count() per table levels the field for
+    # both engines (the DuckDB oracles read the same files).
+    from real_timetransactionaldatalakehouse_spark import TPCH_TABLES as _TT
+
+    for t in _TT:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).count()
 
     def run_df(df) -> float:
         # drop anything the query BUILD persisted (e.g. the LM scorer's
