@@ -4805,6 +4805,54 @@ def q_semantic_decontaminate(spark, sf_dir):
     )
 
 
+_SEM_TOPK_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % 97 = 0
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+  WHERE vec_id % 97 <> 0
+), scored AS (
+  SELECT query_id, neighbor_id,
+    list_reduce(list_transform(list_zip(qv, cv),
+                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+                (s, v) -> s + v)
+    / (sqrt(list_reduce(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (s, v) -> s + v))
+     * sqrt(list_reduce(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (s, v) -> s + v)))
+    AS score
+  FROM c, q WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, rank, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+@_q("q_semantic_topk_contaminants", _SEM_TOPK_ORACLE)
+def q_semantic_topk_contaminants(spark, sf_dir):
+    """X6s semantic tier, review side: for EACH eval item, its top-3
+    nearest corpus documents by exact cosine — the ranked review queue
+    published next to the contamination report (the report says WHICH
+    corpus docs cleared the threshold; reviewers triage per eval item,
+    nearest first, including near-misses below it).  The eval side is
+    metadata-sized by definition, so it rides the fused Arrow lookup
+    kernel (operators/similarity.knn_topk_smallq): the corpus streams
+    once, each partition emits only its local top-3 per eval item, and
+    the single shuffle carries |partitions| x |eval| x 3 narrow rows —
+    never the |corpus| x |eval| product.  Scores fold left-to-right,
+    bit-identical to the oracle's list_reduce."""
+    from real_timetransactionaldatalakehouse_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.knn_topk_smallq(
+        emb.filter(F.col("vec_id") % 97 == 0),
+        emb.filter(F.col("vec_id") % 97 != 0),
+        k=3,
+    )
+
+
 @_q("q_sample_weighted", """
 WITH c AS (
   SELECT doc_id, n_chars,
@@ -5036,6 +5084,7 @@ _CHECK_FIRST: list[str] = [
     "q_shard_layout",           # deterministic training-shard shuffle
     "q_semdedup",               # SemDeDup cluster-scoped semantic dedup
     "q_semantic_decontaminate", # embedding-space contamination report
+    "q_semantic_topk_contaminants",  # per-eval-item review queue (late r6)
     # -- minhash fp-shortcut (r6): exact-dup pairs skip array compares;
     #    every consumer of the pair pipeline changed plan and re-certifies
     "q_neardup_minhash",
@@ -5065,7 +5114,6 @@ _CHECK_FIRST: list[str] = [
     "q_agg_count_distinct",
     "q_agg_pct_threshold",
     "q_agg_ratio_velocity",
-    "q_cohort_retention",
     "q_column_profile",
     "q_decontaminate",
     "q_dedup_latest",
@@ -5087,11 +5135,12 @@ _CHECK_FIRST: list[str] = [
     # (q_text_langid / q_text_quality / q_text_stats rotated out to
     # make room for the two r6 semantic-tier additions and the
     # q_text_winnow re-certification; q_stratified_sample,
-    # q_split_assign, q_balance_cap and q_jaccard_pairs rotated out
-    # for the late-r6 changed queries above (q_json_parse_struct fan,
-    # q_simhash_neardup SWAR re-lane, tfidf broadcast race fix): all
-    # seven hold r3/r4 hash-green rows and run in the pytest parity
-    # sweep every session)
+    # q_split_assign, q_balance_cap, q_jaccard_pairs and
+    # q_cohort_retention rotated out for the late-r6 changed/new
+    # queries above (q_json_parse_struct fan, q_simhash_neardup SWAR
+    # re-lane, tfidf broadcast race fix, the semantic top-k review
+    # queue): all eight hold r3/r4 hash-green rows and run in the
+    # pytest parity sweep every session)
 ]
 # r7 window note: every query above the r3-rotation block heads this
 # round's window per the ROTATION RULE; if round 6 adds or changes

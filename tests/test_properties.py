@@ -1242,3 +1242,53 @@ def test_semantic_contamination_flags_only_above_threshold(spark, sf_small):
         assert r.n_eval_hits >= 1, r
         assert r.top_eval_id % 97 == 0, "top_eval_id must be an eval row"
         assert r.id % 97 != 0, "corpus ids only"
+
+
+def test_semantic_lsh_contamination_is_exact_subset(spark, sf_small):
+    """The LSH-bucketed contamination report must be a RECALL subset
+    of the exact broadcast report: every flagged id also flagged by
+    the exact pass, with n_eval_hits <= exact (candidates missed, not
+    invented) and top_score <= exact top_score; where both agree on
+    the top eval item the score must be bit-identical (same factored
+    dot/norm expression tree)."""
+    from real_timetransactionaldatalakehouse_spark.operators import (
+        similarity as S,
+    )
+    from real_timetransactionaldatalakehouse_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_small, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 97 != 0)
+    ev = emb.filter(F.col("vec_id") % 97 == 0)
+    exact = {r.id: r for r in
+             S.semantic_contamination(corpus, ev, threshold=0.28).collect()}
+    lsh = {r.id: r for r in
+           S.semantic_contamination_lsh(corpus, ev, threshold=0.28).collect()}
+    assert exact, "fixture has no contaminated rows"
+    for i, r in lsh.items():
+        assert i in exact, f"LSH invented id {i}"
+        assert r.n_eval_hits <= exact[i].n_eval_hits
+        assert r.top_score <= exact[i].top_score
+        if r.top_eval_id == exact[i].top_eval_id:
+            assert r.top_score == exact[i].top_score
+
+
+def test_semantic_topk_contaminants_matches_bruteforce(spark, sf_small):
+    """The per-eval-item review queue (fused-kernel top-3) must equal
+    the plain brute-force knn on the same disjoint sides, rank by
+    rank, score-bit by score-bit."""
+    import __spark_entry__ as E
+    from real_timetransactionaldatalakehouse_spark.operators import (
+        similarity as S,
+    )
+    from real_timetransactionaldatalakehouse_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    got = sorted(map(tuple,
+                 E.queries()["q_semantic_topk_contaminants"](
+                     spark, sf_small).collect()))
+    emb = load_table(spark, sf_small, "embeddings")
+    want = sorted(map(tuple, S.knn_bruteforce(
+        emb.filter(F.col("vec_id") % 97 == 0),
+        emb.filter(F.col("vec_id") % 97 != 0), k=3).collect()))
+    assert got == want and got
