@@ -2828,8 +2828,12 @@ def q_neardup_clusters(spark, sf_dir):
     corpus = docs.unionByName(_mutant(20, 200000, 2)).unionByName(
         _mutant(10, 300000, 4)
     )
-    pairs = D.minhash_verified_neardup_pairs(corpus, jaccard_threshold=0.5)
-    return D.neardup_clusters(pairs)
+    # degenerate-graph-safe composition (r7): exact-dup cliques are
+    # pre-collapsed to one node before label propagation — output-
+    # equivalent on any corpus (see verified_neardup_clusters), and the
+    # difference between seconds and 10-minute straggler reducers on
+    # duplicate-heavy inputs (50x replica, SCALING.md)
+    return D.verified_neardup_clusters(corpus, jaccard_threshold=0.5)
 
 
 @_q("q_simhash_neardup", _SIMHASH_ORACLE)
@@ -4230,8 +4234,7 @@ def q_neardup_free_corpus(spark, sf_dir):
     corpus = docs.unionByName(_mutant(20, 200000, 2)).unionByName(
         _mutant(10, 300000, 4)
     )
-    pairs = D.minhash_verified_neardup_pairs(corpus, jaccard_threshold=0.5)
-    clusters = D.neardup_clusters(pairs)
+    clusters = D.verified_neardup_clusters(corpus, jaccard_threshold=0.5)
     drop = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
     return (
         corpus.join(
@@ -4484,8 +4487,7 @@ def q_corpus_pipeline(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
     benchmark = docs.filter(F.col("doc_id") % 20 == 0)
 
-    pairs = D.minhash_verified_neardup_pairs(corpus, jaccard_threshold=0.5)
-    clusters = D.neardup_clusters(pairs)
+    clusters = D.verified_neardup_clusters(corpus, jaccard_threshold=0.5)
     dup_drop = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
     deduped = corpus.join(
         F.broadcast(dup_drop), corpus["doc_id"] == dup_drop["id"], "left_anti"

@@ -194,14 +194,27 @@ def main() -> None:
     # scans a table FIRST paid its cold disk read (measured 5.4 s cold
     # vs 0.4 s warm on the events scan after drop_caches) — a cost
     # that lands on arbitrary composition members while every later
-    # query reads warm.  One count() per table levels the field for
-    # both engines (the DuckDB oracles read the same files).
+    # query reads warm.  Warm by reading the file BYTES (r7, ADVICE
+    # fix): a count() over parquet answers from row-group metadata
+    # without faulting the column pages in, so it only warmed footers
+    # and the first real query still paid the cold read.  Both engines
+    # read the same warmed files.
     from real_timetransactionaldatalakehouse_spark import TPCH_TABLES as _TT
+
+    def _fault_in(path: str) -> None:
+        if os.path.isdir(path):
+            for r, _, fs in os.walk(path):
+                for f in fs:
+                    _fault_in(os.path.join(r, f))
+            return
+        with open(path, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
 
     for t in _TT:
         p = os.path.join(SF_DIR, f"{t}.parquet")
         if os.path.exists(p):
-            spark.read.parquet(p).count()
+            _fault_in(p)
 
     def run_df(df) -> float:
         # drop anything the query BUILD persisted (e.g. the LM scorer's
@@ -217,6 +230,21 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         dt = time.perf_counter() - t0
         # pay GC debt outside the timed region
+        spark.sparkContext._jvm.System.gc()
+        return dt
+
+    def run_rebuild(build) -> float:
+        # prefix-sum operators eagerly localCheckpoint their range
+        # layout at PLAN BUILD (correctness: the baked offsets are only
+        # valid for that materialized layout), so re-saving a prebuilt
+        # DataFrame would time only the downstream read of pinned
+        # blocks.  For those queries the honest steady run rebuilds the
+        # whole query inside the clock — declare + layout job + final
+        # plan — so the full data path is measured every run.
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        build().write.mode("overwrite").format("noop").save()
+        dt = time.perf_counter() - t0
         spark.sparkContext._jvm.System.gc()
         return dt
 
@@ -273,10 +301,20 @@ def main() -> None:
     # capture envelope.
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         df = qs[name](spark, SF_DIR)
-        timings[name] = round(run_df(df), 4)
-        steady[name] = round(min(run_df(df) for _ in range(4)), 4)
+        if getattr(df, "_layout_frames", None):
+            # checkpoint-at-build query: time declare+layout+plan whole
+            timings[name] = round(run_rebuild(lambda: qs[name](spark, SF_DIR)), 4)
+            samples[name] = sorted(
+                round(run_rebuild(lambda: qs[name](spark, SF_DIR)), 4)
+                for _ in range(4)
+            )
+        else:
+            timings[name] = round(run_df(df), 4)
+            samples[name] = sorted(round(run_df(df), 4) for _ in range(4))
+        steady[name] = samples[name][0]
         if con is not None and name in osql and name not in ORACLE_SKIP:
             try:
                 best = float("inf")
@@ -324,6 +362,21 @@ def main() -> None:
             / max(sum(oracle[n] for n in r3cov), 1e-9),
             3,
         ),
+        # Variance band for the gate metric (r6 VERDICT ask #3): the
+        # same ratio computed from the per-query MEDIAN of the four
+        # steady samples — the spread [min-based, median-based] is what
+        # ambient alone can move the recorded number by on identical
+        # code, printed so a reader never mistakes that band for a
+        # plan change.  (min-of-N stays the headline: it is the
+        # standard steady-state estimator and the least ambient-
+        # sensitive point of the sample.)
+        "steady_vs_oracle_ratio_r3common_median": round(
+            sum(
+                (samples[n][1] + samples[n][2]) / 2 for n in r3cov
+            ) / max(sum(oracle[n] for n in r3cov), 1e-9),
+            3,
+        ),
+        "queries_steady_samples": samples,
         "r3common_queries": len(r3cov),
         "oracle_skipped": ORACLE_SKIP,
         "oracle_asymmetry_notes": ORACLE_ASYMMETRY_NOTES,
@@ -357,6 +410,10 @@ def main() -> None:
         "value_oracle": detail["value_oracle"],
         "steady_vs_oracle_ratio": detail["steady_vs_oracle_ratio"],
         "steady_vs_oracle_ratio_r3common": detail["steady_vs_oracle_ratio_r3common"],
+        "r3common_band": [
+            detail["steady_vs_oracle_ratio_r3common"],
+            detail["steady_vs_oracle_ratio_r3common_median"],
+        ],
         "per_query_floor_sec": floor_s,
         "worst5_vs_oracle": worst5,
         "host_loadavg_1m": detail["host_end"]["loadavg_1m"],

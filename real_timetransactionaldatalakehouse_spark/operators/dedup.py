@@ -55,6 +55,14 @@ def _attach_cached(df: DataFrame, deps: list[DataFrame]) -> DataFrame:
     return df
 
 
+def _attach_layout(df: DataFrame, frames: list[DataFrame]) -> DataFrame:
+    """Attach the PRE-checkpoint layout frame(s) a prefix-sum operator
+    materialized (eager localCheckpoint truncates them out of the
+    final plan, so plan-contract tests inspect these instead)."""
+    df._layout_frames = frames
+    return df
+
+
 def exact_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -116,7 +124,14 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
     for j in range(1, n):
         shifted = F.slice(t, j + 1, F.greatest(F.size(t) - F.lit(j), F.lit(0)))
         sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    return F.slice(sh, 1, F.greatest(F.size(t) - (n - 1), F.lit(1)))
+    # zero-token texts: the pre-r6 index-transform form emitted ONE
+    # empty-string shingle (concat_ws over an empty slice), and the
+    # DuckDB shingle CTEs still do — an empty array here would silently
+    # diverge for degenerate docs (two whitespace-only docs drop from
+    # jaccard 1.0 to no-pair), so reproduce the single-empty-gram case
+    return F.when(F.size(t) == 0, F.array(F.lit(""))).otherwise(
+        F.slice(sh, 1, F.greatest(F.size(t) - (n - 1), F.lit(1)))
+    )
 
 
 def _seeded_hash(seed: int):
@@ -760,9 +775,18 @@ def minhash_verified_neardup_pairs(
     # to an exact-duplicate pair — on the 50x replica's 50-copy
     # cliques (~6.1M same-fp pairs) routing them through the array
     # join instead measured 80 s vs 20 s for the whole leakage audit.
+    # coalesce to array(): a NULL-text endpoint would otherwise carry a
+    # NULL tok that collect_list DROPS, leaving a 1-element list whose
+    # element_at(.., 2) is an out-of-bounds ERROR under ANSI mode; an
+    # empty shingle set instead degrades the pair to jaccard 0/NaN and
+    # the threshold filter drops it (try_element_at below is the same
+    # guard for the structurally-empty same_fp groups)
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(text_col, shingle_n)).alias("tok"),
+        F.coalesce(
+            F.array_distinct(word_shingles(text_col, shingle_n)),
+            F.array().cast("array<string>"),
+        ).alias("tok"),
     )
     sides = cand.select(
         "id_a", "id_b", "same_fp",
@@ -780,8 +804,10 @@ def minhash_verified_neardup_pairs(
         .groupBy("id_a", "id_b", "same_fp")
         .agg(F.collect_list("tok").alias("__tt"))
     )
-    inter = F.size(F.array_intersect(F.element_at("__tt", 1), F.element_at("__tt", 2)))
-    union = F.size(F.array_union(F.element_at("__tt", 1), F.element_at("__tt", 2)))
+    inter = F.size(F.array_intersect(F.try_element_at("__tt", F.lit(1)),
+                                     F.try_element_at("__tt", F.lit(2))))
+    union = F.size(F.array_union(F.try_element_at("__tt", F.lit(1)),
+                                 F.try_element_at("__tt", F.lit(2))))
     return (
         grouped.select(
             "id_a", "id_b",
@@ -892,6 +918,86 @@ def neardup_clusters(
     )
 
 
+def verified_neardup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    **minhash_kwargs,
+) -> DataFrame:
+    """X2 cluster terminal, degenerate-graph-safe: near-dup CLUSTERS
+    over a corpus, with every EXACT-duplicate group pre-collapsed to
+    one representative node before label propagation.
+
+    Why: a group of m byte-identical documents is an m-clique of
+    same-fp pairs — O(m^2) edges that teach label propagation nothing
+    (the component outcome is decided by the group's min id alone).
+    On duplicate-heavy inputs the cliques dominate the edge table and
+    concentrate on few labels; measured at the 50x replica (every doc
+    a 50-copy clique) the uncollapsed composition spent ~10 minutes in
+    four straggler reducers, while the collapsed graph is 2500x
+    smaller on pure cliques and propagates in seconds.
+
+    Exactly output-equivalent to ``neardup_clusters`` over the full
+    pair graph of :func:`minhash_verified_neardup_pairs`: MinHash
+    signatures, band buckets, estimates, and exact Jaccard all depend
+    only on the TEXT, so a cross-group pair exists between any two
+    copies iff it exists between the group representatives, and the
+    same-fp clique edges contribute exactly "the group is connected".
+    Components therefore expand 1:1: ``cluster_id`` is the component
+    min over representative ids, which equals the min over ALL member
+    ids because each representative is its group's min; ``n_members``
+    is the sum of group sizes over the component's representatives.
+    Exact-dup groups (size >= 2) whose representative has no fuzzy
+    edge are their own clusters; singleton texts outside the pair
+    graph stay implicit keeps, as in ``neardup_clusters``.
+
+    Plan: one (fp, id) groupBy (the :func:`exact_dedup` shuffle — fp
+    is a map-side md5, the exchange never carries text), one semi
+    join to keep representative documents, the banded pair pipeline
+    over DISTINCT texts only, label propagation on the collapsed
+    graph, then two narrow joins to expand members back.  Every
+    shuffle carries (fp/id, counts) rows; the anti-join side of the
+    expansion is |distinct-texts|-sized.
+    """
+    fpg = df.select(
+        F.md5(F.col(text_col)).alias("__fp"), F.col(id_col).alias("id")
+    )
+    groups = fpg.groupBy("__fp").agg(
+        F.min("id").alias("__rep"), F.count(F.lit(1)).alias("__n")
+    )
+    member = fpg.join(groups, "__fp").select("id", "__rep")
+    reps = df.join(
+        groups.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+    )
+    pairs = minhash_verified_neardup_pairs(
+        reps, text_col, id_col, jaccard_threshold=jaccard_threshold,
+        **minhash_kwargs,
+    )
+    comp = neardup_clusters(pairs.select("id_a", "id_b")).select(
+        F.col("id").alias("__rep"), "cluster_id"
+    )
+    sizes = (
+        comp.join(groups.select("__rep", "__n"), "__rep")
+        .groupBy("cluster_id")
+        .agg(F.sum("__n").alias("n_members"))
+    )
+    in_graph = (
+        member.join(comp, "__rep")
+        .join(sizes, "cluster_id")
+        .select("id", "cluster_id", "n_members")
+    )
+    lone = (
+        groups.filter(F.col("__n") >= 2)
+        .join(comp.select("__rep"), "__rep", "left_anti")
+        .select("__rep", F.col("__n").alias("n_members"))
+    )
+    lone_members = member.join(lone, "__rep").select(
+        "id", F.col("__rep").alias("cluster_id"), "n_members"
+    )
+    return in_graph.unionByName(lone_members)
+
+
 def drop_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -902,14 +1008,16 @@ def drop_near_duplicates(
     """Corpus-curation terminal for X2: remove every non-keeper member
     of each near-dup cluster (keeper = the component's min id), so
     mutual near-dups A~B~C keep exactly one document even when the
-    A~C pair itself was below threshold.  Pipeline: verified MinHash
-    pairs -> connected components -> anti-join the losers."""
-    pairs = minhash_verified_neardup_pairs(
-        df, text_col, id_col, jaccard_threshold=jaccard_threshold,
-        **minhash_kwargs,
-    )
+    A~C pair itself was below threshold.  Pipeline: exact-dup collapse
+    -> verified MinHash pairs over distinct texts -> connected
+    components -> expand -> anti-join the losers (see
+    :func:`verified_neardup_clusters` for why the collapse is load-
+    bearing on duplicate-heavy corpora)."""
     losers = (
-        neardup_clusters(pairs)
+        verified_neardup_clusters(
+            df, text_col, id_col, jaccard_threshold=jaccard_threshold,
+            **minhash_kwargs,
+        )
         .filter(F.col("id") != F.col("cluster_id"))
         .select(F.col("id").alias(id_col))
     )

@@ -234,10 +234,16 @@ def global_rank(df: DataFrame, order_cols: list[str], rank_col: str = "pos",
     ranged = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
     with_pid = ranged.withColumn("__pid", F.spark_partition_id())
     # RangePartitioner samples per job and the boundaries are NOT
-    # stable across executions — persist so the offset pass and the
-    # rank pass see the same partition assignment.  (A production table
-    # would checkpoint or bucket-by-time instead.)
-    with_pid = with_pid.persist()
+    # stable across executions — localCheckpoint (eager) PINS the
+    # computed layout as materialized blocks and truncates the lineage,
+    # so no later execution can re-plan and resample boundaries.  A
+    # persist() is NOT enough: spark.catalog.clearCache() (which the
+    # bench harness calls between timed runs) drops the cache entry,
+    # the next action re-plans from source, and the resampled layout
+    # silently disagrees with the offsets baked below.  (A production
+    # table would checkpoint to reliable storage or bucket-by-time.)
+    layout = with_pid
+    with_pid = with_pid.localCheckpoint()
     counts = sorted(
         ((r["__pid"], r["cnt"]) for r in
          with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()),
@@ -262,9 +268,9 @@ def global_rank(df: DataFrame, order_cols: list[str], rank_col: str = "pos",
     )
     # expose the required cache (see comment above) so long-lived
     # sessions can release it: operators.dedup.release_cached(out)
-    from .dedup import _attach_cached
+    from .dedup import _attach_cached, _attach_layout
 
-    return _attach_cached(out, [with_pid])
+    return _attach_layout(_attach_cached(out, [with_pid]), [layout])
 
 
 # ------------------------------------------------------------ aggregates (D*)
@@ -701,7 +707,14 @@ def grouped_percentiles_exact(
     gtype = df.schema[group_col].dataType.simpleString()
     cnt = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("__c"))
     ranged = cnt.repartitionByRange(n, g, v).sortWithinPartitions(g, v)
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).persist()
+    # eager localCheckpoint, not persist: the offsets collected below
+    # are only valid for THIS materialized range layout, and a dropped
+    # cache (catalog.clearCache between bench runs) would let the plan
+    # re-execute with resampled RangePartitioner boundaries — silently
+    # wrong __cum on that execution.  Checkpointed blocks survive
+    # clearCache and pin the layout for the life of the plan.
+    layout = ranged.withColumn("__pid", F.spark_partition_id())
+    with_pid = layout.localCheckpoint()
     # per-(partition, group) totals: |groups| x |partitions| rows
     totals = sorted(
         ((r["__pid"], r[group_col], r["t"]) for r in
@@ -774,6 +787,8 @@ def grouped_percentiles_exact(
             .cast("double").alias(name)
         )
     out = hits.groupBy(group_col).agg(*aggs)
-    from .dedup import _attach_cached
+    from .dedup import _attach_cached, _attach_layout
+
+    out = _attach_layout(out, [layout])
 
     return _attach_cached(out, [with_pid])

@@ -343,10 +343,15 @@ def pack_sequences(
     base = df.select(F.col(id_col), *[F.col(c) for c in order if c != id_col],
                      n_tok.alias("n_tokens"))
     ranged = base.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).persist()
+    layout = ranged.withColumn("__pid", F.spark_partition_id())
+    with_pid = layout.localCheckpoint()
     # per-partition token totals -> exclusive prefix offsets (metadata-
-    # sized: one row per partition).  Persisted because RangePartitioner
-    # boundaries are sampled per job and must agree across both passes.
+    # sized: one row per partition).  Eagerly localCheckpoint'd — NOT
+    # persisted — because RangePartitioner boundaries are sampled per
+    # job and must agree across both passes: a persist survives only
+    # until a cache drop (catalog.clearCache between bench runs), after
+    # which re-execution resamples the layout and the baked offsets go
+    # silently wrong; checkpointed blocks pin it for the plan's life.
     totals = sorted(
         (r["__pid"], r["t"]) for r in
         with_pid.groupBy("__pid").agg(F.sum("n_tokens").alias("t")).collect()
@@ -378,7 +383,9 @@ def pack_sequences(
         .withColumn("pack_pos", start % F.lit(budget))
         .drop("__pid", "__tok_offset")
     )
-    return _attach_cached(out, [with_pid])
+    from .dedup import _attach_layout
+
+    return _attach_layout(_attach_cached(out, [with_pid]), [layout])
 
 
 def heavy_hitters(
@@ -510,10 +517,12 @@ def _global_cumsum(
 
     Returns ``(out, total_rows, total_sum)``; ``out`` carries the
     input columns plus ``__pos`` and ``__cum``.  The ranged frame is
-    persisted (RangePartitioner boundaries are sampled per job and
-    must agree across the offset pass and the output pass); the
-    caller should route through :func:`dedup._attach_cached` when it
-    builds further cached plans on top.
+    eagerly ``localCheckpoint``'d (RangePartitioner boundaries are
+    sampled per job and must agree across the offset pass and the
+    output pass; a plain persist would not survive a cache drop — see
+    :func:`pack_sequences`); the caller should route through
+    :func:`dedup._attach_cached` when it builds further cached plans
+    on top.
     """
     from pyspark.sql import Window
 
@@ -523,7 +532,10 @@ def _global_cumsum(
     n = partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     ranged = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).persist()
+    # eager localCheckpoint pins the sampled range layout the offsets
+    # below assume; see pack_sequences for why persist() is not enough
+    layout = ranged.withColumn("__pid", F.spark_partition_id())
+    with_pid = layout.localCheckpoint()
     totals = sorted(
         (r["__pid"], r["c"], r["s"]) for r in
         with_pid.groupBy("__pid")
@@ -559,9 +571,10 @@ def _global_cumsum(
         )
         .drop("__pid", "__row_off", "__sum_off")
     )
-    from .dedup import _attach_cached
+    from .dedup import _attach_cached, _attach_layout
 
-    return _attach_cached(out, [with_pid]), rows_acc, total_sum
+    out = _attach_layout(_attach_cached(out, [with_pid]), [layout])
+    return out, rows_acc, total_sum
 
 
 def sample_systematic(
@@ -625,9 +638,12 @@ def sample_systematic(
             F.col("__nt").alias("n_tickets"),
         )
     )
-    from .dedup import _attach_cached
+    from .dedup import _attach_cached, _attach_layout
 
-    return _attach_cached(out, getattr(cum_df, "_cached_deps", []))
+    return _attach_layout(
+        _attach_cached(out, getattr(cum_df, "_cached_deps", [])),
+        getattr(cum_df, "_layout_frames", []),
+    )
 
 
 def split_leakage(

@@ -992,4 +992,9 @@ def vocab_coverage(
         F.col("r.n_terms").cast("long").alias("n_terms"),
         F.col("r.tokens_covered").cast("long").alias("tokens_covered"),
     )
-    return _attach_cached(out, getattr(ranked, "_cached_deps", []))
+    from .dedup import _attach_layout
+
+    return _attach_layout(
+        _attach_cached(out, getattr(ranked, "_cached_deps", [])),
+        getattr(ranked, "_layout_frames", []),
+    )

@@ -605,6 +605,51 @@ def test_drop_near_duplicates_keeps_cluster_keeper(docs):
     assert ids == base_ids - nat_losers
 
 
+def test_verified_clusters_collapse_equivalence(docs):
+    """The exact-dup pre-collapse (verified_neardup_clusters) must be
+    output-equivalent to label propagation over the FULL pair graph on
+    a degenerate corpus: exact copies (5-cliques of same-fp pairs),
+    fuzzy mutants, and exact copies OF a mutant (a clique that joins a
+    fuzzy component only through its representative)."""
+    toks = F.split(F.col("text"), " ")
+    base = docs.filter(F.col("doc_id") < 12)
+    mutant = base.filter(F.col("doc_id") < 6).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))
+        ).alias("text"),
+    )
+    copies = base.filter(F.col("doc_id") < 4).crossJoin(
+        base.sparkSession.range(1, 5).select(F.col("id").alias("k"))
+    ).select(
+        (F.col("doc_id") + F.col("k") * 1000000).alias("doc_id"), "text"
+    )
+    mutant_copies = mutant.filter(F.col("doc_id") < 200003).select(
+        (F.col("doc_id") + 9000000).alias("doc_id"), "text"
+    )
+    corpus = (
+        base.unionByName(mutant)
+        .unionByName(copies)
+        .unionByName(mutant_copies)
+    )
+    got = {
+        r.id: (r.cluster_id, r.n_members)
+        for r in D.verified_neardup_clusters(
+            corpus, jaccard_threshold=0.5
+        ).collect()
+    }
+    want = {
+        r.id: (r.cluster_id, r.n_members)
+        for r in D.neardup_clusters(
+            D.minhash_verified_neardup_pairs(corpus, jaccard_threshold=0.5)
+        ).collect()
+    }
+    assert got == want
+    # sanity: the degenerate structure actually exists — doc 0's
+    # component spans its 4 exact copies AND its mutant
+    assert got[0][1] >= 6
+
+
 def test_heavy_hitters_bounds_and_recovery(spark, sf_small):
     """Misra-Gries guarantees: estimates never exceed true counts,
     under-count by at most N/counters, and every key with true count

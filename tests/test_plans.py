@@ -540,9 +540,17 @@ def test_sample_weighted_no_single_partition(spark, sf_medium):
     """Systematic PPS sampling must plan the two-phase prefix sum —
     range exchanges and per-partition windows, never a one-partition
     global window."""
-    plan = P.formatted_plan(_Q["q_sample_weighted"](spark, sf_medium))
+    df = _Q["q_sample_weighted"](spark, sf_medium)
+    plan = P.formatted_plan(df)
     assert "SinglePartition" not in plan, plan
-    assert "rangepartitioning" in plan, plan
+    # the range exchange lives in the eagerly-checkpointed layout frame
+    # (lineage truncation removes it from the downstream plan); the
+    # operator exposes it for exactly this contract
+    layouts = getattr(df, "_layout_frames", [])
+    assert layouts, "prefix-sum operator must expose _layout_frames"
+    lplan = P.formatted_plan(layouts[0])
+    assert "rangepartitioning" in lplan, lplan
+    assert "SinglePartition" not in lplan, lplan
 
 
 def test_vocab_coverage_single_partition_post_agg_only(spark, sf_medium):
@@ -552,9 +560,16 @@ def test_vocab_coverage_single_partition_post_agg_only(spark, sf_medium):
     must stay partitioned."""
     df = _Q["q_vocab_coverage"](spark, sf_medium)
     plan = P.formatted_plan(df)
-    assert P.has_partial_aggregation(df), plan
     assert plan.count("SinglePartition") == 1, plan
-    assert "rangepartitioning" in plan, plan
+    # corpus pass (partial agg) + vocabulary range exchange sit in the
+    # checkpointed layout frame the prefix sum exposes
+    layouts = getattr(df, "_layout_frames", [])
+    assert layouts, "prefix-sum operator must expose _layout_frames"
+    lframe = layouts[0]
+    lplan = P.formatted_plan(lframe)
+    assert P.has_partial_aggregation(lframe), lplan
+    assert "rangepartitioning" in lplan, lplan
+    assert "SinglePartition" not in lplan, lplan
 
 
 def test_passage_repetition_shuffles_fingerprints_not_text(spark, sf_medium):
