@@ -4807,6 +4807,65 @@ def q_semantic_decontaminate(spark, sf_dir):
     )
 
 
+_SEMANTIC_CONTAM_LSH_ORACLE = f"""
+WITH {_lsh_planes_cte(64)},
+cv AS (
+  SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id % 97 <> 0
+), ev AS (
+  SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id % 97 = 0
+),
+{_lsh_bucket_cte("cb", "cv", 8)},
+{_lsh_bucket_cte("eb", "ev", 8)},
+cand AS (
+  SELECT DISTINCT c.id AS id, e.id AS eid
+  FROM cb c JOIN eb e ON c.tbl = e.tbl AND c.bucket = e.bucket
+),
+hits AS (
+  SELECT * FROM (
+    SELECT cand.id, cand.eid,
+      {_FOLD_DOT} / ({_fold_norm("a.v")} * {_fold_norm("b.v")}) AS score
+    FROM cand JOIN cv a ON cand.id = a.id JOIN ev b ON cand.eid = b.id
+  ) WHERE score >= 0.28
+), ranked AS (
+  SELECT id, eid,
+         ROW_NUMBER() OVER (PARTITION BY id
+                            ORDER BY score DESC, eid ASC) AS rn
+  FROM hits
+)
+SELECT g.id, g.n_eval_hits, r.eid AS top_eval_id, g.top_score
+FROM (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+         MAX(score) AS top_score
+  FROM hits GROUP BY id
+) g JOIN (SELECT id, eid FROM ranked WHERE rn = 1) r ON g.id = r.id
+"""
+
+
+@_q("q_semantic_decontaminate_lsh", _SEMANTIC_CONTAM_LSH_ORACLE)
+def q_semantic_decontaminate_lsh(spark, sf_dir):
+    """X6s semantic tier, SCALE path
+    (operators/similarity.semantic_contamination_lsh): the same
+    contamination report as q_semantic_decontaminate, but candidate
+    (corpus, eval) pairs come from multi-table sign-LSH co-bucketing
+    (8 tables x 8 planes — the q_embed_neardup_lsh hash family)
+    instead of the |corpus| x |eval| broadcast product.  This is the
+    form that runs at 100 TB: both sides shuffle only ``tables`` small
+    band rows per vector, never the pair space, and the brute-force
+    twin's 50 s wall at the 50x replica becomes a bucket join.  The
+    oracle twins the ENTIRE algorithm — deterministic hyperplanes,
+    MSB-first bucket packing, co-bucket candidates, sequential-fold
+    cosines — so the rows hash bit-for-bit; the recall gap vs the
+    exact operator is the banding's documented trade, not noise."""
+    from real_timetransactionaldatalakehouse_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.semantic_contamination_lsh(
+        emb.filter(F.col("vec_id") % 97 != 0),
+        emb.filter(F.col("vec_id") % 97 == 0),
+        threshold=0.28,
+    )
+
+
 _SEM_TOPK_ORACLE = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings

@@ -806,6 +806,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_id: int | None = None,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, score pairs ONLY
@@ -833,11 +834,19 @@ def semantic_dedup(
     50k clusters over 5B items; centroids stay metadata-sized until
     k*dim outgrows the closure, at which point assignment moves to the
     broadcast-join form).  The cell self-join shuffles each vector
-    once on its cell id; skew follows cluster balance, so split or
-    re-seed hot cells rather than capping — dropping a cell drops a
-    semantic region, unlike hash-banding's uninformative hot buckets.
-    ``max_id`` bounds the certifiable query exactly as in
-    :func:`embedding_neardup_pairs`.
+    once on its cell id; skew follows cluster balance.  ``max_cell``
+    is the skew backstop when re-seeding is not an option: any cell
+    larger than the cap is SPLIT deterministically (md5-hash of the id
+    modulo the subcell count — engine-portable, retry-stable) and
+    pairs are scored only within subcells.  Unlike hash-banding's
+    drop-the-hot-bucket cap this never discards a semantic region —
+    every member still gets compared against ~``max_cell`` co-located
+    neighbors — but cross-subcell pairs inside an oversized cell go
+    unscored: the documented recall trade for bounding the quadratic
+    term.  Cells at or under the cap are untouched (SemDeDup's
+    in-cell exactness contract), so ``max_cell=None`` (default) is
+    the paper-faithful exact form.  ``max_id`` bounds the certifiable
+    query exactly as in :func:`embedding_neardup_pairs`.
 
     Output: ``(id, cell, cluster_id, n_members, keep)`` for every
     member of a duplicate group; singletons never enter the pair graph
@@ -891,16 +900,35 @@ def semantic_dedup(
         (-best["negidx"]).alias("cell"),
         best["cos"].alias("cent_cos"),
     )
+    join_keys = ["cell"]
+    if max_cell is not None:
+        # deterministic oversized-cell split: per-cell size is k rows
+        # (metadata-sized, broadcast); members of a cell larger than
+        # the cap scatter over ceil(size/cap) subcells by the md5-hash
+        # of their id — the same portable hash as the seed sample, so
+        # any engine can reconstruct the exact subcell layout
+        csz = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("__csz"))
+        nsub = F.ceil(F.col("__csz") / F.lit(int(max_cell))).cast("long")
+        assigned = (
+            assigned.join(F.broadcast(csz), "cell")
+            .withColumn(
+                "__sub",
+                F.when(F.col("__csz") <= max_cell, F.lit(0).cast("long"))
+                .otherwise(F.pmod(id_hash, nsub)),
+            )
+            .drop("__csz")
+        )
+        join_keys = ["cell", "__sub"]
     a = assigned.select(
-        "cell", F.col("id").alias("id_a"), F.col("v").alias("va"),
+        *join_keys, F.col("id").alias("id_a"), F.col("v").alias("va"),
         F.col("__vn").alias("__na"),
     )
     b = assigned.select(
-        "cell", F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        *join_keys, F.col("id").alias("id_b"), F.col("v").alias("vb"),
         F.col("__vn").alias("__nb"),
     )
     pairs = (
-        a.join(b, "cell")
+        a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",

@@ -1273,6 +1273,44 @@ def test_semantic_lsh_contamination_is_exact_subset(spark, sf_small):
             assert r.top_score == exact[i].top_score
 
 
+def test_semdedup_cell_cap_exactness_and_refinement(spark, sf_small):
+    """max_cell contract: a cap no cell reaches leaves the output
+    bit-identical (SemDeDup's in-cell exactness preserved under the
+    cap); a tight cap yields clusters that are a REFINEMENT of the
+    unbounded ones (subcell scoping can only remove pairs, never
+    invent or re-route them), deterministically."""
+    from real_timetransactionaldatalakehouse_spark.operators import (
+        similarity as S,
+    )
+    from real_timetransactionaldatalakehouse_spark.sources import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    kw = dict(k=8, threshold=0.32, max_id=400)
+    unbounded = sorted(map(tuple, S.semantic_dedup(emb, **kw).collect()))
+    loose = sorted(map(tuple,
+                       S.semantic_dedup(emb, **kw, max_cell=10**9).collect()))
+    assert loose == unbounded, "cap above every cell size must be a no-op"
+    tight1 = sorted(map(tuple, S.semantic_dedup(emb, **kw, max_cell=8).collect()))
+    tight2 = sorted(map(tuple, S.semantic_dedup(emb, **kw, max_cell=8).collect()))
+    assert tight1 == tight2, "md5 subcell split must be deterministic"
+    by_cluster_unbounded = {}
+    for (vid, _cell, cid, _n, _keep) in unbounded:
+        by_cluster_unbounded.setdefault(cid, set()).add(vid)
+    member_to_unbounded = {
+        vid: cid for cid, ms in by_cluster_unbounded.items() for vid in ms
+    }
+    tight_clusters = {}
+    for (vid, _cell, cid, n, keep) in tight1:
+        tight_clusters.setdefault(cid, []).append((vid, n, keep))
+    assert tight_clusters, "tight cap removed every duplicate pair"
+    for cid, members in tight_clusters.items():
+        hosts = {member_to_unbounded.get(vid) for vid, _, _ in members}
+        assert None not in hosts, f"cluster {cid} invented a member"
+        assert len(hosts) == 1, f"cluster {cid} spans unbounded clusters"
+        assert sum(1 for _, _, keep in members if keep) == 1, cid
+        assert all(n == len(members) for _, n, _ in members), cid
+
+
 def test_semantic_topk_contaminants_matches_bruteforce(spark, sf_small):
     """The per-eval-item review queue (fused-kernel top-3) must equal
     the plain brute-force knn on the same disjoint sides, rank by
