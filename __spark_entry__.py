@@ -1407,6 +1407,62 @@ def q_snapshot_diff(spark, sf_dir):
     return diff.withColumnRenamed("_change", "change")
 
 
+# The MoR chain is built from DETERMINISTIC SELECTs over events, so the
+# resolved read (base minus equality-delete keys plus delta, twice, then
+# a delete-only commit) has an exact SQL twin and the driver hashes the
+# merged rows themselves.
+_MOR_ORACLE = """
+WITH base AS (
+  SELECT event_id, user_id, value FROM events WHERE event_id % 3 <> 0
+), ups AS (
+  SELECT event_id, user_id, value + 100 AS value FROM events
+  WHERE event_id % 5 = 0
+), merged AS (
+  SELECT * FROM base WHERE event_id NOT IN (SELECT event_id FROM ups)
+  UNION ALL
+  SELECT * FROM ups
+)
+SELECT event_id, user_id, value FROM merged WHERE event_id % 11 <> 0
+"""
+
+
+@_q("q_mor_upsert", _MOR_ORACLE)
+def q_mor_upsert(spark, sf_dir):
+    """A6/M6 merge-on-read write path (tablefmt.write_mor_upsert /
+    write_mor_delete): an upsert commit materializes ONLY the delta —
+    upserted rows plus an equality-delete key file — and a delete
+    commit only keys; the read side resolves base minus deletes plus
+    delta per un-flattened commit (reference ``streaming_job.py:55-60``
+    Iceberg v2 merge-on-read TBLPROPERTIES; trade-off
+    ``design_doc/PipelineArchitecture.md:235-238``).  Commit cost is
+    O(|delta|) at any table size — the write-amplification answer for
+    high-frequency upserts — and readers pay one broadcast anti-join
+    per commit until ``flatten_mor`` folds the chain.  The query
+    builds base -> MoR upsert -> MoR delete from deterministic event
+    slices and returns the resolved table; the oracle is the
+    whole-row MERGE the chain must equal."""
+    import tempfile
+
+    from real_timetransactionaldatalakehouse_spark import tablefmt as TF
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    tbl = tempfile.mkdtemp(prefix="mor_tbl_")
+    TF.write_version(ev.filter(F.col("event_id") % 3 != 0), tbl)
+    TF.write_mor_upsert(
+        ev.filter(F.col("event_id") % 5 == 0).withColumn(
+            "value", F.col("value") + 100
+        ),
+        tbl,
+        ["event_id"],
+    )
+    TF.write_mor_delete(
+        ev.filter(F.col("event_id") % 11 == 0).select("event_id"),
+        tbl,
+        ["event_id"],
+    )
+    return TF.read_table(spark, tbl)
+
+
 # NB: a DuckDB list_reduce + struct_pack fold is NOT a faithful oracle
 # for multi-field state — v1.0.0 rebinds accumulator fields
 # sequentially inside the lambda (later fields read already-updated

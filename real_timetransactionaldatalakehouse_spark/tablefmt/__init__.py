@@ -138,15 +138,58 @@ def _reconcile(df: DataFrame, fields: list[dict]) -> DataFrame:
     ])
 
 
+MOR_META = "_MOR.json"
+MOR_DELTA = "_delta"
+MOR_DELETES = "_deletes"
+
+
+def mor_meta(path: str, version: int) -> dict | None:
+    """The merge-on-read manifest of a version, or None for a full
+    (copy-on-write) snapshot."""
+    f = os.path.join(version_path(path, version), MOR_META)
+    if not os.path.isfile(f):
+        return None
+    with open(f) as fh:
+        return json.load(fh)
+
+
+def _read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
+    """Resolve a version to rows: full snapshots read directly; MoR
+    versions recursively resolve their base, apply the equality-delete
+    keys, and union the delta rows.  Chain depth = MoR commits since
+    the last full rewrite (``flatten_mor``), each costing one anti
+    join on the key columns — Iceberg v2's read-side trade, bounded by
+    compaction cadence exactly as the reference's maintenance job
+    bounds delete-file counts."""
+    vp = version_path(path, version)
+    meta = mor_meta(path, version)
+    if meta is None:
+        return spark.read.parquet(vp)
+    base = _read_version(spark, path, int(meta["base"]))
+    keys = list(meta["key_cols"])
+    dele = spark.read.parquet(os.path.join(vp, MOR_DELETES)).select(*keys)
+    # delete-key sets are delta-sized (the point of MoR is that the
+    # delta is small next to the table) — broadcast them so the base
+    # never shuffles on read; a delta large enough to break this is
+    # the signal to flatten instead
+    survivors = base.join(F.broadcast(dele), keys, "left_anti")
+    delta_p = os.path.join(vp, MOR_DELTA)
+    if os.path.isdir(delta_p):
+        delta = spark.read.parquet(delta_p)
+        survivors = survivors.unionByName(delta, allowMissingColumns=True)
+    return survivors
+
+
 def read_table(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Read the current (or a pinned historical) snapshot, reconciled
     to the table's declared schema — a time-travel read after
     ``add_column`` sees the new column as null, exactly like the
-    current snapshot."""
+    current snapshot.  Merge-on-read versions are resolved (base minus
+    delete keys plus delta) transparently."""
     v = current_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no _CURRENT pointer under {path}")
-    df = spark.read.parquet(version_path(path, v))
+    df = _read_version(spark, path, v)
     fields = declared_schema(path)
     if fields is not None:
         df = _reconcile(df, fields)
@@ -206,6 +249,128 @@ def write_version(
     return n
 
 
+def write_mor_upsert(
+    updates: DataFrame,
+    path: str,
+    key_cols: list[str],
+    deletes: DataFrame | None = None,
+) -> int:
+    """Merge-on-read UPSERT commit: materialize only the DELTA — the
+    upserted rows plus an equality-delete key file — instead of
+    rewriting the table (reference ``streaming_job.py:55-60``
+    TBLPROPERTIES ``write.update.mode/write.merge.mode =
+    merge-on-read``; trade-off discussion
+    ``design_doc/PipelineArchitecture.md:235-238``).  At a
+    high-frequency upsert cadence this is the write-amplification
+    answer: commit cost is O(|delta|) regardless of table size, and
+    readers pay one broadcast anti-join per un-flattened MoR commit
+    (``flatten_mor`` is the compaction that folds the chain back to a
+    full snapshot, on the maintenance cadence that bounds Iceberg's
+    delete-file count).
+
+    Semantics: ``MERGE ... WHEN MATCHED THEN UPDATE SET * WHEN NOT
+    MATCHED THEN INSERT *`` — matched keys take the update row
+    WHOLESALE (update nulls overwrite, Iceberg's ``SET *``; for the
+    column-wise null-coalescing variant run
+    :func:`operators.merge.merge_upsert` and commit its output),
+    unmatched keys insert — pinned by the read-merge equivalence
+    test.  ``deletes`` optionally removes additional keys in the same
+    commit (a combined CDC batch).  Layout inside the version dir::
+
+        v0000000N/_MOR.json   {"base": M, "key_cols": [...], ...}
+        v0000000N/_delta/     parquet, the upserted rows
+        v0000000N/_deletes/   parquet, the equality-delete keys
+
+    Underscore names keep naive ``spark.read.parquet(version_dir)``
+    failing fast (no visible data files) — MoR versions are only
+    readable through :func:`read_table`'s resolution, like Iceberg
+    data files are only readable through a manifest."""
+    base_v = current_version(path)
+    if base_v is None:
+        raise FileNotFoundError(
+            f"no _CURRENT under {path}: the first commit must be a full "
+            "write_version (MoR deltas need a base snapshot)"
+        )
+    n = (max(list_versions(path), default=0)) + 1
+    root = _versions_root(path)
+    tmp = os.path.join(root, f".tmp-v{n:08d}")
+    updates.write.mode("overwrite").parquet(os.path.join(tmp, MOR_DELTA))
+    del_keys = updates.select(*key_cols)
+    if deletes is not None:
+        del_keys = del_keys.unionByName(deletes.select(*key_cols))
+    del_keys = del_keys.distinct()
+    del_keys.write.mode("overwrite").parquet(os.path.join(tmp, MOR_DELETES))
+    spark = updates.sparkSession
+    n_deletes = spark.read.parquet(os.path.join(tmp, MOR_DELETES)).count()
+    meta = {"base": base_v, "key_cols": list(key_cols), "n_deletes": n_deletes}
+    with open(os.path.join(tmp, MOR_META), "w") as fh:
+        json.dump(meta, fh, indent=1)
+    os.rename(tmp, version_path(path, n))
+    # same mergeSchema-style evolution as write_version: the delta may
+    # carry new columns; old snapshots read them as typed nulls
+    fields = declared_schema(path)
+    if fields is not None:
+        known = {f["name"] for f in fields}
+        new = [f for f in _fields_of(updates) if f["name"] not in known]
+        if new:
+            _save_schema(path, fields + new)
+    ptr_tmp = os.path.join(path, f".{CURRENT_FILE}.tmp")
+    with open(ptr_tmp, "w") as fh:
+        fh.write(str(n))
+    os.replace(ptr_tmp, os.path.join(path, CURRENT_FILE))
+    return n
+
+
+def write_mor_delete(keys: DataFrame, path: str, key_cols: list[str]) -> int:
+    """Merge-on-read DELETE commit: an equality-delete key file and no
+    delta — O(|keys|) instead of a table rewrite (the reference's
+    ``write.delete.mode = merge-on-read``)."""
+    base_v = current_version(path)
+    if base_v is None:
+        raise FileNotFoundError(f"no _CURRENT under {path}")
+    n = (max(list_versions(path), default=0)) + 1
+    root = _versions_root(path)
+    tmp = os.path.join(root, f".tmp-v{n:08d}")
+    del_keys = keys.select(*key_cols).distinct()
+    del_keys.write.mode("overwrite").parquet(os.path.join(tmp, MOR_DELETES))
+    spark = keys.sparkSession
+    n_deletes = spark.read.parquet(os.path.join(tmp, MOR_DELETES)).count()
+    meta = {"base": base_v, "key_cols": list(key_cols), "n_deletes": n_deletes}
+    with open(os.path.join(tmp, MOR_META), "w") as fh:
+        json.dump(meta, fh, indent=1)
+    os.rename(tmp, version_path(path, n))
+    ptr_tmp = os.path.join(path, f".{CURRENT_FILE}.tmp")
+    with open(ptr_tmp, "w") as fh:
+        fh.write(str(n))
+    os.replace(ptr_tmp, os.path.join(path, CURRENT_FILE))
+    return n
+
+
+def flatten_mor(spark: SparkSession, path: str) -> int:
+    """Compaction for a MoR chain: materialize the current resolved
+    rows as a FULL snapshot (one new version, ``_CURRENT`` flipped),
+    after which reads pay zero merge joins and ``expire_snapshots``
+    can reclaim the chain — the rewrite the reference schedules
+    hourly to bound delete-file accumulation."""
+    return write_version(read_table(spark, path), path)
+
+
+def _mor_base_closure(path: str, versions: set[int]) -> set[int]:
+    """Every version transitively referenced as a MoR base by
+    ``versions`` — these must survive expiry or the chain breaks."""
+    out = set(versions)
+    frontier = list(versions)
+    while frontier:
+        v = frontier.pop()
+        meta = mor_meta(path, v)
+        if meta is not None:
+            b = int(meta["base"])
+            if b not in out:
+                out.add(b)
+                frontier.append(b)
+    return out
+
+
 def expire_snapshots(
     path: str, keep_last: int = 2, older_than_s: float | None = None
 ) -> dict:
@@ -228,6 +393,11 @@ def expire_snapshots(
         for v in versions:
             if os.path.getmtime(version_path(path, v)) >= cutoff:
                 keep.add(v)
+    # MoR chains: a kept delta version pins its base(s) — expiring a
+    # base a live MoR version still resolves through would break every
+    # read of that version (Iceberg equivalently retains data files
+    # any live snapshot's manifests reference)
+    keep = _mor_base_closure(path, keep)
     removed = []
     for v in versions:
         if v not in keep:

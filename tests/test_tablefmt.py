@@ -320,6 +320,68 @@ def test_freshness_alert_view_bands(spark, tmp_path):
     }
 
 
+def test_mor_upsert_read_merge_equivalence(spark, tmp_path):
+    """A merge-on-read upsert chain must read back exactly what the
+    copy-on-write whole-row MERGE would have materialized, version by
+    version (time travel included), and a naive direct read of a MoR
+    version dir must fail fast rather than return partial rows."""
+    tbl = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, s string, v long"
+    )
+    TF.write_version(base, tbl)
+    up1 = spark.createDataFrame(
+        [(2, "B", 200), (4, "d", 40)], "id long, s string, v long"
+    )
+    v2 = TF.write_mor_upsert(up1, tbl, ["id"])
+    assert v2 == 2 and TF.current_version(tbl) == 2
+    want2 = {(1, "a", 10), (2, "B", 200), (3, "c", 30), (4, "d", 40)}
+    assert {tuple(r) for r in TF.read_table(spark, tbl).collect()} == want2
+    # chained MoR commit with a combined delete
+    up2 = spark.createDataFrame([(4, "D", 400)], "id long, s string, v long")
+    dele = spark.createDataFrame([(1,)], "id long")
+    TF.write_mor_upsert(up2, tbl, ["id"], deletes=dele)
+    want3 = {(2, "B", 200), (3, "c", 30), (4, "D", 400)}
+    assert {tuple(r) for r in TF.read_table(spark, tbl).collect()} == want3
+    # time travel through the chain
+    assert {tuple(r) for r in TF.read_table(spark, tbl, version=2).collect()} == want2
+    assert TF.read_table(spark, tbl, version=1).count() == 3
+    # delete-only commit
+    TF.write_mor_delete(spark.createDataFrame([(3,)], "id long"), tbl, ["id"])
+    want4 = {(2, "B", 200), (4, "D", 400)}
+    assert {tuple(r) for r in TF.read_table(spark, tbl).collect()} == want4
+    # a MoR version dir holds no visible data files — naive reads fail
+    with pytest.raises(Exception):
+        spark.read.parquet(TF.version_path(tbl, 2)).count()
+    # flatten: one full snapshot, same rows, reads need no merge
+    v5 = TF.flatten_mor(spark, tbl)
+    assert TF.mor_meta(tbl, v5) is None
+    assert {tuple(r) for r in TF.read_table(spark, tbl).collect()} == want4
+
+
+def test_mor_expiry_pins_base_chain(spark, tmp_path):
+    """expire_snapshots must never reclaim a base a live MoR version
+    still resolves through — and after flattening, the chain becomes
+    reclaimable."""
+    tbl = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+    TF.write_version(base, tbl)
+    for k in range(3, 6):
+        TF.write_mor_upsert(
+            spark.createDataFrame([(k, k * 10)], "id long, v long"), tbl, ["id"]
+        )
+    # keep_last=1 would drop v1..v3, but v4 (current) resolves through
+    # the whole chain — everything must survive
+    res = TF.expire_snapshots(tbl, keep_last=1)
+    assert res["removed"] == []
+    assert TF.read_table(spark, tbl).count() == 5
+    v5 = TF.flatten_mor(spark, tbl)
+    res = TF.expire_snapshots(tbl, keep_last=1)
+    assert set(res["removed"]) == {1, 2, 3, 4}
+    assert TF.current_version(tbl) == v5
+    assert TF.read_table(spark, tbl).count() == 5
+
+
 def test_snapshot_diff_keyed_and_setwise(spark, tmp_path):
     """Incremental read between snapshots: keyed diff classifies
     insert/update/delete; set diff catches whole-row adds/removes."""
