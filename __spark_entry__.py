@@ -486,10 +486,18 @@ SELECT c_custkey, c_name FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """)
 def q_join_semi(spark, sf_dir):
-    """Semi join: EXISTS (the matched half of MERGE, SURVEY section 2 C)."""
+    """Semi join: EXISTS (the matched half of MERGE, SURVEY section 2
+    C).  The matched side of a MERGE is delta-sized by construction, so
+    the distinct key set broadcasts and the probe side never shuffles
+    (r7: 2.38 s shuffle-semi -> 0.93 s at the 50x replica; the generic
+    shuffle form with the default runtime bloom filter remains
+    join_semi's broadcast_keys=False path for key sets past broadcast
+    size)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return J.join_semi(c, o, "c_custkey").select("c_custkey", "c_name")
+    return J.join_semi(c, o, "c_custkey", broadcast_keys=True).select(
+        "c_custkey", "c_name"
+    )
 
 
 @_q("q_join_anti", """
@@ -5179,89 +5187,78 @@ def q_split_leakage(spark, sf_dir):
 # Every name rotating out must already hold a hash-green driver row from a
 # past round AND pass the sf0.001+sf0.01 pytest parity sweep.
 #
-# Round-6 window: the five queries that have never earned a hash-green
-# row (r5's red + the two canonicalizer crashes, now reshaped; the
-# late-r5 cross-corpus join; q_trend_slope's new exact-moment oracle),
-# the late-r5 q_lm_score rewrite, the three fan_out-guard-affected
-# queries, and this round's perf-touched queries — then the oldest
-# (r3-certified) greens rotate back in to re-verify against current code.
+# Round-7 window: the two new queries (LSH semantic decontamination,
+# MoR upsert), the twelve whose implementation or plan changed this
+# round (clique pre-collapse, verify NULL guards, prefix-sum layout
+# checkpointing, semi-join broadcast keys, semdedup cell cap), then
+# the oldest greens — ALL 18 remaining r3-certified queries plus the
+# first 18 r4-certified alphabetically — re-verified against current
+# code.  Round 6's window was 50/50 hash-green (CORRECTNESS_r06), so
+# no rotation debt carried in.
 _CHECK_FIRST: list[str] = [
-    # -- never hash-green / changed after their last green row
-    "q_neardup_cross_corpus",   # added late r5, never driver-checked
-    "q_lm_score",               # rewritten late r5 (single position stream)
-    "q_spike_detect",           # r5 red: oracle HUGEINT cast + floor bins
-    "q_collect_set",            # r5 err: array output -> CSV projection
-    "q_embed_quantize",         # r5 err: array output -> CSV projection
-    "q_trend_slope",            # rows-only -> exact-moment hashed oracle (r6)
-    # -- new in r6 (rotation rule: new queries head the round's window)
-    "q_sample_weighted",        # systematic PPS sampling (prefix-sum)
-    "q_vocab_coverage",         # tokenizer coverage curve
-    "q_dedup_passage",          # inter-doc passage duplication profile
-    "q_split_leakage",          # train/eval near-dup leakage audit
-    "q_shard_layout",           # deterministic training-shard shuffle
-    "q_semdedup",               # SemDeDup cluster-scoped semantic dedup
-    "q_semantic_decontaminate", # embedding-space contamination report
-    "q_semantic_topk_contaminants",  # per-eval-item review queue (late r6)
-    # -- minhash fp-shortcut (r6): exact-dup pairs skip array compares;
-    #    every consumer of the pair pipeline changed plan and re-certifies
-    "q_neardup_minhash",
-    "q_neardup_clusters",
-    "q_neardup_free_corpus",
-    "q_corpus_pipeline",
-    # -- r6 rewrite: distributed order-statistics exact percentiles
-    "q_agg_percentile",
-    # -- fan_out guard semantics changed under these (r5 ADVICE #2)
-    "q_text_redact",
-    "q_decontaminate_ngram",
-    "q_contamination_report",
-    # -- perf-touched this round (VERDICT r5 asks #5/#6)
-    "q_bm25_search",
-    "q_text_repetition",
-    "q_json_parse_struct",      # r6 late: guarded fan_out before the parse
-                                # (0.42 -> 0.24 s; stale r4 A/B superseded)
-    "q_simhash_neardup",        # r6 late: 3x21-bit SWAR lanes + pre-explode
-                                # size cap (sig stage 0.43 -> 0.35 s)
-    "q_search_ranked",          # r6 late: tfidf docfreq side broadcast
-    "q_keywords_per_doc",       # explicitly (cold-cache race fix)
-    "q_text_winnow",            # r6 scale fix: materialized gram-hash array
-                                # (O(L^2) interpreted md5 -> O(L); 51 s -> 1.1 s
-                                # at sf0.1); q_decontaminate shares the fix and
-                                # sits in the rotation block below
-    # -- oldest greens (r3) rotate back in: re-verify against r6 code
-    "q_agg_count_distinct",
-    "q_agg_pct_threshold",
-    "q_agg_ratio_velocity",
-    "q_column_profile",
-    "q_decontaminate",
-    "q_dedup_latest",
-    "q_embed_neardup",
-    "q_embed_neardup_lsh",
-    "q_ewma_anomaly",
-    "q_ewma_state",
-    "q_first_value_ignore_nulls",
-    "q_freshness_view",
-    "q_join_asof",
-    "q_knn_ivf",
-    "q_knn_lsh",
-    "q_knn_topk",
-    "q_max_over_partition",
-    "q_merge_upsert",
-    "q_neardup_verified",
-    "q_sessionize_lag",
-    "q_text_fingerprint",
-    # (q_text_langid / q_text_quality / q_text_stats rotated out to
-    # make room for the two r6 semantic-tier additions and the
-    # q_text_winnow re-certification; q_stratified_sample,
-    # q_split_assign, q_balance_cap, q_jaccard_pairs and
-    # q_cohort_retention rotated out for the late-r6 changed/new
-    # queries above (q_json_parse_struct fan, q_simhash_neardup SWAR
-    # re-lane, tfidf broadcast race fix, the semantic top-k review
-    # queue): all eight hold r3/r4 hash-green rows and run in the
-    # pytest parity sweep every session)
+    # -- NEW in r7 (rotation rule: new queries head the round's window)
+    "q_semantic_decontaminate_lsh",  # LSH-banded semantic decontamination
+                                     # (the 100-TB scale path, VERDICT r6 #1)
+    "q_mor_upsert",             # merge-on-read write path (VERDICT r6 #7)
+    # -- implementation changed in r7
+    "q_join_semi",              # broadcast-distinct-keys plan (50x A/B: 2.38->0.93 s)
+    "q_neardup_verified",       # verify stage: NULL-endpoint guards (ADVICE)
+    "q_neardup_clusters",       # exact-dup clique pre-collapse (VERDICT r6 #5)
+    "q_neardup_free_corpus",    # same collapse composition
+    "q_corpus_pipeline",        # same collapse composition
+    "q_split_leakage",          # shares the verified-pair changes
+    "q_sample_weighted",        # prefix-sum layout pinned by localCheckpoint
+    "q_vocab_coverage",         # (ADVICE: persist could drop + resample)
+    "q_pack_sequences",         #
+    "q_agg_percentile",         #
+    "q_orderby",                # global_rank shares the checkpoint change
+    "q_semdedup",               # max_cell param added (certified plan identical)
+    # -- oldest greens rotate back in: all 18 remaining r3-certified
+    "q_agg_sketches",
+    "q_balance_cap",
+    "q_bucket_pruned_lookup",
+    "q_cohort_retention",
+    "q_jaccard_pairs",
+    "q_snapshot_lifecycle",
+    "q_sorted_write",
+    "q_split_assign",
+    "q_stratified_sample",
+    "q_table_stats",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_stats",
+    "q_text_tokens",
+    "q_topk_per_group",
+    "q_vocab_topn",
+    "q_window_sliding",
+    "q_window_tumbling_1min",
+    # -- then the oldest r4 greens (first 18 alphabetically; the other
+    # 21 r4 greens are next in line for r8)
+    "q_agg_binned_heatmap",
+    "q_agg_conditional_counts",
+    "q_agg_count_by_key",
+    "q_agg_global",
+    "q_agg_max_ts",
+    "q_array_explode",
+    "q_chunk_documents",
+    "q_coalesce",
+    "q_corpus_mix",
+    "q_cube",
+    "q_embed_project",
+    "q_filter_eq",
+    "q_filter_in",
+    "q_filter_range",
+    "q_having_count",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_inner_equi",
 ]
-# r7 window note: every query above the r3-rotation block heads this
-# round's window per the ROTATION RULE; if round 6 adds or changes
-# anything after CORRECTNESS_r06 lands, its name must head r7's window.
+# r8 window note: everything above the r3-rotation block heads this
+# round's window per the ROTATION RULE; if round 7 adds or changes
+# anything after CORRECTNESS_r07 lands, its name must head r8's window.
+# Next-in-line rotations for r8: the 21 r4 greens after
+# q_join_inner_equi alphabetically (q_join_interval .. q_union_all),
+# then the r5 block.
 
 
 def _ranked(names: dict[str, object]) -> list[str]:

@@ -142,6 +142,18 @@ ORACLE_SKIP = {
         "all-pairs exact-Jaccard control, O(n^2) at replica scale; "
         "engine side timed without it"
     ),
+    "q_neardup_clusters": (
+        "component oracle reaches over the all-pairs exact-Jaccard "
+        "graph (O(n^2) + recursive CTE); engine side timed without it"
+    ),
+    "q_neardup_free_corpus": (
+        "same all-pairs exact-Jaccard + reachability control as "
+        "q_neardup_clusters; engine side timed without it"
+    ),
+    "q_corpus_pipeline": (
+        "contains the all-pairs dedup control plus a 13-gram unnest "
+        "cross join; engine side timed without it"
+    ),
 }
 
 
@@ -377,6 +389,16 @@ def main() -> None:
             3,
         ),
         "queries_steady_samples": samples,
+        # numerator/denominator decomposition (r7): the r6->r7 swing of
+        # the gate ratio (1.869 -> 2.41) happened with a FLAT steady sum
+        # (9.08 -> 8.95 s) — a host condition during the r6 run had
+        # inflated three window-family oracles ~10x, deflating r6's
+        # ratio.  Cross-denominator check on identical code: r7 steady /
+        # r6 oracles = 1.84, r6 steady / r7 oracles = 2.45.  Publishing
+        # both sums makes that decomposition possible without the
+        # detail file.
+        "r3common_steady_sum": round(sum(steady[n] for n in r3cov), 4),
+        "r3common_oracle_sum": round(sum(oracle[n] for n in r3cov), 4),
         "r3common_queries": len(r3cov),
         "oracle_skipped": ORACLE_SKIP,
         "oracle_asymmetry_notes": ORACLE_ASYMMETRY_NOTES,
@@ -413,6 +435,10 @@ def main() -> None:
         "r3common_band": [
             detail["steady_vs_oracle_ratio_r3common"],
             detail["steady_vs_oracle_ratio_r3common_median"],
+        ],
+        "r3common_sums": [
+            detail["r3common_steady_sum"],
+            detail["r3common_oracle_sum"],
         ],
         "per_query_floor_sec": floor_s,
         "worst5_vs_oracle": worst5,
