@@ -807,6 +807,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     max_id: int | None = None,
     max_cell: int | None = None,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, score pairs ONLY
@@ -848,6 +849,24 @@ def semantic_dedup(
     the paper-faithful exact form.  ``max_id`` bounds the certifiable
     query exactly as in :func:`embedding_neardup_pairs`.
 
+    ``collapse_exact=True`` pre-collapses BYTE-IDENTICAL vectors (128
+    bits of seeded xxhash64 over the array) to one representative
+    before assignment — the embedding twin of
+    ``dedup.verified_neardup_clusters``'s clique collapse: m exact
+    copies of a vector are an m-clique of cosine-1.0 pairs that teach
+    label propagation nothing, and on re-render/re-crawl-heavy corpora
+    they dominate both the pair stream and the propagation edge table
+    (measured on the 50x replica's 50-copy vectors: the capped run's
+    residual ~95 s was entirely this graph).  Output-equivalent to the
+    uncollapsed unbounded form: copies share cell, ``cent_cos`` and
+    every pairwise score, so components expand 1:1, ``cluster_id``
+    stays the member-min id and the keep rule ranks identically.
+    Zero-norm vectors never pair (NaN cosine) and are excluded from
+    the collapse's own-clique logic, exactly as they fall out of the
+    pair path.  With ``max_cell`` the combination is RECALL-BETTER
+    than uncollapsed+capped (copies merge regardless of subcell
+    scatter), not bit-equal to it.
+
     Output: ``(id, cell, cluster_id, n_members, keep)`` for every
     member of a duplicate group; singletons never enter the pair graph
     and are implicit keeps (``dedup.neardup_clusters`` contract).
@@ -861,12 +880,41 @@ def semantic_dedup(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("__vn"),
     )
+    # zero-norm vectors have no cosine neighborhood: under ANSI mode
+    # their assignment division is a DIVIDE_BY_ZERO error, and no pair
+    # they could appear in is scorable — exclude them up front; like
+    # singletons they are implicit keeps outside the pair graph
+    base = base.filter(F.col("__vn") > 0)
     id_hash = F.conv(
         F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10
     ).cast("long")
+    # seeds ALWAYS sample the full base (not the collapsed reps): the
+    # seed rule is part of the operator's deterministic contract, and
+    # sampling reps instead would move centroids — breaking the
+    # collapse's output-equivalence argument
     seeds = (
         base.orderBy(id_hash.asc(), F.col("id").asc()).limit(k).collect()
     )
+    groups = member = None
+    if collapse_exact:
+        # 128-bit seeded hash of the raw vector: copies collapse to the
+        # min-id representative; the (fp, id) exchange never carries
+        # vectors (exact_dedup discipline)
+        fpg = base.select(
+            "id",
+            F.xxhash64(F.col("v")).alias("__f1"),
+            F.xxhash64(F.lit(1), F.col("v")).alias("__f2"),
+            F.col("__vn"),
+        )
+        groups = fpg.groupBy("__f1", "__f2").agg(
+            F.min("id").alias("__rep"),
+            F.count(F.lit(1)).alias("__n"),
+            F.min("__vn").alias("__gn"),
+        )
+        member = fpg.join(groups, ["__f1", "__f2"]).select("id", "__rep")
+        base = base.join(
+            groups.select(F.col("__rep").alias("id")), "id", "left_semi"
+        )
     C = [list(r.v) for r in sorted(seeds, key=lambda r: r.id)]
     # Norms factored ONCE (r6): interpreted HOF lambdas are not
     # constant-folded nor CSE'd, so cosine() inlined per centroid
@@ -938,7 +986,40 @@ def semantic_dedup(
         .filter(F.col("score") >= threshold)
     )
     comp = neardup_clusters(pairs.select("id_a", "id_b"))
-    members = comp.join(assigned.select("id", "cell", "cent_cos"), "id")
+    if collapse_exact:
+        # expand representative components back to every copy: copies
+        # share cell, cent_cos and all pair scores, so cluster_id (min
+        # member id: each rep is its group's min) and the keep ranking
+        # reproduce the uncollapsed output exactly; exact-copy groups
+        # (n >= 2, nonzero norm) whose rep has no fuzzy edge are their
+        # own cosine-1.0 cliques, zero-norm groups never pair
+        comp_r = comp.select(F.col("id").alias("__rep"), "cluster_id")
+        sizes = (
+            comp_r.join(groups.select("__rep", "__n"), "__rep")
+            .groupBy("cluster_id")
+            .agg(F.sum("__n").alias("n_members"))
+        )
+        in_graph = (
+            member.join(comp_r, "__rep")
+            .join(sizes, "cluster_id")
+            .select("id", "__rep", "cluster_id", "n_members")
+        )
+        lone = (
+            groups.filter((F.col("__n") >= 2) & (F.col("__gn") > 0))
+            .join(comp_r.select("__rep"), "__rep", "left_anti")
+            .select("__rep", F.col("__n").alias("n_members"))
+        )
+        lone_members = member.join(lone, "__rep").select(
+            "id", "__rep", F.col("__rep").alias("cluster_id"), "n_members"
+        )
+        members = in_graph.unionByName(lone_members).join(
+            assigned.select(
+                F.col("id").alias("__rep"), "cell", "cent_cos"
+            ),
+            "__rep",
+        )
+    else:
+        members = comp.join(assigned.select("id", "cell", "cent_cos"), "id")
     wk = Window.partitionBy("cluster_id").orderBy(
         F.col("cent_cos").asc(), F.col("id").asc()
     )

@@ -1311,6 +1311,43 @@ def test_semdedup_cell_cap_exactness_and_refinement(spark, sf_small):
         assert all(n == len(members) for _, n, _ in members), cid
 
 
+def test_semdedup_exact_collapse_equivalence(spark, sf_small):
+    """collapse_exact contract: on an input with byte-identical vector
+    copies (including copies that only connect to a fuzzy component
+    through their representative, and a zero-vector pair that must NOT
+    merge), the collapsed run is row-identical to the uncollapsed
+    one."""
+    from real_timetransactionaldatalakehouse_spark.operators import (
+        similarity as S,
+    )
+    from real_timetransactionaldatalakehouse_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_small, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300).select("vec_id", "embedding")
+    copies = base.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 700000).alias("vec_id"), "embedding"
+    )
+    copies2 = base.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 800000).alias("vec_id"), "embedding"
+    )
+    dim = len(base.first().embedding)
+    zeros = spark.createDataFrame(
+        [(900000, [0.0] * dim), (900001, [0.0] * dim)],
+        "vec_id long, embedding array<double>",
+    ).select("vec_id", F.col("embedding").cast(base.schema["embedding"].dataType))
+    corpus = base.unionByName(copies).unionByName(copies2).unionByName(zeros)
+    kw = dict(k=8, threshold=0.32)
+    plain = sorted(map(tuple, S.semantic_dedup(corpus, **kw).collect()))
+    collapsed = sorted(
+        map(tuple, S.semantic_dedup(corpus, **kw, collapse_exact=True).collect())
+    )
+    assert plain == collapsed
+    ids = {t[0] for t in collapsed}
+    assert 900000 not in ids and 900001 not in ids, "zero vectors must not merge"
+    assert 700000 in ids, "exact copy of vec 0 must be clustered"
+
+
 def test_semantic_topk_contaminants_matches_bruteforce(spark, sf_small):
     """The per-eval-item review queue (fused-kernel top-3) must equal
     the plain brute-force knn on the same disjoint sides, rank by
