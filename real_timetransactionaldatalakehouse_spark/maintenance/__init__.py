@@ -260,6 +260,65 @@ def run_maintenance(
     return report
 
 
+def maintenance_loop(
+    spark: SparkSession,
+    catalog,
+    interval_s: float = 3600.0,
+    max_runs: int | None = None,
+    clock=None,
+    sleep=None,
+    on_error: str = "continue",
+    **run_kwargs,
+) -> list[dict]:
+    """M5: the cadence runner itself — the executable twin of the
+    reference's hourly DAG (``dags/maintenance_dag.py:13-31``:
+    ``schedule_interval="@hourly"``, one BashOperator spark-submit of
+    the maintenance script, ``catchup=False``).
+
+    Fixed-rate schedule with the DAG's no-catchup semantics: each run
+    fires at the next multiple of ``interval_s`` from the loop's
+    start, and if a run OVERRUNS the interval the missed ticks are
+    skipped (never queued — exactly Airflow's ``catchup=False`` /
+    ``max_active_runs=1`` behavior, and the property that keeps a slow
+    compaction from stampeding itself).  ``on_error="continue"``
+    records a failed run's exception string in its report and keeps
+    the cadence (the DAG's retry-next-hour posture); ``"raise"``
+    propagates.
+
+    ``clock``/``sleep`` are injectable (default ``time.monotonic`` /
+    ``time.sleep``) so the schedule arithmetic is unit-testable
+    without wall-clock waits; ``max_runs`` bounds the loop for tests
+    and one-shot invocations (``None`` = run forever, the deployment
+    form).  Returns the list of per-run reports, newest last, each
+    ``{"run": i, "scheduled_at_s": offset, "report": ...}``."""
+    import time as _time
+
+    clock = clock or _time.monotonic
+    sleep = sleep or _time.sleep
+    t0 = clock()
+    reports: list[dict] = []
+    i = 0
+    next_tick = 0.0
+    while max_runs is None or i < max_runs:
+        now = clock() - t0
+        if now < next_tick:
+            sleep(next_tick - now)
+        entry: dict = {"run": i, "scheduled_at_s": next_tick}
+        try:
+            entry["report"] = run_maintenance(spark, catalog, **run_kwargs)
+        except Exception as e:  # noqa: BLE001 — the DAG posture: log, keep cadence
+            if on_error == "raise":
+                raise
+            entry["error"] = f"{type(e).__name__}: {e}"
+        reports.append(entry)
+        i += 1
+        # next multiple of interval_s strictly after "now": overruns
+        # skip missed ticks instead of queueing them (catchup=False)
+        elapsed = clock() - t0
+        next_tick = (int(elapsed / interval_s) + 1) * interval_s
+    return reports
+
+
 def zorder_key(
     quantized: list[Column],
     bits: int = 16,

@@ -143,6 +143,66 @@ def test_expire_snapshots_older_than_retains_recent(spark, sf_small, tmp_path):
     assert TF.list_versions(tbl) == [2, 3]
 
 
+def test_maintenance_loop_cadence_and_catchup_false(spark, sf_small, tmp_path):
+    """M5 cadence runner: fixed-rate hourly schedule with the DAG's
+    catchup=False semantics — an overrunning run SKIPS missed ticks
+    (never queues them), a failing run records its error and keeps the
+    cadence, and each run produces the composed maintenance report.
+    Clock and sleep are injected so the schedule arithmetic is tested
+    without wall-clock waits."""
+    from real_timetransactionaldatalakehouse_spark import maintenance as MT
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ev = load_table(spark, sf_small, "events").select("event_id", "ts")
+    cat.create_table("bronze.events", versioned=True)
+    cat.write("bronze.events", ev.limit(50))
+    cat.write("bronze.events", ev.limit(50))
+
+    # fake time: each run_maintenance call costs 90 "minutes" on run 1
+    # (overrun) and 5 minutes otherwise
+    state = {"t": 0.0, "runs": 0}
+
+    def clock():
+        return state["t"]
+
+    def sleep(dt):
+        assert dt >= 0
+        state["t"] += dt
+
+    real_run = MT.run_maintenance
+
+    def instrumented(spark_, cat_, **kw):
+        cost = 5400.0 if state["runs"] == 1 else 300.0
+        state["t"] += cost
+        state["runs"] += 1
+        return real_run(spark_, cat_, **kw)
+
+    MT.run_maintenance, orig = instrumented, MT.run_maintenance
+    try:
+        reports = MT.maintenance_loop(
+            spark, cat, interval_s=3600.0, max_runs=4,
+            clock=clock, sleep=sleep, keep_last=2,
+        )
+    finally:
+        MT.run_maintenance = orig
+    assert [r["run"] for r in reports] == [0, 1, 2, 3]
+    # run 0 at t=0; run 1 at 3600; run 1 overruns to 9000 -> tick 7200
+    # is SKIPPED and run 2 fires at 10800; run 3 back on cadence
+    assert [r["scheduled_at_s"] for r in reports] == [0.0, 3600.0, 10800.0, 14400.0]
+    assert all("report" in r for r in reports)
+    assert reports[0]["report"]["bronze.events"]["compact"]["rows_after"] == 50
+
+    # on_error="continue": a table whose path vanishes mid-loop records
+    # the exception and the loop keeps going
+    import shutil
+
+    shutil.rmtree(cat.table_path("bronze.events"))
+    bad = MT.maintenance_loop(
+        spark, cat, interval_s=3600.0, max_runs=2, clock=clock, sleep=sleep,
+    )
+    assert len(bad) == 2 and all("error" in r for r in bad)
+
+
 def test_run_maintenance_composed(spark, sf_small, tmp_path):
     """M5 analogue: one entry point composes compact -> expire ->
     orphans -> ttl over catalog tables (reference maintenance_dag.py:
