@@ -314,9 +314,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    rebuild_timed: list[str] = []
     for name in BENCH_QUERIES:
         df = qs[name](spark, SF_DIR)
         if getattr(df, "_layout_frames", None):
+            rebuild_timed.append(name)
             # checkpoint-at-build query: time declare+layout+plan whole
             timings[name] = round(run_rebuild(lambda: qs[name](spark, SF_DIR)), 4)
             samples[name] = sorted(
@@ -400,6 +402,13 @@ def main() -> None:
         "r3common_steady_sum": round(sum(steady[n] for n in r3cov), 4),
         "r3common_oracle_sum": round(sum(oracle[n] for n in r3cov), 4),
         "r3common_queries": len(r3cov),
+        # queries whose steady time is BUILD-INCLUSIVE (run_rebuild):
+        # their prefix-sum operators eagerly checkpoint the range layout
+        # at plan build, so declare + layout job + final plan are all
+        # inside the clock — read their worst5 ratios accordingly (the
+        # oracle runs one SQL statement; the engine pays ~4 job
+        # submissions for the same answer at bench SF)
+        "rebuild_timed": rebuild_timed,
         "oracle_skipped": ORACLE_SKIP,
         "oracle_asymmetry_notes": ORACLE_ASYMMETRY_NOTES,
         "steady_vs_oracle_ratio_excl_asymmetric": round(
