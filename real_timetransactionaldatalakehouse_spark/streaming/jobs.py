@@ -231,43 +231,89 @@ def dims_scd1_stream(
     allowed_ops: tuple[str, ...] = ("c", "u"),
     update_cols: list[str] | None = None,
     available_now: bool = True,
+    write_mode: str = "cow",
+    flatten_every: int | None = None,
 ):
     """Dims: SCD Type-1 upsert from a CDC envelope stream — the
     reference's stream_dims.py:59-98 foreachBatch MERGE, with the
     op-filter (B5), batch-scoped keep-latest dedup (T7/W1) and
     idempotent merge (exactly-once under replay).
 
-    The target is a ``tablefmt`` versioned table: each batch
-    materializes a new snapshot from merge(current, updates) and flips
-    the pointer — readers never see a partial table and a crash
-    mid-write leaves the previous snapshot current (the parquet
-    stand-in for MoR MERGE; swap in Delta MERGE via
-    operators.merge.delta_merge).  Old snapshots stay readable until
-    ``tablefmt.expire_snapshots`` — the M2 job.
+    The target is a ``tablefmt`` versioned table; two write paths:
+
+    - ``write_mode="cow"`` (default): each batch materializes a FULL
+      new snapshot from merge(current, updates) and flips the pointer
+      — simplest, rewrite cost O(|table|) per batch.
+    - ``write_mode="mor"``: the reference's actual table layout
+      (Iceberg v2 ``write.merge.mode = merge-on-read``,
+      ``streaming_job.py:55-60``): the batch reads the current table
+      to compute merged rows FOR THE TOUCHED KEYS ONLY, then commits
+      just that delta + equality-delete keys via
+      ``tablefmt.write_mor_upsert`` — write cost O(|batch|) per
+      commit at any table size, which is the whole point at CDC
+      upsert frequency.  SCD1 semantics (keep-latest dedup,
+      ``update_cols`` protection, null-coalesce to target values) are
+      IDENTICAL: the delta rows are merge_upsert's output restricted
+      to touched keys, not raw updates.  ``flatten_every=N`` folds
+      the chain back to a full snapshot once N un-flattened MoR
+      commits accumulate — the compaction cadence that bounds
+      read-side merge joins, exactly as the reference's hourly
+      maintenance bounds Iceberg delete files.
+
+    Either way readers never see a partial table and a crash
+    mid-write leaves the previous snapshot current; old snapshots
+    stay readable until ``tablefmt.expire_snapshots`` — the M2 job
+    (which pins live MoR base chains).
 
     T8: the micro-batch DataFrame feeds two actions (the emptiness
     probe and the merge write), so it is persisted for the batch's
     lifetime (reference caches the batch df, streaming_job.py:75).
     """
+    if write_mode not in ("cow", "mor"):
+        raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
     spark = stream_df.sparkSession
 
+    def _mor_chain_len() -> int:
+        n, v = 0, tablefmt.current_version(target_path)
+        while v is not None:
+            meta = tablefmt.mor_meta(target_path, v)
+            if meta is None:
+                break
+            n, v = n + 1, int(meta["base"])
+        return n
+
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        from ..operators.relational import dedup_latest
+
         updates = batch.filter(F.col(op_col).isin(*allowed_ops)).drop(op_col)
         updates.persist()
         try:
             if updates.isEmpty():
                 return
-            if tablefmt.is_versioned(target_path):
-                target = tablefmt.read_table(spark, target_path)
-                merged = merge_upsert(
-                    target, updates, key_cols, order_col=order_col,
-                    update_cols=update_cols,
+            if not tablefmt.is_versioned(target_path):
+                tablefmt.write_version(
+                    dedup_latest(updates, key_cols, order_col), target_path
                 )
-            else:
-                from ..operators.relational import dedup_latest
-
-                merged = dedup_latest(updates, key_cols, order_col)
-            tablefmt.write_version(merged, target_path)
+                return
+            target = tablefmt.read_table(spark, target_path)
+            if write_mode == "cow":
+                tablefmt.write_version(
+                    merge_upsert(
+                        target, updates, key_cols, order_col=order_col,
+                        update_cols=update_cols,
+                    ),
+                    target_path,
+                )
+                return
+            deduped = dedup_latest(updates, key_cols, order_col)
+            touched = F.broadcast(deduped.select(*key_cols).distinct())
+            delta = merge_upsert(
+                target.join(touched, key_cols, "left_semi"),
+                deduped, key_cols, update_cols=update_cols,
+            )
+            tablefmt.write_mor_upsert(delta, target_path, key_cols)
+            if flatten_every is not None and _mor_chain_len() >= flatten_every:
+                tablefmt.flatten_mor(spark, target_path)
         finally:
             updates.unpersist()
 

@@ -222,6 +222,68 @@ def test_dims_scd1_stream_and_idempotence(spark, tmp_path):
     )
 
 
+def test_dims_scd1_stream_mor_equals_cow(spark, tmp_path):
+    """write_mode='mor' must land the SAME dimension rows as the CoW
+    path on the same CDC replay — including update_cols protection and
+    null-coalesce (the delta rows are merge output for touched keys,
+    not raw updates) — while committing only deltas: the post-base
+    version is a MoR commit, flatten_every folds the chain back to a
+    full snapshot, and checkpoint replay is idempotent."""
+    from real_timetransactionaldatalakehouse_spark import tablefmt as TF
+
+    schema = (
+        "op string, ts_ms long, user_id string, ltv_segment string, "
+        "is_creator boolean, register_country string"
+    )
+    creates = [("c", 1000, f"u{i}", "Standard", False, "US") for i in range(5)]
+    batch2 = [
+        ("u", 2000, "u1", "VIP", True, None),
+        ("u", 2500, "u1", "High_Potential", True, None),
+        ("u", 2000, "u2", "VIP", False, None),
+        ("d", 3000, "u3", None, None, None),
+    ]
+    df0 = spark.createDataFrame(creates, schema)
+    df1 = spark.createDataFrame(batch2, schema)
+    now = time.time()
+
+    def run(mode_dir, **kw):
+        src = str(tmp_path / f"cdc_{mode_dir}")
+        target = str(tmp_path / f"dim_{mode_dir}")
+        ckpt = str(tmp_path / f"ckpt_{mode_dir}")
+        os.makedirs(src)
+        _write_single_file(df0, os.path.join(src, "b0.parquet"), now)
+        _write_single_file(df1, os.path.join(src, "b1.parquet"), now + 1)
+        stream = file_stream(spark, src, df0.schema)
+        dims_scd1_stream(
+            stream, target, ckpt, key_cols=["user_id"], order_col="ts_ms",
+            update_cols=["ltv_segment", "is_creator", "ts_ms"], **kw,
+        )
+        return src, target, ckpt
+
+    _, t_cow, _ = run("cow")
+    src_m, t_mor, ckpt_m = run("mor", write_mode="mor")
+    want = sorted(map(str, TF.read_table(spark, t_cow).collect()))
+    got = sorted(map(str, TF.read_table(spark, t_mor).collect()))
+    assert got == want
+    # base snapshot full, second commit is a real MoR delta
+    assert TF.mor_meta(t_mor, 1) is None
+    assert TF.mor_meta(t_mor, 2) is not None
+    assert TF.mor_meta(t_mor, 2)["key_cols"] == ["user_id"]
+    # checkpoint replay: restarting the stream applies nothing new
+    v_before = TF.current_version(t_mor)
+    stream = file_stream(spark, src_m, df0.schema)
+    dims_scd1_stream(
+        stream, t_mor, ckpt_m, key_cols=["user_id"], order_col="ts_ms",
+        update_cols=["ltv_segment", "is_creator", "ts_ms"], write_mode="mor",
+    )
+    assert TF.current_version(t_mor) == v_before
+    # flatten_every=1: every MoR commit immediately folds to a full
+    # snapshot; rows still equal the CoW result
+    _, t_flat, _ = run("morflat", write_mode="mor", flatten_every=1)
+    assert TF.mor_meta(t_flat, TF.current_version(t_flat)) is None
+    assert sorted(map(str, TF.read_table(spark, t_flat).collect())) == want
+
+
 def test_session_stream_equals_batch_after_flush(spark, events_small, tmp_path):
     from real_timetransactionaldatalakehouse_spark.streaming import gold_session_stream
 
