@@ -325,6 +325,23 @@ def _lsh_banded(df: DataFrame, id_alias: str, vec_alias: str, id_col: str,
     )
 
 
+def _lsh_banded_narrow(df: DataFrame, id_alias: str, id_col: str,
+                       vec_col: str, planes: int, dim: int,
+                       tables: int) -> DataFrame:
+    """(id, tbl, bucket) band rows WITHOUT the vector — the band table
+    a 100 TB corpus actually shuffles: ~24 bytes x ``tables`` per
+    vector instead of replicating the embedding into every band row
+    (a 64-dim double vector is ~512 B; fat banding moves it ``tables``
+    times through the bucket exchange AND again through the pair
+    dedup).  Score-time vectors join back by id — each embedding
+    crosses the wire once, keyed, instead of 2 x tables times."""
+    buckets = _lsh_buckets_udf(planes, dim, tables)
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        buckets(F.col(vec_col)).alias("__buckets"),
+    ).select(id_alias, F.posexplode(F.col("__buckets")).alias("tbl", "bucket"))
+
+
 def knn_lsh(
     queries: DataFrame,
     candidates: DataFrame,
@@ -1136,21 +1153,44 @@ def semantic_contamination_lsh(
     Same-id collisions across the two sides are NOT excluded: the
     operator treats corpus and eval as disjoint universes (dedupe
     first if they share ids, as the exact twin also assumes).
+
+    Plan (r7 narrow-band rewrite): both sides band into VECTOR-FREE
+    (id, tbl, bucket) rows, the bucket join and the (id, eid) pair
+    dedup move only those ~24-byte rows, and each side's embeddings
+    join back ONCE by key for the exact-cosine scoring — at 64-dim
+    double embeddings and 8 tables the fat-band form shuffled every
+    vector ~16x (band build + pair dedup, both sides); this form
+    moves each exactly once.
     """
-    c = _lsh_banded(corpus, "id", "v", id_col, vec_col, planes, dim, tables)
-    e = _lsh_banded(
-        evalset, "eid", "ev", eval_id_col, eval_vec_col, planes, dim, tables
+    cb = _lsh_banded_narrow(corpus, "id", id_col, vec_col, planes, dim, tables)
+    eb = _lsh_banded_narrow(
+        evalset, "eid", eval_id_col, eval_vec_col, planes, dim, tables
     )
     cand = (
-        c.join(e, (c["tbl"] == e["tbl"]) & (c["bucket"] == e["bucket"]))
-        .select("id", "v", "v_norm", "eid", "ev", "ev_norm")
+        cb.join(eb, ["tbl", "bucket"])
+        .select("id", "eid")
         .dropDuplicates(["id", "eid"])
     )
-    hits = cand.select(
-        "id", "eid",
-        (dot(F.col("v"), F.col("ev")) / (F.col("v_norm") * F.col("ev_norm")))
-        .alias("score"),
-    ).filter(F.col("score") >= threshold)
+    cv = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("v_norm"),
+    )
+    ev = evalset.select(
+        F.col(eval_id_col).alias("eid"), F.col(eval_vec_col).alias("ev"),
+        norm(F.col(eval_vec_col)).alias("ev_norm"),
+    )
+    # eval first (the usually-smaller side — AQE broadcasts it when it
+    # fits), then one keyed attach of the corpus vectors
+    hits = (
+        cand.join(ev, "eid")
+        .join(cv, "id")
+        .select(
+            "id", "eid",
+            (dot(F.col("v"), F.col("ev")) / (F.col("v_norm") * F.col("ev_norm")))
+            .alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
     return hits.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_eval_hits"),
         F.max_by(
