@@ -5212,7 +5212,9 @@ _CHECK_FIRST: list[str] = [
     "q_pack_sequences",         #
     "q_agg_percentile",         #
     "q_orderby",                # global_rank shares the checkpoint change
-    "q_semdedup",               # max_cell param added (certified plan identical)
+    "q_semdedup",               # max_cell/collapse_exact params + zero-norm filter
+    "q_embed_neardup_lsh",      # narrow-band rewrite (vector-free band rows)
+    "q_knn_lsh",                # narrow-band rewrite
     # -- oldest greens rotate back in: all 18 remaining r3-certified
     "q_agg_sketches",
     "q_balance_cap",
@@ -5250,8 +5252,10 @@ _CHECK_FIRST: list[str] = [
     "q_filter_range",
     "q_having_count",
     "q_join_anti",
-    "q_join_broadcast",
-    "q_join_inner_equi",
+    # (q_join_broadcast / q_join_inner_equi displaced by the late-r7
+    # narrow-band LSH rewrites above: both hold r4 hash-green rows and
+    # run in the pytest parity sweep every session; they head the r8
+    # rotation queue instead)
 ]
 # r8 window note: everything above the r3-rotation block heads this
 # round's window per the ROTATION RULE; if round 7 adds or changes

@@ -307,24 +307,6 @@ def _lsh_buckets_udf(planes: int, dim: int, tables: int):
     return buckets
 
 
-def _lsh_banded(df: DataFrame, id_alias: str, vec_alias: str, id_col: str,
-                vec_col: str, planes: int, dim: int, tables: int) -> DataFrame:
-    """(id, vec, tbl, bucket) rows via the vectorized bucket kernel;
-    posexplode turns the per-table bucket array into the band table
-    (``tables`` small rows per vector — the only thing that shuffles)."""
-    buckets = _lsh_buckets_udf(planes, dim, tables)
-    with_b = df.select(
-        F.col(id_col).alias(id_alias),
-        F.col(vec_col).alias(vec_alias),
-        norm(F.col(vec_col)).alias(f"{vec_alias}_norm"),
-        buckets(F.col(vec_col)).alias("__buckets"),
-    )
-    return with_b.select(
-        id_alias, vec_alias, f"{vec_alias}_norm",
-        F.posexplode(F.col("__buckets")).alias("tbl", "bucket"),
-    )
-
-
 def _lsh_banded_narrow(df: DataFrame, id_alias: str, id_col: str,
                        vec_col: str, planes: int, dim: int,
                        tables: int) -> DataFrame:
@@ -404,18 +386,34 @@ def knn_lsh(
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "score")
         )
-    c = _lsh_banded(candidates, "neighbor_id", "c_vec", id_col, vec_col, planes, dim, tables)
-    q = _lsh_banded(queries, "query_id", "q_vec", id_col, vec_col, planes, dim, tables)
+    # narrow-band form (r7): the bucket join and candidate dedup move
+    # vector-free rows; query vectors (the small side) then candidate
+    # vectors join back once by key for the exact re-rank — see
+    # semantic_contamination_lsh for the traffic arithmetic
+    c = _lsh_banded_narrow(candidates, "neighbor_id", id_col, vec_col, planes, dim, tables)
+    q = _lsh_banded_narrow(queries, "query_id", id_col, vec_col, planes, dim, tables)
     cand = (
         c.join(q, ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "q_vec", "q_vec_norm", "neighbor_id", "c_vec", "c_vec_norm")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_vec_norm") * F.col("c_vec_norm"))).alias("score"),
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_vec_norm"),
+    )
+    cv = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_vec_norm"),
+    )
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_vec_norm") * F.col("c_vec_norm"))).alias("score"),
+        )
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -639,10 +637,20 @@ def embedding_neardup_pairs_lsh(
     the same bucket of at least one of 8x8-plane tables with
     probability ~1 - (1 - 0.86^8)^8 ~ 0.97 — recall is tunable via
     ``tables`` without ever materializing the quadratic pair space.
+
+    Plan (r7 narrow-band rewrite, same as
+    :func:`semantic_contamination_lsh`): the band table is VECTOR-FREE
+    (id, tbl, bucket), so the self-join and pair dedup move ~24-byte
+    rows; each endpoint's embedding joins back ONCE by key for the
+    exact-cosine verify — the fat form replicated every vector
+    ``tables`` times through the band build and again through the
+    dedup exchange.
     """
     from .dedup import _attach_cached
 
-    banded = _lsh_banded(df, "id", "v", id_col, vec_col, planes, dim, tables).persist()
+    banded = _lsh_banded_narrow(
+        df, "id", id_col, vec_col, planes, dim, tables
+    ).persist()
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -651,16 +659,21 @@ def embedding_neardup_pairs_lsh(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"), F.col("a.v").alias("va"), F.col("a.v_norm").alias("na"),
-            F.col("b.id").alias("id_b"), F.col("b.v").alias("vb"), F.col("b.v_norm").alias("nb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    vecs = df.select(
+        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__vn"),
+    )
     out = (
-        cand.select(
+        cand.join(vecs, cand["id_a"] == vecs["__vid"])
+        .select("id_a", "id_b", F.col("__v").alias("va"), F.col("__vn").alias("na"))
+        .join(vecs, F.col("id_b") == vecs["__vid"])
+        .select(
             "id_a", "id_b",
-            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("score"),
+            (dot(F.col("va"), F.col("__v")) / (F.col("na") * F.col("__vn")))
+            .alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
