@@ -359,6 +359,24 @@ def test_mor_upsert_read_merge_equivalence(spark, tmp_path):
     assert {tuple(r) for r in TF.read_table(spark, tbl).collect()} == want4
 
 
+def test_mor_read_plans_broadcast_anti_join(spark, tmp_path):
+    """The MoR resolution must apply equality-delete keys as a
+    BROADCAST anti join — the base snapshot never shuffles on read
+    (delete-key files are delta-sized by the MoR contract)."""
+    from real_timetransactionaldatalakehouse_spark import plans as P
+
+    tbl = str(tmp_path / "tbl")
+    base = spark.range(0, 1000).selectExpr("id", "id * 2 AS v")
+    TF.write_version(base, tbl)
+    TF.write_mor_upsert(
+        spark.createDataFrame([(5, 50), (2000, 7)], "id long, v long"),
+        tbl, ["id"],
+    )
+    plan = P.formatted_plan(TF.read_table(spark, tbl))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_mor_expiry_pins_base_chain(spark, tmp_path):
     """expire_snapshots must never reclaim a base a live MoR version
     still resolves through — and after flattening, the chain becomes
