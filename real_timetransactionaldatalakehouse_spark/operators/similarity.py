@@ -44,6 +44,15 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Sequential-fold cosine — bit-equal to the DuckDB list_reduce
+    twin.  INPUT CONTRACT: nonzero-norm vectors.  Under Spark 4's
+    default ANSI mode a zero divisor is a DIVIDE_BY_ZERO *error*, not
+    NaN, so every cosine consumer in this module assumes embeddings
+    were filtered/validated upstream.  ``semantic_dedup`` filters
+    ``norm > 0`` itself (a zero-vector test corpus surfaced the
+    error there); the other consumers document the assumption here —
+    a zero vector carries no direction and has no place in a cosine
+    index."""
     return dot(a, b) / (norm(a) * norm(b))
 
 
