@@ -377,6 +377,49 @@ def test_mor_read_plans_broadcast_anti_join(spark, tmp_path):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_mor_delta_schema_evolution(spark, tmp_path):
+    """A MoR delta carrying a NEW column widens the declared schema
+    (mergeSchema-style): post-commit reads surface the column, base
+    rows read it as a typed null, and time travel to the pre-evolution
+    snapshot ALSO sees it as null — the same reconcile contract as
+    write_version."""
+    tbl = str(tmp_path / "tbl")
+    TF.write_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"), tbl
+    )
+    TF.write_mor_upsert(
+        spark.createDataFrame([(2, "B", 99), (3, "c", 7)],
+                              "id long, s string, extra long"),
+        tbl, ["id"],
+    )
+    got = {r.id: (r.s, r.extra) for r in TF.read_table(spark, tbl).collect()}
+    assert got == {1: ("a", None), 2: ("B", 99), 3: ("c", 7)}
+    old = {r.id: r.extra for r in TF.read_table(spark, tbl, version=1).collect()}
+    assert old == {1: None, 2: None}
+
+
+def test_maintenance_loop_on_error_raise(spark, tmp_path):
+    """on_error='raise' propagates instead of logging — the one-shot /
+    CI posture."""
+    import pytest as _pytest
+
+    from real_timetransactionaldatalakehouse_spark import maintenance as MT
+    from real_timetransactionaldatalakehouse_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_table("gold.t")
+    cat.write("gold.t", spark.range(3))
+    import shutil
+
+    shutil.rmtree(cat.table_path("gold.t"))
+    t = {"v": 0.0}
+    with _pytest.raises(Exception):
+        MT.maintenance_loop(
+            spark, cat, interval_s=60.0, max_runs=1, on_error="raise",
+            clock=lambda: t["v"], sleep=lambda d: t.__setitem__("v", t["v"] + d),
+        )
+
+
 def test_mor_expiry_pins_base_chain(spark, tmp_path):
     """expire_snapshots must never reclaim a base a live MoR version
     still resolves through — and after flattening, the chain becomes
