@@ -207,6 +207,7 @@ def run_maintenance(
     expire_older_than_s: float | None = None,
     ttl: dict[str, tuple[str, object]] | None = None,
     zorder: dict[str, list[str]] | None = None,
+    mor_flatten_depth: int | None = None,
 ) -> dict:
     """M5 analogue: the reference's hourly maintenance run
     (``dags/maintenance_dag.py:13-31`` scheduling
@@ -230,9 +231,20 @@ def run_maintenance(
     ``zorder`` maps table name -> column list; those tables rewrite
     through :func:`zorder_compact` (multi-column data-skipping layout)
     instead of plain bin-packing.
+    ``mor_flatten_depth`` makes the merge-on-read flatten trigger
+    EXPLICIT: a versioned table whose current snapshot resolves
+    through that many or more MoR commits (``tablefmt.mor_chain_depth``)
+    is flattened FIRST (``tablefmt.flatten_mor`` — one full rewrite
+    that resets the chain; reads then pay zero merge anti-joins and
+    expiry can retire the delta versions).  Shallower chains skip the
+    rewrite — the write-amplification control: each skipped run is a
+    full table write saved (default ``None`` keeps the implicit
+    behavior, where compaction's rewrite flattens as a side effect;
+    ``tablefmt.MOR_MAX_CHAIN`` is the recommended trigger).
 
-    Returns ``{table: {compact, expired, orphans, ttl}}`` — each step's
-    own report, so a scheduler can alert on any sub-step."""
+    Returns ``{table: {mor_flatten?, compact, expired, orphans, ttl}}``
+    — each step's own report, so a scheduler can alert on any
+    sub-step."""
     if tables is None:
         tables = [
             f"{ns}.{t}" for ns in catalog.namespaces() for t in catalog.tables(ns)
@@ -242,7 +254,22 @@ def run_maintenance(
         meta = catalog.meta(name)
         path = meta["path"]
         r: dict = {}
-        if zorder and name in zorder:
+        skip_rewrite = False
+        if mor_flatten_depth is not None and meta.get("versioned"):
+            depth = tablefmt.mor_chain_depth(path)
+            if depth >= mor_flatten_depth:
+                v = tablefmt.flatten_mor(spark, path)
+                r["mor_flatten"] = {"chain_depth": depth, "new_version": v}
+            elif depth > 0:
+                # a shallow live chain: skip this run's rewrite entirely
+                # (compact would flatten implicitly and pay the full
+                # write amplification the explicit trigger exists to
+                # avoid); the chain is re-checked next tick
+                skip_rewrite = True
+                r["mor_flatten"] = {"chain_depth": depth, "skipped": True}
+        if skip_rewrite:
+            pass
+        elif zorder and name in zorder:
             r["compact"] = zorder_compact(spark, path, zorder[name])
         else:
             r["compact"] = compact(
@@ -293,6 +320,11 @@ def maintenance_loop(
     ``{"run": i, "scheduled_at_s": offset, "report": ...}``."""
     import time as _time
 
+    if interval_s <= 0:
+        # a zero interval divides by zero in the next-tick arithmetic
+        # and a negative one busy-loops with no sleep in the
+        # run-forever deployment form — fail at entry, loudly
+        raise ValueError(f"interval_s must be > 0, got {interval_s}")
     clock = clock or _time.monotonic
     sleep = sleep or _time.sleep
     t0 = clock()

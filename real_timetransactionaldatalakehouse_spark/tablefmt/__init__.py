@@ -275,7 +275,12 @@ def write_mor_upsert(
     :func:`operators.merge.merge_upsert` and commit its output),
     unmatched keys insert — pinned by the read-merge equivalence
     test.  ``deletes`` optionally removes additional keys in the same
-    commit (a combined CDC batch).  Layout inside the version dir::
+    commit (a combined CDC batch); a key present in BOTH ``updates``
+    and ``deletes`` is DELETED — the delete wins, matching the CDC
+    convention that a batch's tombstone is the key's final state (the
+    update row is anti-joined out of the delta before the commit, so
+    a delete-after-upsert batch can never resurrect the row).  Layout
+    inside the version dir::
 
         v0000000N/_MOR.json   {"base": M, "key_cols": [...], ...}
         v0000000N/_delta/     parquet, the upserted rows
@@ -294,6 +299,15 @@ def write_mor_upsert(
     n = (max(list_versions(path), default=0)) + 1
     root = _versions_root(path)
     tmp = os.path.join(root, f".tmp-v{n:08d}")
+    if deletes is not None:
+        # delete wins over a same-key update in the combined batch:
+        # without this anti-join the delta would be unioned back in
+        # AFTER the base anti-join and resurrect the deleted row
+        updates = updates.join(
+            F.broadcast(deletes.select(*key_cols).distinct()),
+            key_cols,
+            "left_anti",
+        )
     updates.write.mode("overwrite").parquet(os.path.join(tmp, MOR_DELTA))
     del_keys = updates.select(*key_cols)
     if deletes is not None:
@@ -353,6 +367,37 @@ def flatten_mor(spark: SparkSession, path: str) -> int:
     can reclaim the chain — the rewrite the reference schedules
     hourly to bound delete-file accumulation."""
     return write_version(read_table(spark, path), path)
+
+
+def mor_chain_depth(path: str, version: int | None = None) -> int:
+    """Number of un-flattened MoR commits the given (default: current)
+    version resolves through — 0 for a full snapshot.  Every level
+    authors one broadcast anti-join (``_read_version``), and after
+    Catalyst pushes the anti-joins through the accumulated union the
+    OPTIMIZED plan holds depth*(depth+1)/2 join nodes — execution
+    stays ~linear in data (each union branch streams through tiny
+    broadcast filters) but plan build/codegen cost is QUADRATIC in
+    depth.  This is the metric a maintenance cadence bounds: keep it
+    under ``MOR_MAX_CHAIN`` (tests/test_tablefmt.py::
+    test_mor_read_plan_depth_contract pins the shape at depth 20)."""
+    v = current_version(path) if version is None else version
+    depth = 0
+    while v is not None:
+        meta = mor_meta(path, v)
+        if meta is None:
+            break
+        depth += 1
+        v = int(meta["base"])
+    return depth
+
+
+# Recommended flatten trigger: the optimized read plan holds
+# depth*(depth+1)/2 broadcast anti-join nodes (Catalyst pushes each
+# level's anti-join through the accumulated union), so plan size is
+# quadratic in depth.  8 -> 36 join nodes keeps plan build trivial
+# while amortizing the full-rewrite amplification over 8 O(|delta|)
+# commits (SCALING.md r8 MoR table).
+MOR_MAX_CHAIN = 8
 
 
 def _mor_base_closure(path: str, versions: set[int]) -> set[int]:
