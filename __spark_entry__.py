@@ -4923,10 +4923,14 @@ def q_semantic_decontaminate_lsh(spark, sf_dir):
     from real_timetransactionaldatalakehouse_spark.operators import similarity as S
 
     emb = _t(spark, sf_dir, "embeddings")
+    # planes pinned at 8 so the static oracle's hyperplane CTE matches
+    # at every sf; production callers leave planes="auto" and the
+    # derivation tracks corpus size (similarity.derive_planes)
     return S.semantic_contamination_lsh(
         emb.filter(F.col("vec_id") % 97 != 0),
         emb.filter(F.col("vec_id") % 97 == 0),
         threshold=0.28,
+        planes=8,
     )
 
 

@@ -45,7 +45,15 @@ def release_cached(df: DataFrame) -> None:
     """Unpersist the intermediate DataFrames an operator cached while
     building ``df`` (attached as ``df._cached_deps``).  Long-lived
     sessions call this after the terminal action; one-shot jobs can
-    skip it (executor caches die with the session)."""
+    skip it (executor caches die with the session).
+
+    Contract: every attached dep is ``persist()``-based and IS freed
+    here (the r8 prefix-sum rework moved that family off
+    localCheckpoint, so its layouts release again).  The one remaining
+    checkpoint user — :func:`neardup_clusters`' per-round lineage
+    truncation — keeps its checkpointed blocks INTERNAL (never
+    attached): those are reclaimed by RDD garbage collection or
+    session end, the documented price of iterative truncation."""
     for dep in getattr(df, "_cached_deps", []):
         dep.unpersist()
 
@@ -56,9 +64,12 @@ def _attach_cached(df: DataFrame, deps: list[DataFrame]) -> DataFrame:
 
 
 def _attach_layout(df: DataFrame, frames: list[DataFrame]) -> DataFrame:
-    """Attach the PRE-checkpoint layout frame(s) a prefix-sum operator
-    materialized (eager localCheckpoint truncates them out of the
-    final plan, so plan-contract tests inspect these instead)."""
+    """Mark ``df`` as a BUILD-JOB query: constructing its plan runs
+    real data passes (boundary samples / offset collects in the
+    prefix-sum family), so honest steady timing must rebuild the query
+    inside the clock (bench.run_rebuild keys on this attribute).
+    ``frames`` point at the frame(s) those build passes read, for
+    plan-contract inspection."""
     df._layout_frames = frames
     return df
 

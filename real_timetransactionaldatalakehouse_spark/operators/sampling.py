@@ -319,13 +319,15 @@ def pack_sequences(
     shard by ``pack_id`` and emit windows independently.
 
     Scale shape: the global running token sum uses the same two-phase
-    prefix-sum as :func:`relational.global_rank` — range-partition on
-    the order key, window-cumsum within partitions, add per-partition
-    offsets from a metadata-sized collect (one SUM row per partition).
-    No single-partition window anywhere; the only full-data pass is
-    the range shuffle.  ``order_cols`` must be a total order (default:
-    the unique id) so the layout is retry-stable, like every other
-    curation op here (no ``rand()``).
+    prefix-sum as :func:`relational.global_rank` — literal-boundary
+    buckets (a pure function of the row: identical layout under any
+    re-execution or cache drop, no pinned materialization), window-
+    cumsum within buckets, add per-bucket offsets from a metadata-
+    sized collect (one SUM row per bucket).  No single-partition
+    window anywhere; the only full-data exchange is the window's hash
+    partition on the bucket id.  ``order_cols`` must be a total order
+    (default: the unique id) so the layout is retry-stable, like
+    every other curation op here (no ``rand()``).
     """
     from pyspark.sql import Window
 
@@ -333,59 +335,55 @@ def pack_sequences(
     from .text import tokens
 
     spark = df.sparkSession
-    n = partitions or spark.sparkContext.defaultParallelism
     order = order_cols or [id_col]
-    cols = [F.col(c) for c in order]
     n_tok = (
         F.col(token_col) if token_col is not None
         else F.size(tokens(text_col))
     ).cast("long")
     base = df.select(F.col(id_col), *[F.col(c) for c in order if c != id_col],
-                     n_tok.alias("n_tokens"))
-    ranged = base.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
-    layout = ranged.withColumn("__pid", F.spark_partition_id())
-    with_pid = layout.localCheckpoint()
-    # per-partition token totals -> exclusive prefix offsets (metadata-
-    # sized: one row per partition).  Eagerly localCheckpoint'd — NOT
-    # persisted — because RangePartitioner boundaries are sampled per
-    # job and must agree across both passes: a persist survives only
-    # until a cache drop (catalog.clearCache between bench runs), after
-    # which re-execution resamples the layout and the baked offsets go
-    # silently wrong; checkpointed blocks pin it for the plan's life.
-    totals = sorted(
-        (r["__pid"], r["t"]) for r in
-        with_pid.groupBy("__pid").agg(F.sum("n_tokens").alias("t")).collect()
+                     n_tok.alias("n_tokens")).persist()
+    from .relational import (
+        _bucketed_layout,
+        _order_specs,
+        _partition_offset_expr,
     )
-    offsets, acc = [], 0
-    for pid, t in totals:
-        offsets.append((pid, acc))
-        acc += int(t)
-    from .relational import _partition_offset_expr
 
-    w = Window.partitionBy("__pid").orderBy(*cols).rowsBetween(
+    specs = _order_specs(order)
+    bexpr, per_bucket, keyed = _bucketed_layout(
+        base, specs, [F.sum("__t").alias("t")], partitions,
+        extra_cols=[F.col("n_tokens").alias("__t")],
+    )
+    keyed.unpersist()
+    offsets, acc = [], 0
+    for b in sorted(per_bucket):
+        offsets.append((b, acc))
+        if per_bucket[b] is not None and per_bucket[b][0] is not None:
+            acc += int(per_bucket[b][0])
+    cols = [F.col(c) for c in order]
+    w = Window.partitionBy("__b").orderBy(*cols).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    # metadata-sized partition counts inline the offsets as literals
+    # metadata-sized bucket counts inline the offsets as literals
     # (4x cheaper than re-broadcasting a tiny join table every
-    # execution); cluster-scale partition counts broadcast-join
-    off_expr = _partition_offset_expr(offsets)
-    joined = with_pid
+    # execution); cluster-scale bucket counts broadcast-join
+    off_expr = _partition_offset_expr(offsets, pid_col="__b")
+    joined = base.withColumn("__b", bexpr)
     if off_expr is None:
         off_df = F.broadcast(
-            spark.createDataFrame(offsets, "__pid int, __tok_offset long")
+            spark.createDataFrame(offsets, "__b int, __tok_offset long")
         )
-        joined = with_pid.join(off_df, "__pid")
+        joined = joined.join(off_df, "__b")
         off_expr = F.col("__tok_offset")
     start = F.sum("n_tokens").over(w) + off_expr - F.col("n_tokens")
     out = (
         joined
         .withColumn("pack_id", F.floor(start / F.lit(budget)))
         .withColumn("pack_pos", start % F.lit(budget))
-        .drop("__pid", "__tok_offset")
+        .drop("__b", "__tok_offset")
     )
     from .dedup import _attach_layout
 
-    return _attach_layout(_attach_cached(out, [with_pid]), [layout])
+    return _attach_layout(_attach_cached(out, [base]), [base])
 
 
 def heavy_hitters(
@@ -511,57 +509,60 @@ def _global_cumsum(
     two-phase prefix sum as :func:`relational.global_rank` and
     :func:`pack_sequences`.
 
-    ``order_cols`` may mix column names and Column expressions (e.g.
-    ``F.col("cnt").desc()``) but must form a TOTAL order (unique
-    tiebreak) so positions are partition-boundary-independent.
+    ``order_cols`` may mix column names, plain Column expressions
+    (ascending), and ``(name_or_column, 'asc'|'desc')`` tuples, and
+    must form a TOTAL order (unique tiebreak) so positions are
+    well-defined.
 
     Returns ``(out, total_rows, total_sum)``; ``out`` carries the
-    input columns plus ``__pos`` and ``__cum``.  The ranged frame is
-    eagerly ``localCheckpoint``'d (RangePartitioner boundaries are
-    sampled per job and must agree across the offset pass and the
-    output pass; a plain persist would not survive a cache drop — see
-    :func:`pack_sequences`); the caller should route through
-    :func:`dedup._attach_cached` when it builds further cached plans
-    on top.
+    input columns plus ``__pos`` and ``__cum``.  Bucketing is by
+    LITERAL boundaries (:func:`relational._bucketed_layout`): the
+    bucket is a pure function of the row, so positions and running
+    sums are identical under any re-execution or cache drop — the
+    input is persisted (releasable via :func:`dedup.release_cached`)
+    purely as an optimization, since the offset pass and the output
+    pass both read it.
     """
     from pyspark.sql import Window
 
-    from .relational import _partition_offset_expr
+    from .relational import (
+        _bucketed_layout,
+        _order_specs,
+        _partition_offset_expr,
+    )
 
     spark = df.sparkSession
-    n = partitions or spark.sparkContext.defaultParallelism
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    ranged = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
-    # eager localCheckpoint pins the sampled range layout the offsets
-    # below assume; see pack_sequences for why persist() is not enough
-    layout = ranged.withColumn("__pid", F.spark_partition_id())
-    with_pid = layout.localCheckpoint()
-    totals = sorted(
-        (r["__pid"], r["c"], r["s"]) for r in
-        with_pid.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("c"),
-             F.sum(F.col(value_col).cast("long")).alias("s"))
-        .collect()
+    specs = _order_specs(order_cols)
+    src = df.persist()
+    bexpr, per_bucket, keyed = _bucketed_layout(
+        src,
+        specs,
+        [F.count(F.lit(1)).alias("c"), F.sum("__v").alias("s")],
+        partitions,
+        extra_cols=[F.col(value_col).cast("long").alias("__v")],
     )
+    keyed.unpersist()  # offsets collected; output plan reads src
     row_offsets, sum_offsets = [], []
     rows_acc = total_sum = 0
-    for pid, c, s in totals:
-        row_offsets.append((pid, rows_acc))
-        sum_offsets.append((pid, total_sum))
-        rows_acc += int(c)
-        total_sum += int(s)
-    w = Window.partitionBy("__pid").orderBy(*cols).rowsBetween(
+    for b in sorted(per_bucket):
+        row_offsets.append((b, rows_acc))
+        sum_offsets.append((b, total_sum))
+        if per_bucket[b] is not None:
+            rows_acc += int(per_bucket[b][0])
+            total_sum += int(per_bucket[b][1])
+    order_exprs = [c.asc() if d == "asc" else c.desc() for c, d in specs]
+    w = Window.partitionBy("__b").orderBy(*order_exprs).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    row_off = _partition_offset_expr(row_offsets)
-    sum_off = _partition_offset_expr(sum_offsets)
-    joined = with_pid
+    row_off = _partition_offset_expr(row_offsets, pid_col="__b")
+    sum_off = _partition_offset_expr(sum_offsets, pid_col="__b")
+    joined = src.withColumn("__b", bexpr)
     if row_off is None:
         off_df = F.broadcast(spark.createDataFrame(
             [(p, r, s[1]) for (p, r), s in zip(row_offsets, sum_offsets)],
-            "__pid int, __row_off long, __sum_off long",
+            "__b int, __row_off long, __sum_off long",
         ))
-        joined = with_pid.join(off_df, "__pid")
+        joined = joined.join(off_df, "__b")
         row_off, sum_off = F.col("__row_off"), F.col("__sum_off")
     out = (
         joined
@@ -569,11 +570,11 @@ def _global_cumsum(
         .withColumn(
             "__cum", F.sum(F.col(value_col).cast("long")).over(w) + sum_off
         )
-        .drop("__pid", "__row_off", "__sum_off")
+        .drop("__b", "__row_off", "__sum_off")
     )
     from .dedup import _attach_cached, _attach_layout
 
-    out = _attach_layout(_attach_cached(out, [with_pid]), [layout])
+    out = _attach_layout(_attach_cached(out, [src]), [src])
     return out, rows_acc, total_sum
 
 

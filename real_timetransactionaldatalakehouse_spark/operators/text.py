@@ -968,7 +968,7 @@ def vocab_coverage(
     counts = token_counts(df, text_col)
     ranked, _, total = _global_cumsum(
         counts, "n",
-        [F.col("n").desc(), F.col("token").asc()],
+        [("n", "desc"), ("token", "asc")],
         partitions=partitions,
     )
     # min pos satisfying the coverage test; cum is monotone in pos, so

@@ -1315,3 +1315,84 @@ def test_grouped_percentiles_exact_equals_plain_aggregate(spark, sf_medium):
                {"med_price": 0.5, "p90_price": 0.9}, partitions=5,
            ).collect()}
     assert plain == new
+
+
+def test_prefix_sum_family_stable_under_cache_drop(spark, sf_small):
+    """The r7 bug class, pinned forever: prefix-sum operators bake
+    per-bucket offsets at plan build; a cache drop between build and a
+    later action must NOT change any position/sum (r7 fixed it by
+    checkpoint-pinning the range layout; r8 makes the bucket a pure
+    function of the row via literal boundaries, so determinism holds
+    by construction — this test keeps it that way)."""
+    from real_timetransactionaldatalakehouse_spark.operators.relational import (
+        global_rank,
+        grouped_percentiles_exact,
+    )
+    from real_timetransactionaldatalakehouse_spark.operators.sampling import (
+        pack_sequences,
+        sample_systematic,
+    )
+    from real_timetransactionaldatalakehouse_spark.operators.text import (
+        vocab_coverage,
+    )
+
+    docs = load_table(spark, sf_small, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    ev = load_table(spark, sf_small, "events").select("event_id", "value")
+    plans = {
+        "rank": global_rank(ev, ["value", "event_id"], rank_col="pos"),
+        "pack": pack_sequences(docs, budget=512, partitions=4),
+        "pps": sample_systematic(docs, k=17, weight_col="n_chars"),
+        "vocab": vocab_coverage(docs, targets=(50, 90, 99)),
+        "pct": grouped_percentiles_exact(
+            ev.withColumn("g", F.col("event_id") % 3),
+            "g", "value", {"p50": 0.5, "p95": 0.95},
+        ),
+    }
+    before = {k: sorted(map(tuple, df.collect())) for k, df in plans.items()}
+    spark.catalog.clearCache()  # what bench does between timed runs
+    after = {k: sorted(map(tuple, df.collect())) for k, df in plans.items()}
+    for k in plans:
+        assert before[k] == after[k], f"{k} changed after cache drop"
+        assert before[k], f"{k} returned no rows"
+
+
+def test_derive_planes_scaling(spark, sf_small):
+    """planes="auto" (the r8 default for the sign-LSH family) derives
+    the plane count from corpus size: ceil(log2(n / target_bucket))
+    clamped to [4, 24] — in-bucket pair work grows n^2/2^planes per
+    table, so planes must track log2(n) for flat per-bucket cost."""
+    from real_timetransactionaldatalakehouse_spark.operators.similarity import (
+        derive_planes,
+        embedding_neardup_pairs_lsh,
+    )
+
+    assert derive_planes(0) == 4
+    assert derive_planes(100) == 4            # below target_bucket -> lo
+    assert derive_planes(128 * 16) == 4       # 2^4 buckets of 128
+    assert derive_planes(128 * 17) == 5       # ceil crosses
+    assert derive_planes(200_000) == 11       # the 50x replica case
+    assert derive_planes(10**9) == 23
+    assert derive_planes(10**12) == 24        # hi clamp
+    # monotone non-decreasing in n
+    last = 0
+    for n in [10, 10**3, 10**5, 10**7, 10**9, 10**11]:
+        p = derive_planes(n)
+        assert p >= last
+        last = p
+    # auto wiring: explicit corpus_count must produce the same pairs
+    # as the counted path, and both run end-to-end
+    emb = load_table(spark, sf_small, "embeddings")
+    n = emb.count()
+    a = {(r.id_a, r.id_b) for r in
+         embedding_neardup_pairs_lsh(emb, threshold=0.35).collect()}
+    b = {(r.id_a, r.id_b) for r in
+         embedding_neardup_pairs_lsh(
+             emb, threshold=0.35, corpus_count=n).collect()}
+    assert a == b and a, "auto-planes path returned no pairs"
+    # and the derived config equals an explicit planes=derive_planes(n)
+    c = {(r.id_a, r.id_b) for r in
+         embedding_neardup_pairs_lsh(
+             emb, threshold=0.35, planes=derive_planes(n)).collect()}
+    assert a == c

@@ -538,38 +538,37 @@ def test_bucketed_join_has_no_exchange(spark, sf_small, tmp_path):
 
 def test_sample_weighted_no_single_partition(spark, sf_medium):
     """Systematic PPS sampling must plan the two-phase prefix sum —
-    range exchanges and per-partition windows, never a one-partition
-    global window."""
+    a hash exchange on the literal-boundary bucket id and per-bucket
+    windows, never a one-partition global window.  The bucket is a
+    pure function of the row (r8 rework): no checkpoint, no
+    rangepartitioning anywhere in the plan."""
     df = _Q["q_sample_weighted"](spark, sf_medium)
     plan = P.formatted_plan(df)
     assert "SinglePartition" not in plan, plan
-    # the range exchange lives in the eagerly-checkpointed layout frame
-    # (lineage truncation removes it from the downstream plan); the
-    # operator exposes it for exactly this contract
+    assert "hashpartitioning(__b" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    # build-job marker: the boundary/offset collects run at plan build,
+    # so bench steady timing must rebuild inside the clock
     layouts = getattr(df, "_layout_frames", [])
     assert layouts, "prefix-sum operator must expose _layout_frames"
-    lplan = P.formatted_plan(layouts[0])
-    assert "rangepartitioning" in lplan, lplan
-    assert "SinglePartition" not in lplan, lplan
 
 
 def test_vocab_coverage_single_partition_post_agg_only(spark, sf_medium):
     """The coverage curve's only SinglePartition exchange is the final
     global min-aggregate over per-partition partials (len(targets)
     rows of longs) — the corpus pass and the vocabulary prefix sum
-    must stay partitioned."""
+    must stay partitioned.  With literal-boundary bucketing the WHOLE
+    plan is visible (no checkpoint truncation): the corpus pass must
+    partial-aggregate and the prefix sum must exchange on the bucket
+    id, never a range partition."""
     df = _Q["q_vocab_coverage"](spark, sf_medium)
     plan = P.formatted_plan(df)
     assert plan.count("SinglePartition") == 1, plan
-    # corpus pass (partial agg) + vocabulary range exchange sit in the
-    # checkpointed layout frame the prefix sum exposes
+    assert "hashpartitioning(__b" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert P.has_partial_aggregation(df), plan
     layouts = getattr(df, "_layout_frames", [])
     assert layouts, "prefix-sum operator must expose _layout_frames"
-    lframe = layouts[0]
-    lplan = P.formatted_plan(lframe)
-    assert P.has_partial_aggregation(lframe), lplan
-    assert "rangepartitioning" in lplan, lplan
-    assert "SinglePartition" not in lplan, lplan
 
 
 def test_passage_repetition_shuffles_fingerprints_not_text(spark, sf_medium):
