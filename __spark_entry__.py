@@ -4818,11 +4818,19 @@ def q_semdedup(spark, sf_dir):
     k-row seed collect is metadata-sized by construction (same plan
     shape as q_knn_ivf's quantizer).  Bounded to vec_id < 500 for the
     oracle's all-pairs-within-cell reach CTE; the scale path is the
-    same operator unbounded with k sized to the corpus."""
+    same operator unbounded with k sized to the corpus.
+
+    Certified on the PRODUCTION combo (r8, VERDICT r7 #5):
+    ``collapse_exact=True, max_cell=256`` — the 23x configuration the
+    50x replica measured.  At certification scale no cell exceeds the
+    cap and the exact-vector collapse is output-equivalent by
+    construction, so the oracle is unchanged and the hash compare
+    pins BOTH facts (equivalence is also pytested directly)."""
     from real_timetransactionaldatalakehouse_spark.operators import similarity as S
 
     return S.semantic_dedup(
-        _t(spark, sf_dir, "embeddings"), k=8, threshold=0.32, max_id=500
+        _t(spark, sf_dir, "embeddings"), k=8, threshold=0.32, max_id=500,
+        collapse_exact=True, max_cell=256,
     )
 
 
@@ -5191,82 +5199,73 @@ def q_split_leakage(spark, sf_dir):
 # Every name rotating out must already hold a hash-green driver row from a
 # past round AND pass the sf0.001+sf0.01 pytest parity sweep.
 #
-# Round-7 window: the two new queries (LSH semantic decontamination,
-# MoR upsert), the twelve whose implementation or plan changed this
-# round (clique pre-collapse, verify NULL guards, prefix-sum layout
-# checkpointing, semi-join broadcast keys, semdedup cell cap), then
-# the oldest greens — ALL 18 remaining r3-certified queries plus the
-# first 18 r4-certified alphabetically — re-verified against current
-# code.  Round 6's window was 50/50 hash-green (CORRECTNESS_r06), so
-# no rotation debt carried in.
+# Round-8 window (VERDICT r7 #2): the 21 queries whose last driver
+# certification is r4 (3 rounds old — the freshness bound was binding)
+# HEAD the window, then the 10 whose implementation changed this round
+# (prefix-sum literal-boundary rework, semdedup production combo,
+# LSH auto-planes default, MoR delete-wins precedence), then the
+# oldest r5 greens fill the remaining slots.  Round 7's window was
+# 45 hash-green + 5 rows-only-by-design (CORRECTNESS_r07), so no
+# rotation debt carried in.
 _CHECK_FIRST: list[str] = [
-    # -- NEW in r7 (rotation rule: new queries head the round's window)
-    "q_semantic_decontaminate_lsh",  # LSH-banded semantic decontamination
-                                     # (the 100-TB scale path, VERDICT r6 #1)
-    "q_mor_upsert",             # merge-on-read write path (VERDICT r6 #7)
-    # -- implementation changed in r7
-    "q_join_semi",              # broadcast-distinct-keys plan (50x A/B: 2.38->0.93 s)
-    "q_neardup_verified",       # verify stage: NULL-endpoint guards (ADVICE)
-    "q_neardup_clusters",       # exact-dup clique pre-collapse (VERDICT r6 #5)
-    "q_neardup_free_corpus",    # same collapse composition
-    "q_corpus_pipeline",        # same collapse composition
-    "q_split_leakage",          # shares the verified-pair changes
-    "q_sample_weighted",        # prefix-sum layout pinned by localCheckpoint
-    "q_vocab_coverage",         # (ADVICE: persist could drop + resample)
-    "q_pack_sequences",         #
+    # -- the 21 r4-stale greens (freshness rule, VERDICT r7 #2)
+    "q_join_broadcast",
+    "q_join_inner_equi",
+    "q_join_interval",
+    "q_join_left_enrich",
+    "q_json_extract",
+    "q_multimodal_features",
+    "q_orderby_limit_topk",
+    "q_pivot",
+    "q_project_cast",
+    "q_quality_gate",
+    "q_resample_fill",
+    "q_retention_filter",
+    "q_rollup",
+    "q_scan_project",
+    "q_scd2_history",
+    "q_schema_evolution",
+    "q_snapshot_diff",
+    "q_text_tokens_bpe",
+    "q_trending_velocity",
+    "q_ts_diff",
+    "q_union_all",
+    # -- implementation changed in r8
+    "q_sample_weighted",        # prefix sums: literal-boundary buckets
+    "q_vocab_coverage",         # (checkpoint pin removed; layout now a
+    "q_pack_sequences",         #  pure function of the row)
     "q_agg_percentile",         #
-    "q_orderby",                # global_rank shares the checkpoint change
-    "q_semdedup",               # max_cell/collapse_exact params + zero-norm filter
-    "q_embed_neardup_lsh",      # narrow-band rewrite (vector-free band rows)
-    "q_knn_lsh",                # narrow-band rewrite
-    # -- oldest greens rotate back in: all 18 remaining r3-certified
-    "q_agg_sketches",
-    "q_balance_cap",
-    "q_bucket_pruned_lookup",
-    "q_cohort_retention",
-    "q_jaccard_pairs",
-    "q_snapshot_lifecycle",
-    "q_sorted_write",
-    "q_split_assign",
-    "q_stratified_sample",
-    "q_table_stats",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_stats",
-    "q_text_tokens",
-    "q_topk_per_group",
-    "q_vocab_topn",
-    "q_window_sliding",
-    "q_window_tumbling_1min",
-    # -- then the oldest r4 greens (first 18 alphabetically; the other
-    # 21 r4 greens are next in line for r8)
-    "q_agg_binned_heatmap",
-    "q_agg_conditional_counts",
-    "q_agg_count_by_key",
-    "q_agg_global",
-    "q_agg_max_ts",
-    "q_array_explode",
-    "q_chunk_documents",
-    "q_coalesce",
-    "q_corpus_mix",
-    "q_cube",
-    "q_embed_project",
-    "q_filter_eq",
-    "q_filter_in",
-    "q_filter_range",
-    "q_having_count",
-    "q_join_anti",
-    # (q_join_broadcast / q_join_inner_equi displaced by the late-r7
-    # narrow-band LSH rewrites above: both hold r4 hash-green rows and
-    # run in the pytest parity sweep every session; they head the r8
-    # rotation queue instead)
+    "q_orderby",                #
+    "q_semdedup",               # certified on the production combo:
+                                # collapse_exact=True, max_cell=256 (r7 #5)
+    "q_knn_lsh",                # planes="auto" default wired (r7 #3);
+    "q_embed_neardup_lsh",      # certified calls pin explicit planes
+    "q_semantic_decontaminate_lsh",  # ditto (call now passes planes=8)
+    "q_mor_upsert",             # delete-wins precedence in combined batches
+    # -- oldest r5 greens rotate back in (first 19 alphabetically)
+    "q_agg_bool",
+    "q_agg_corr",
+    "q_agg_geomean",
+    "q_agg_harmonic",
+    "q_agg_mode",
+    "q_agg_skew",
+    "q_agg_variance",
+    "q_array_hof",
+    "q_bpe_pairs",
+    "q_corpus_prep",
+    "q_dedup_exact",
+    "q_embed_centroids",
+    "q_embed_clusters",
+    "q_except",
+    "q_funnel",
+    "q_fuzzy_pairs",
+    "q_gopher_filter",
+    "q_grouping_sets",
+    "q_intersect",
 ]
-# r8 window note: everything above the r3-rotation block heads this
-# round's window per the ROTATION RULE; if round 7 adds or changes
-# anything after CORRECTNESS_r07 lands, its name must head r8's window.
-# Next-in-line rotations for r8: the 21 r4 greens after
-# q_join_inner_equi alphabetically (q_join_interval .. q_union_all),
-# then the r5 block.
+# r9 rotation queue: the remaining 21 r5 greens (q_join_asof_nearest ..
+# q_zscore_norm), then the r6 block; plus anything r8 adds or changes
+# after CORRECTNESS_r08 lands.
 
 
 def _ranked(names: dict[str, object]) -> list[str]:

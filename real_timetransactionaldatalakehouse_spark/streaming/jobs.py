@@ -273,15 +273,6 @@ def dims_scd1_stream(
         raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
     spark = stream_df.sparkSession
 
-    def _mor_chain_len() -> int:
-        n, v = 0, tablefmt.current_version(target_path)
-        while v is not None:
-            meta = tablefmt.mor_meta(target_path, v)
-            if meta is None:
-                break
-            n, v = n + 1, int(meta["base"])
-        return n
-
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
         from ..operators.relational import dedup_latest
 
@@ -312,7 +303,8 @@ def dims_scd1_stream(
                 deduped, key_cols, update_cols=update_cols,
             )
             tablefmt.write_mor_upsert(delta, target_path, key_cols)
-            if flatten_every is not None and _mor_chain_len() >= flatten_every:
+            if (flatten_every is not None
+                    and tablefmt.mor_chain_depth(target_path) >= flatten_every):
                 tablefmt.flatten_mor(spark, target_path)
         finally:
             updates.unpersist()
