@@ -309,12 +309,15 @@ def write_mor_upsert(
             "left_anti",
         )
     updates.write.mode("overwrite").parquet(os.path.join(tmp, MOR_DELTA))
-    del_keys = updates.select(*key_cols)
+    spark = updates.sparkSession
+    # delete keys come from the MATERIALIZED delta, not the updates
+    # plan: re-executing `updates` would resolve the whole MoR chain a
+    # second time per commit (the delta plan reads the current table)
+    del_keys = spark.read.parquet(os.path.join(tmp, MOR_DELTA)).select(*key_cols)
     if deletes is not None:
         del_keys = del_keys.unionByName(deletes.select(*key_cols))
     del_keys = del_keys.distinct()
     del_keys.write.mode("overwrite").parquet(os.path.join(tmp, MOR_DELETES))
-    spark = updates.sparkSession
     n_deletes = spark.read.parquet(os.path.join(tmp, MOR_DELETES)).count()
     meta = {"base": base_v, "key_cols": list(key_cols), "n_deletes": n_deletes}
     with open(os.path.join(tmp, MOR_META), "w") as fh:

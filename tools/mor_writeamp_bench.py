@@ -51,6 +51,12 @@ def main() -> None:
     ap.add_argument("--batches", type=int, default=12)
     ap.add_argument("--updates-per-batch", type=int, default=5_000)
     ap.add_argument("--flatten-every", type=int, default=8)
+    ap.add_argument("--modes", default="cow,mor",
+                    help="comma list; run one mode per process for a "
+                         "JVM-state-free comparison")
+    ap.add_argument("--workdir", default=None,
+                    help="reuse a prior run's CDC feed (and compare "
+                         "against its other mode's target)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -72,7 +78,8 @@ def main() -> None:
     from real_timetransactionaldatalakehouse_spark.streaming.jobs import dims_scd1_stream
 
     K, B, U = args.keys, args.batches, args.updates_per_batch
-    work = tempfile.mkdtemp(prefix="moramp_")
+    work = args.workdir or tempfile.mkdtemp(prefix="moramp_")
+    feed_exists = os.path.isdir(os.path.join(work, "cdc"))
 
     # deterministic CDC feed: b0 creates every key; each later batch
     # updates U keys spread over the key space (no rand - retry-stable)
@@ -81,7 +88,7 @@ def main() -> None:
             base = spark.range(K)
             return base.select(
                 F.lit("c").alias("op"),
-                F.lit(1000).alias("ts_ms"),
+                F.lit(1000).cast("long").alias("ts_ms"),
                 F.concat(F.lit("u"), F.col("id")).alias("user_id"),
                 F.lit("Standard").alias("ltv_segment"),
                 F.lit(False).alias("is_creator"),
@@ -103,10 +110,11 @@ def main() -> None:
         return upd
 
     src = os.path.join(work, "cdc")
-    os.makedirs(src)
     schema = batch_df(0).schema
     now = time.time()
-    for b in range(B + 1):  # b0 = base creates, b1..bB = update batches
+    if not feed_exists:
+        os.makedirs(src)
+    for b in range(B + 1) if not feed_exists else []:
         tmp = os.path.join(work, f"stage{b}")
         batch_df(b).coalesce(4).write.mode("overwrite").parquet(tmp)
         merged = os.path.join(src, f"b{b:03d}.parquet")
@@ -126,11 +134,16 @@ def main() -> None:
         shutil.rmtree(tmp)
 
     results = {}
-    for mode, kw in [
-        ("cow", {}),
-        ("mor", {"write_mode": "mor", "flatten_every": args.flatten_every}),
-    ]:
+    mode_kw = {
+        "cow": {},
+        "mor": {"write_mode": "mor", "flatten_every": args.flatten_every},
+    }
+    for mode in args.modes.split(","):
+        kw = mode_kw[mode]
         target = os.path.join(work, f"dim_{mode}")
+        if os.path.isdir(target):
+            shutil.rmtree(target)
+            shutil.rmtree(os.path.join(work, f"ckpt_{mode}"), ignore_errors=True)
         ckpt = os.path.join(work, f"ckpt_{mode}")
         t0 = time.time()
         dims_scd1_stream(
@@ -164,36 +177,32 @@ def main() -> None:
             "per_commit": per_commit,
         }
 
-    # equivalence guard: both replays must land identical dimensions
-    a = results["cow"]["final_rows"]
-    b = results["mor"]["final_rows"]
-    from real_timetransactionaldatalakehouse_spark.operators.merge import merge_upsert  # noqa: F401
-
-    cow_hash = (
-        TF.read_table(spark, os.path.join(work, "dim_cow"))
-        .selectExpr("sum(xxhash64(user_id, ltv_segment, ts_ms)) AS h")
-        .first()["h"]
-    )
-    mor_hash = (
-        TF.read_table(spark, os.path.join(work, "dim_mor"))
-        .selectExpr("sum(xxhash64(user_id, ltv_segment, ts_ms)) AS h")
-        .first()["h"]
-    )
     out = {
         "keys": K,
         "batches": B,
         "updates_per_batch": U,
         "flatten_every": args.flatten_every,
-        "rows_equal": a == b,
-        "content_hash_equal": cow_hash == mor_hash,
-        "write_amp_bytes_cow_over_mor": round(
-            results["cow"]["total_bytes_written"]
-            / max(results["mor"]["total_bytes_written"], 1),
-            2,
-        ),
         "results": results,
         "workdir": work,
     }
+    # equivalence guard when both targets exist (this run or a prior
+    # one sharing --workdir): the replays must land identical rows
+    if all(os.path.isdir(os.path.join(work, f"dim_{m}")) for m in ("cow", "mor")):
+        hashes = {}
+        for m in ("cow", "mor"):
+            hashes[m] = (
+                TF.read_table(spark, os.path.join(work, f"dim_{m}"))
+                .selectExpr(
+                    "bit_xor(xxhash64(user_id, ltv_segment, ts_ms)) AS h",
+                    "count(*) AS n",
+                )
+                .first()
+            )
+        out["rows_equal"] = hashes["cow"]["n"] == hashes["mor"]["n"]
+        out["content_hash_equal"] = hashes["cow"]["h"] == hashes["mor"]["h"]
+        cow_b = dir_bytes(os.path.join(work, "dim_cow"))
+        mor_b = dir_bytes(os.path.join(work, "dim_mor"))
+        out["write_amp_bytes_cow_over_mor"] = round(cow_b / max(mor_b, 1), 2)
     print(json.dumps(out, indent=1))
 
 
