@@ -3040,9 +3040,18 @@ def q_embed_neardup_lsh(spark, sf_dir):
 
     # planes/tables tuned for the corpus's moderate-similarity pairs:
     # p(co-bucket per table) = (1 - theta/pi)^4, OR-amplified over 16
-    # tables => ~0.9 recall at cosine 0.35 (theta ~ 69 deg)
+    # tables => ~0.9 recall at cosine 0.35 (theta ~ 69 deg).  planes
+    # pinned so the static oracle's hyperplane CTE matches at every sf
+    # (production leaves planes="auto" — derive_planes tracks corpus
+    # size).  Certified WITH the r8 exact-vector collapse: it is
+    # bit-equal to plain banding (copies share every bucket and every
+    # expanded score is the same fold arithmetic), so the unchanged
+    # oracle pins the equivalence; the collapse is what removes the
+    # duplicate-clique straggler on re-crawl-heavy corpora (SCALING r8)
     emb = _t(spark, sf_dir, "embeddings")
-    return S.embedding_neardup_pairs_lsh(emb, threshold=0.35, planes=4, tables=16)
+    return S.embedding_neardup_pairs_lsh(
+        emb, threshold=0.35, planes=4, tables=16, collapse_exact=True
+    )
 
 
 @_q("q_text_tokens", """

@@ -682,6 +682,7 @@ def embedding_neardup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_count: int | None = None,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Scale path for embedding near-dup: candidate pairs come from
     multi-table sign-LSH co-bucketing instead of the all-pairs cross
@@ -706,10 +707,86 @@ def embedding_neardup_pairs_lsh(
     grow n^2/2^planes per table, so the fixed planes=8 this operator
     shipped with stops scaling past ~10^5 vectors; ``corpus_count``
     skips the derivation's count job when known.
+
+    ``collapse_exact=True`` (r8) pre-collapses BYTE-IDENTICAL vectors
+    to their min-id representative before banding — the embedding
+    twin of :func:`semantic_dedup`'s collapse and
+    ``dedup.verified_neardup_clusters``' clique collapse.  On a
+    re-crawl/re-render-heavy corpus (or the 50x replica, where every
+    vector has 49 exact copies) the m-cliques of identical vectors
+    dominate the band table, the bucket self-join AND the verify
+    fold-cosines, and concentrate in single tasks (identical vectors
+    share EVERY bucket).  OUTPUT-EQUIVALENT, bit for bit: copies
+    share all band buckets, so (x, y) co-buckets iff their reps do;
+    every expanded pair's score is the SAME fold expression over the
+    same vector bytes (within-group pairs score dot(v,v)/(n*n) —
+    computed once per group — and cross-group pairs inherit the rep
+    pair's fold).  The expansion joins are narrow (id, rep) rows;
+    only the output cardinality — which both forms share — is big.
     """
     from .dedup import _attach_cached
 
     planes = _resolve_planes(planes, df, corpus_count)
+    if collapse_exact:
+        fpg = df.select(
+            F.col(id_col).alias("__mid"),
+            F.xxhash64(F.col(vec_col)).alias("__f1"),
+            F.xxhash64(F.lit(1), F.col(vec_col)).alias("__f2"),
+        )
+        groups = fpg.groupBy("__f1", "__f2").agg(
+            F.min("__mid").alias("__rep"), F.count(F.lit(1)).alias("__n")
+        )
+        member = fpg.join(groups, ["__f1", "__f2"]).select(
+            "__mid", "__rep"
+        ).persist()
+        reps = df.join(
+            groups.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+        )
+        rep_pairs = embedding_neardup_pairs_lsh(
+            reps, threshold=threshold, planes=planes, tables=tables,
+            dim=dim, id_col=id_col, vec_col=vec_col,
+        )
+        ma, mb = member.alias("ma"), member.alias("mb")
+        cross = (
+            rep_pairs
+            .join(ma, rep_pairs["id_a"] == F.col("ma.__rep"))
+            .join(mb, rep_pairs["id_b"] == F.col("mb.__rep"))
+            .select(
+                F.least(F.col("ma.__mid"), F.col("mb.__mid")).alias("id_a"),
+                F.greatest(F.col("ma.__mid"), F.col("mb.__mid")).alias("id_b"),
+                F.col("score"),
+            )
+        )
+        # within-group pairs: identical vectors always co-bucket; the
+        # score is the self-cosine of the shared bytes (NOT a literal
+        # 1.0 — sqrt(s)*sqrt(s) != s in general, and the ANSI twin
+        # computes the same fold)
+        self_scored = (
+            df.join(groups.filter(F.col("__n") > 1)
+                    .select(F.col("__rep").alias(id_col)), id_col, "left_semi")
+            .select(
+                F.col(id_col).alias("__rep"),
+                (dot(F.col(vec_col), F.col(vec_col))
+                 / (norm(F.col(vec_col)) * norm(F.col(vec_col))))
+                .alias("score"),
+            )
+            .filter(F.col("score") >= threshold)
+        )
+        within = (
+            self_scored
+            .join(ma, "__rep")
+            .join(mb, "__rep")
+            .filter(F.col("ma.__mid") < F.col("mb.__mid"))
+            .select(
+                F.col("ma.__mid").alias("id_a"),
+                F.col("mb.__mid").alias("id_b"),
+                "score",
+            )
+        )
+        out = cross.unionByName(within)
+        return _attach_cached(
+            out, [member] + getattr(rep_pairs, "_cached_deps", [])
+        )
     banded = _lsh_banded_narrow(
         df, "id", id_col, vec_col, planes, dim, tables
     ).persist()

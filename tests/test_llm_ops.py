@@ -1396,3 +1396,35 @@ def test_derive_planes_scaling(spark, sf_small):
          embedding_neardup_pairs_lsh(
              emb, threshold=0.35, planes=derive_planes(n)).collect()}
     assert a == c
+
+
+def test_embed_neardup_lsh_collapse_exact_equivalence(spark, sf_small):
+    """collapse_exact=True must be bit-equal to the plain banding on a
+    duplicate-heavy corpus (every vector given one exact copy with a
+    shifted id): same pairs, same fold scores - copies share every
+    band bucket and every expanded pair's score is the same arithmetic
+    over the same vector bytes."""
+    from real_timetransactionaldatalakehouse_spark.operators import (
+        similarity as S,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    dup = emb.unionByName(
+        emb.select((F.col("vec_id") + 10_000_000).alias("vec_id"),
+                   "embedding")
+    )
+    plain = {(r.id_a, r.id_b): r.score for r in
+             S.embedding_neardup_pairs_lsh(
+                 dup, threshold=0.35, planes=4, tables=8).collect()}
+    fast = {(r.id_a, r.id_b): r.score for r in
+            S.embedding_neardup_pairs_lsh(
+                dup, threshold=0.35, planes=4, tables=8,
+                collapse_exact=True).collect()}
+    assert plain and fast
+    assert plain == fast  # keys AND bit-identical scores
+    # every duplicate pair must be present with its self-cosine
+    n_groups = emb.count()
+    within = [(a, b) for (a, b) in fast if b - a == 10_000_000]
+    assert len(within) == n_groups

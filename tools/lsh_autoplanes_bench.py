@@ -39,7 +39,20 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=0.35)
     ap.add_argument("--skip-fixed", action="store_true",
                     help="skip the planes=4 row (minutes at 50x)")
+    ap.add_argument("--replica-planes", default="",
+                    help="comma list of plane counts to time at the "
+                         "replica besides the derived one (empty = "
+                         "derived only; planes<=8 at 50x means ~10^9 "
+                         "in-bucket candidates - minutes per rep)")
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--perturbed", action="store_true",
+                    help="ALSO measure plain derived-planes banding on "
+                         "a UNIQUE-vector variant of the replica (each "
+                         "copy's first component nudged by a tiny "
+                         "deterministic epsilon) - the id-offset "
+                         "replica duplicates vectors byte-for-byte, so "
+                         "plain banding there measures the degenerate "
+                         "clique path, not n-times-more-unique-vectors")
     args = ap.parse_args()
 
     from amortized_bench import build_replica
@@ -71,63 +84,145 @@ def main() -> None:
     out = {"replica_vectors": n, "derived_planes": derived,
            "tables": args.tables, "threshold": args.threshold}
 
-    def run_spark(planes: int) -> tuple[float, int]:
-        df = S.embedding_neardup_pairs_lsh(
-            emb, threshold=args.threshold, planes=planes,
-            tables=args.tables, corpus_count=n,
-        )
-        t0 = time.perf_counter()
-        n_pairs = df.count()
-        first = time.perf_counter() - t0
-        best = first
-        for _ in range(args.reps - 1):
-            spark.catalog.clearCache()
+    def run_spark(planes: int, collapse: bool) -> tuple[float, int]:
+        best, n_pairs = 1e9, None
+        for rep in range(args.reps):
+            if rep:
+                spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = S.embedding_neardup_pairs_lsh(
                 emb, threshold=args.threshold, planes=planes,
                 tables=args.tables, corpus_count=n,
+                collapse_exact=collapse,
             )
-            df.count()
+            n_pairs = df.count()
             best = min(best, time.perf_counter() - t0)
         return best, n_pairs
 
     rows = {}
-    configs = ([] if args.skip_fixed else [4]) + [8, derived]
-    for p in dict.fromkeys(configs):
-        wall, n_pairs = run_spark(p)
+    extra = [int(x) for x in args.replica_planes.split(",") if x]
+    # plain banding on the dup-heavy replica straggles on hot buckets
+    # (every vector has copies-1 exact twins sharing EVERY bucket) in
+    # BOTH engines - the production config at scale is derived planes
+    # + collapse_exact, which is what gets the ratio row; request
+    # plain rows explicitly via --replica-planes if you have minutes
+    for p in dict.fromkeys(extra + ([] if args.skip_fixed else [4])):
+        wall, n_pairs = run_spark(p, False)
         rows[f"planes={p}"] = {"spark_wall_s": round(wall, 2),
                                "pairs": n_pairs}
+    wall, n_pairs = run_spark(derived, True)
+    rows[f"planes={derived}+collapse"] = {
+        "spark_wall_s": round(wall, 2), "pairs": n_pairs,
+    }
 
-    # DuckDB twin at the derived config (same generated banding SQL)
+    # DuckDB twin of the PRODUCTION shape (same derived planes, same
+    # exact-vector collapse): group identical embeddings, band only
+    # the representatives, score rep pairs, then count the expanded
+    # member pairs arithmetically (sum n_a*n_b over cross-group hits
+    # plus n*(n-1)/2 per group whose self-cosine clears the threshold)
     total_planes = args.tables * derived
+    emb_glob = f"{args.replica}/embeddings.parquet/*.parquet"
     sql = f"""
 WITH {entry._lsh_planes_cte(total_planes)},
-allv AS (SELECT vec_id AS id, embedding AS v
-         FROM read_parquet('{args.replica}/embeddings.parquet/*.parquet')),
+grp AS (
+  SELECT MIN(vec_id) AS rep, COUNT(*) AS n, embedding AS gv
+  FROM read_parquet('{emb_glob}') GROUP BY embedding
+),
+allv AS (SELECT rep AS id, gv AS v, n FROM grp),
 {entry._lsh_bucket_cte("bk", "allv", derived)},
 cand AS (
   SELECT DISTINCT l.id AS id_a, r.id AS id_b
   FROM bk l JOIN bk r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.id < r.id
 ),
-scored AS (
-  SELECT cand.id_a, cand.id_b,
-    {entry._FOLD_DOT} / ({entry._fold_norm("a.v")} * {entry._fold_norm("b.v")}) AS score
-  FROM cand JOIN allv a ON cand.id_a = a.id JOIN allv b ON cand.id_b = b.id
+hits AS (
+  SELECT na, nb FROM (
+    SELECT a.n AS na, b.n AS nb,
+      {entry._FOLD_DOT} / ({entry._fold_norm("a.v")} * {entry._fold_norm("b.v")}) AS score
+    FROM cand JOIN allv a ON cand.id_a = a.id JOIN allv b ON cand.id_b = b.id
+  ) WHERE score >= {args.threshold}
+),
+selfscore AS (
+  SELECT n FROM (
+    SELECT n, {entry._FOLD_DOT.replace('b.v', 'a.v')}
+      / ({entry._fold_norm('a.v')} * {entry._fold_norm('a.v')}) AS score
+    FROM allv a WHERE n > 1
+  ) WHERE score >= {args.threshold}
 )
-SELECT COUNT(*) FROM scored WHERE score >= {args.threshold}
+SELECT (SELECT COALESCE(SUM(na * nb), 0) FROM hits)
+     + (SELECT COALESCE(SUM(n * (n - 1) / 2), 0) FROM selfscore) AS pairs
 """
     con = duckdb.connect()
     d_best, d_pairs = 1e9, None
     for _ in range(args.reps):
         t0 = time.perf_counter()
-        d_pairs = con.execute(sql).fetchone()[0]
+        d_pairs = int(con.execute(sql).fetchone()[0])
         d_best = min(d_best, time.perf_counter() - t0)
-    rows[f"planes={derived}"]["duckdb_twin_wall_s"] = round(d_best, 2)
-    rows[f"planes={derived}"]["duckdb_pairs"] = d_pairs
-    rows[f"planes={derived}"]["ratio_vs_twin"] = round(
-        rows[f"planes={derived}"]["spark_wall_s"] / d_best, 2
+    key = f"planes={derived}+collapse"
+    rows[key]["duckdb_twin_wall_s"] = round(d_best, 2)
+    rows[key]["duckdb_pairs"] = d_pairs
+    rows[key]["pairs_match"] = d_pairs == rows[key]["pairs"]
+    rows[key]["ratio_vs_twin"] = round(
+        rows[key]["spark_wall_s"] / d_best, 2
     )
     out["replica_rows"] = rows
+
+    if args.perturbed:
+        # unique-vector variant: nudge component 0 by vec_id-dependent
+        # epsilon (max ~1e-3 on [-1,1]-scale components - near-dup
+        # structure preserved, byte-equality broken).  Both engines
+        # read the SAME perturbed parquet and run the SAME banding.
+        pfile = os.path.join(args.replica, "embeddings_unique.parquet")
+        if not os.path.exists(pfile):
+            duckdb.connect().execute(f"""
+COPY (
+  SELECT vec_id,
+    [embedding[1] + (vec_id % 1009) * 0.00000095367431640625]
+      || embedding[2:] AS embedding
+  FROM read_parquet('{args.replica}/embeddings.parquet/*.parquet')
+) TO '{pfile}' (FORMAT PARQUET)
+""")
+        uemb = spark.read.parquet(pfile)
+        un = uemb.count()
+        up = S.derive_planes(un)
+        best = 1e9
+        n_pairs = None
+        for rep in range(args.reps):
+            if rep:
+                spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n_pairs = S.embedding_neardup_pairs_lsh(
+                uemb, threshold=args.threshold, planes=up,
+                tables=args.tables, corpus_count=un,
+            ).count()
+            best = min(best, time.perf_counter() - t0)
+        sql = f"""
+WITH {entry._lsh_planes_cte(args.tables * up)},
+allv AS (SELECT vec_id AS id, embedding AS v FROM read_parquet('{pfile}')),
+{entry._lsh_bucket_cte("bk", "allv", up)},
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM bk l JOIN bk r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.id < r.id
+),
+scored AS (
+  SELECT {entry._FOLD_DOT} / ({entry._fold_norm("a.v")} * {entry._fold_norm("b.v")}) AS score
+  FROM cand JOIN allv a ON cand.id_a = a.id JOIN allv b ON cand.id_b = b.id
+)
+SELECT COUNT(*) FROM scored WHERE score >= {args.threshold}
+"""
+        d_best, d_pairs = 1e9, None
+        con2 = duckdb.connect()
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            d_pairs = int(con2.execute(sql).fetchone()[0])
+            d_best = min(d_best, time.perf_counter() - t0)
+        out["unique_vector_row"] = {
+            "vectors": un, "planes": up,
+            "spark_wall_s": round(best, 2), "pairs": n_pairs,
+            "duckdb_twin_wall_s": round(d_best, 2),
+            "duckdb_pairs": d_pairs,
+            "pairs_match": d_pairs == n_pairs,
+            "ratio_vs_twin": round(best / d_best, 2),
+        }
 
     # recall/wall trade at 1x where exact ground truth is computable
     emb1 = load_table(spark, args.src, "embeddings")
