@@ -683,6 +683,7 @@ def embedding_neardup_pairs_lsh(
     vec_col: str = "embedding",
     corpus_count: int | None = None,
     collapse_exact: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: candidate pairs come from
     multi-table sign-LSH co-bucketing instead of the all-pairs cross
@@ -723,6 +724,32 @@ def embedding_neardup_pairs_lsh(
     computed once per group — and cross-group pairs inherit the rep
     pair's fold).  The expansion joins are narrow (id, rep) rows;
     only the output cardinality — which both forms share — is big.
+
+    ``max_bucket`` (r8) is the HOT-BUCKET backstop for densely
+    clustered embedding spaces, where near-identical (but not
+    byte-identical) vectors co-bucket at ANY plane count and one
+    (tbl, bucket) key concentrates millions of candidate pairs into a
+    single task (measured: a 100k-vector replica with planted near-dup
+    clusters left one straggler running 15+ min while 36 tasks idled).
+    A bucket larger than the cap is SPLIT deterministically — members
+    scatter over ceil(size/cap) subcells by the md5-hash of their id
+    (the :func:`semantic_dedup` ``max_cell`` discipline, portable to
+    any ANSI engine) — and pairs are scored only within subcells:
+    per-key work is bounded by cap^2/2, no semantic region is ever
+    dropped, and cross-subcell pairs inside an oversized bucket are
+    the documented recall trade.  Every member still verifies against
+    ~cap co-located neighbors per table, and a pair split apart in
+    one table's hot bucket still has ``tables - 1`` independent
+    chances to co-bucket.  Buckets at or under the cap are untouched,
+    so ``None`` (default) is the exact banding.
+
+    The verify deliberately stays a JVM-side fold cosine rather than
+    an Arrow kernel: a pandas_udf over candidate PAIRS would ship two
+    ~512 B vectors per pair through Arrow (143 GB for the r8
+    measurement's 143M candidates — measured strictly slower than
+    the fold), while the fold reads the joined vectors in place.
+    Arrow kernels win where the batch REDUCES data (signatures,
+    bucket ids), not where it would round-trip full vectors per pair.
     """
     from .dedup import _attach_cached
 
@@ -745,6 +772,7 @@ def embedding_neardup_pairs_lsh(
         rep_pairs = embedding_neardup_pairs_lsh(
             reps, threshold=threshold, planes=planes, tables=tables,
             dim=dim, id_col=id_col, vec_col=vec_col,
+            max_bucket=max_bucket,
         )
         ma, mb = member.alias("ma"), member.alias("mb")
         cross = (
@@ -787,17 +815,44 @@ def embedding_neardup_pairs_lsh(
         return _attach_cached(
             out, [member] + getattr(rep_pairs, "_cached_deps", [])
         )
+    cached = []
     banded = _lsh_banded_narrow(
         df, "id", id_col, vec_col, planes, dim, tables
     ).persist()
+    cached.append(banded)
+    cond = (
+        (F.col("a.tbl") == F.col("b.tbl"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id"))
+    )
+    if max_bucket is not None:
+        # deterministic hot-bucket split (see docstring): per-key
+        # sizes come from one agg over the band table (<= non-empty
+        # buckets rows, same join key as the pair join); oversized
+        # buckets scatter members over ceil(size/cap) subcells by the
+        # portable md5 id hash
+        sizes = banded.groupBy("tbl", "bucket").agg(
+            F.count(F.lit(1)).alias("__bsz")
+        )
+        id_hash = F.conv(
+            F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        nsub = F.ceil(F.col("__bsz") / F.lit(int(max_bucket))).cast("long")
+        banded = (
+            banded.join(sizes, ["tbl", "bucket"])
+            .withColumn(
+                "__sub",
+                F.when(F.col("__bsz") <= max_bucket, F.lit(0).cast("long"))
+                .otherwise(F.pmod(id_hash, nsub)),
+            )
+            .drop("__bsz")
+            .persist()
+        )
+        cached.append(banded)
+        cond = cond & (F.col("a.__sub") == F.col("b.__sub"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        a.join(b, cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -816,7 +871,7 @@ def embedding_neardup_pairs_lsh(
         )
         .filter(F.col("score") >= threshold)
     )
-    return _attach_cached(out, [banded])
+    return _attach_cached(out, cached)
 
 
 def project_embeddings(

@@ -1428,3 +1428,34 @@ def test_embed_neardup_lsh_collapse_exact_equivalence(spark, sf_small):
     n_groups = emb.count()
     within = [(a, b) for (a, b) in fast if b - a == 10_000_000]
     assert len(within) == n_groups
+
+
+def test_embed_neardup_lsh_max_bucket(spark, sf_small):
+    """Hot-bucket split cap: a cap above every bucket size is a no-op
+    (bit-equal output); a tiny cap yields a SUBSET of the uncapped
+    pairs with identical scores (cross-subcell pairs inside oversized
+    buckets are the documented recall trade - nothing is invented,
+    nothing surviving is rescored)."""
+    from real_timetransactionaldatalakehouse_spark.operators import (
+        similarity as S,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = {(r.id_a, r.id_b): r.score for r in
+            S.embedding_neardup_pairs_lsh(
+                emb, threshold=0.35, planes=4, tables=8).collect()}
+    nolimit = {(r.id_a, r.id_b): r.score for r in
+               S.embedding_neardup_pairs_lsh(
+                   emb, threshold=0.35, planes=4, tables=8,
+                   max_bucket=10**9).collect()}
+    assert nolimit == base
+    capped = {(r.id_a, r.id_b): r.score for r in
+              S.embedding_neardup_pairs_lsh(
+                  emb, threshold=0.35, planes=4, tables=8,
+                  max_bucket=8).collect()}
+    assert set(capped) <= set(base)
+    for k, v in capped.items():
+        assert v == base[k]
+    assert capped, "tiny cap still finds in-subcell pairs"

@@ -45,6 +45,15 @@ def main() -> None:
                          "derived only; planes<=8 at 50x means ~10^9 "
                          "in-bucket candidates - minutes per rep)")
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--max-bucket", type=int, default=1024,
+                    help="hot-bucket split cap for the unique-vector "
+                         "row (clustered regions co-bucket at any "
+                         "plane count; the cap bounds per-key pair "
+                         "work - twin replicates the split)")
+    ap.add_argument("--sections", default="replica,unique_spark,unique_twin,recall",
+                    help="comma list of sections to run; each prints "
+                         "its JSON line as it completes so a timeout "
+                         "never loses finished measurements")
     ap.add_argument("--perturbed", action="store_true",
                     help="ALSO measure plain derived-planes banding on "
                          "a UNIQUE-vector variant of the replica (each "
@@ -83,6 +92,8 @@ def main() -> None:
     derived = S.derive_planes(n)
     out = {"replica_vectors": n, "derived_planes": derived,
            "tables": args.tables, "threshold": args.threshold}
+    sections = set(args.sections.split(","))
+    print(json.dumps(out), flush=True)
 
     def run_spark(planes: int, collapse: bool) -> tuple[float, int]:
         best, n_pairs = 1e9, None
@@ -100,20 +111,24 @@ def main() -> None:
         return best, n_pairs
 
     rows = {}
-    extra = [int(x) for x in args.replica_planes.split(",") if x]
+    if "replica" not in sections:
+        extra = []
+    else:
+        extra = [int(x) for x in args.replica_planes.split(",") if x]
     # plain banding on the dup-heavy replica straggles on hot buckets
     # (every vector has copies-1 exact twins sharing EVERY bucket) in
     # BOTH engines - the production config at scale is derived planes
     # + collapse_exact, which is what gets the ratio row; request
     # plain rows explicitly via --replica-planes if you have minutes
-    for p in dict.fromkeys(extra + ([] if args.skip_fixed else [4])):
+    for p in dict.fromkeys(extra + ([] if args.skip_fixed or "replica" not in sections else [4])):
         wall, n_pairs = run_spark(p, False)
         rows[f"planes={p}"] = {"spark_wall_s": round(wall, 2),
                                "pairs": n_pairs}
-    wall, n_pairs = run_spark(derived, True)
-    rows[f"planes={derived}+collapse"] = {
-        "spark_wall_s": round(wall, 2), "pairs": n_pairs,
-    }
+    if "replica" in sections:
+        wall, n_pairs = run_spark(derived, True)
+        rows[f"planes={derived}+collapse"] = {
+            "spark_wall_s": round(wall, 2), "pairs": n_pairs,
+        }
 
     # DuckDB twin of the PRODUCTION shape (same derived planes, same
     # exact-vector collapse): group identical embeddings, band only
@@ -151,22 +166,24 @@ selfscore AS (
 SELECT (SELECT COALESCE(SUM(na * nb), 0) FROM hits)
      + (SELECT COALESCE(SUM(n * (n - 1) / 2), 0) FROM selfscore) AS pairs
 """
-    con = duckdb.connect()
-    d_best, d_pairs = 1e9, None
-    for _ in range(args.reps):
-        t0 = time.perf_counter()
-        d_pairs = int(con.execute(sql).fetchone()[0])
-        d_best = min(d_best, time.perf_counter() - t0)
-    key = f"planes={derived}+collapse"
-    rows[key]["duckdb_twin_wall_s"] = round(d_best, 2)
-    rows[key]["duckdb_pairs"] = d_pairs
-    rows[key]["pairs_match"] = d_pairs == rows[key]["pairs"]
-    rows[key]["ratio_vs_twin"] = round(
-        rows[key]["spark_wall_s"] / d_best, 2
-    )
-    out["replica_rows"] = rows
+    if "replica" in sections:
+        con = duckdb.connect()
+        d_best, d_pairs = 1e9, None
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            d_pairs = int(con.execute(sql).fetchone()[0])
+            d_best = min(d_best, time.perf_counter() - t0)
+        key = f"planes={derived}+collapse"
+        rows[key]["duckdb_twin_wall_s"] = round(d_best, 2)
+        rows[key]["duckdb_pairs"] = d_pairs
+        rows[key]["pairs_match"] = d_pairs == rows[key]["pairs"]
+        rows[key]["ratio_vs_twin"] = round(
+            rows[key]["spark_wall_s"] / d_best, 2
+        )
+        out["replica_rows"] = rows
+        print(json.dumps({"replica_rows": rows}), flush=True)
 
-    if args.perturbed:
+    if args.perturbed and ({"unique_spark", "unique_twin"} & sections):
         # unique-vector variant: nudge component 0 by vec_id-dependent
         # epsilon (max ~1e-3 on [-1,1]-scale components - near-dup
         # structure preserved, byte-equality broken).  Both engines
@@ -184,24 +201,40 @@ COPY (
         uemb = spark.read.parquet(pfile)
         un = uemb.count()
         up = S.derive_planes(un)
+        cap = args.max_bucket
         best = 1e9
         n_pairs = None
-        for rep in range(args.reps):
-            if rep:
-                spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            n_pairs = S.embedding_neardup_pairs_lsh(
-                uemb, threshold=args.threshold, planes=up,
-                tables=args.tables, corpus_count=un,
-            ).count()
-            best = min(best, time.perf_counter() - t0)
+        if "unique_spark" in sections:
+            for rep in range(args.reps):
+                if rep:
+                    spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                n_pairs = S.embedding_neardup_pairs_lsh(
+                    uemb, threshold=args.threshold, planes=up,
+                    tables=args.tables, corpus_count=un, max_bucket=cap,
+                ).count()
+                best = min(best, time.perf_counter() - t0)
+            print(json.dumps({"unique_spark": {
+                "vectors": un, "planes": up, "max_bucket": cap,
+                "spark_wall_s": round(best, 2), "pairs": n_pairs,
+            }}), flush=True)
         sql = f"""
 WITH {entry._lsh_planes_cte(args.tables * up)},
 allv AS (SELECT vec_id AS id, embedding AS v FROM read_parquet('{pfile}')),
 {entry._lsh_bucket_cte("bk", "allv", up)},
+sizes AS (SELECT tbl, bucket, COUNT(*) AS bsz FROM bk GROUP BY tbl, bucket),
+bks AS (
+  SELECT bk.id, bk.tbl, bk.bucket,
+    CASE WHEN s.bsz <= {cap} THEN 0
+         ELSE (('0x' || substr(md5(CAST(bk.id AS VARCHAR)), 1, 15))::BIGINT)
+              % CAST(ceil(s.bsz / {cap}.0) AS BIGINT) END AS sub
+  FROM bk JOIN sizes s USING (tbl, bucket)
+),
 cand AS (
   SELECT DISTINCT l.id AS id_a, r.id AS id_b
-  FROM bk l JOIN bk r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.id < r.id
+  FROM bks l JOIN bks r
+    ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.sub = r.sub
+   AND l.id < r.id
 ),
 scored AS (
   SELECT {entry._FOLD_DOT} / ({entry._fold_norm("a.v")} * {entry._fold_norm("b.v")}) AS score
@@ -210,21 +243,29 @@ scored AS (
 SELECT COUNT(*) FROM scored WHERE score >= {args.threshold}
 """
         d_best, d_pairs = 1e9, None
-        con2 = duckdb.connect()
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            d_pairs = int(con2.execute(sql).fetchone()[0])
-            d_best = min(d_best, time.perf_counter() - t0)
+        if "unique_twin" in sections:
+            con2 = duckdb.connect()
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                d_pairs = int(con2.execute(sql).fetchone()[0])
+                d_best = min(d_best, time.perf_counter() - t0)
+            print(json.dumps({"unique_twin": {
+                "duckdb_twin_wall_s": round(d_best, 2),
+                "duckdb_pairs": d_pairs,
+            }}), flush=True)
         out["unique_vector_row"] = {
-            "vectors": un, "planes": up,
+            "vectors": un, "planes": up, "max_bucket": cap,
             "spark_wall_s": round(best, 2), "pairs": n_pairs,
             "duckdb_twin_wall_s": round(d_best, 2),
             "duckdb_pairs": d_pairs,
             "pairs_match": d_pairs == n_pairs,
-            "ratio_vs_twin": round(best / d_best, 2),
+            "ratio_vs_twin": round(best / d_best, 2) if d_best < 1e9 and best < 1e9 else None,
         }
 
     # recall/wall trade at 1x where exact ground truth is computable
+    if "recall" not in sections:
+        print(json.dumps(out, indent=1))
+        return
     emb1 = load_table(spark, args.src, "embeddings")
     n1 = emb1.count()
     exact = S.embedding_neardup_pairs(
