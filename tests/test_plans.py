@@ -305,12 +305,30 @@ def test_partitioned_bronze_scan_prunes_in_plan(spark, tmp_path):
 
 
 def test_pack_sequences_no_single_partition_window(spark, sf_medium):
-    """X6 contract: the packing prefix sum must be the two-phase
-    range-partitioned form — no Exchange SinglePartition, no global
-    (empty-partition-spec) Window in the plan."""
-    plan = P.formatted_plan(_Q["q_pack_sequences"](spark, sf_medium))
+    """X6 contract: ABOVE the adaptive single-bucket floor the packing
+    prefix sum must window inside literal-boundary buckets — a hash
+    exchange on the bucket id, never SinglePartition, never a range
+    partition (r8: the bucket is a pure function of the row).  At
+    tiny inputs (sf_medium's 500 docs) the adaptive floor collapses
+    to ONE bucket by design — a 500-row single window partition is
+    the right plan — so the scale shape is asserted on a synthetic
+    input above the floor."""
+    from real_timetransactionaldatalakehouse_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    big = spark.range(0, 200_000).selectExpr(
+        "id AS doc_id", "CAST(id % 97 + 1 AS LONG) AS n_tok"
+    )
+    df = pack_sequences(big, budget=4096, id_col="doc_id", token_col="n_tok")
+    plan = P.formatted_plan(df)
     assert "SinglePartition" not in plan, plan
-    assert "Window" in plan  # the per-partition cumsum is still a window
+    assert "hashpartitioning(__b" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "Window" in plan  # the per-bucket cumsum is still a window
+    # the tiny-sf query still never range-partitions
+    qplan = P.formatted_plan(_Q["q_pack_sequences"](spark, sf_medium))
+    assert "rangepartitioning" not in qplan, qplan
 
 
 def test_repetition_stats_partial_aggs_no_window(spark, sf_medium):
@@ -538,37 +556,59 @@ def test_bucketed_join_has_no_exchange(spark, sf_small, tmp_path):
 
 def test_sample_weighted_no_single_partition(spark, sf_medium):
     """Systematic PPS sampling must plan the two-phase prefix sum —
-    a hash exchange on the literal-boundary bucket id and per-bucket
-    windows, never a one-partition global window.  The bucket is a
-    pure function of the row (r8 rework): no checkpoint, no
-    rangepartitioning anywhere in the plan."""
-    df = _Q["q_sample_weighted"](spark, sf_medium)
+    ABOVE the adaptive single-bucket floor, a hash exchange on the
+    literal-boundary bucket id and per-bucket windows, never a
+    one-partition global window and never a range partition (r8: the
+    bucket is a pure function of the row).  Tiny inputs collapse to
+    one bucket by design (sf_medium's 500 docs), so the scale shape
+    is asserted on a synthetic input above the floor."""
+    from real_timetransactionaldatalakehouse_spark.operators.sampling import (
+        sample_systematic,
+    )
+
+    big = spark.range(0, 200_000).selectExpr(
+        "id AS doc_id", "CAST(id % 97 + 1 AS LONG) AS w"
+    )
+    df = sample_systematic(big, k=37, weight_col="w", id_col="doc_id")
     plan = P.formatted_plan(df)
     assert "SinglePartition" not in plan, plan
     assert "hashpartitioning(__b" in plan, plan
     assert "rangepartitioning" not in plan, plan
-    # build-job marker: the boundary/offset collects run at plan build,
-    # so bench steady timing must rebuild inside the clock
-    layouts = getattr(df, "_layout_frames", [])
-    assert layouts, "prefix-sum operator must expose _layout_frames"
+    # the tiny-sf query still never range-partitions, and exposes the
+    # layout marker for plan inspection
+    q = _Q["q_sample_weighted"](spark, sf_medium)
+    assert "rangepartitioning" not in P.formatted_plan(q)
+    assert getattr(q, "_layout_frames", []), \
+        "prefix-sum operator must expose _layout_frames"
 
 
 def test_vocab_coverage_single_partition_post_agg_only(spark, sf_medium):
-    """The coverage curve's only SinglePartition exchange is the final
-    global min-aggregate over per-partition partials (len(targets)
-    rows of longs) — the corpus pass and the vocabulary prefix sum
-    must stay partitioned.  With literal-boundary bucketing the WHOLE
-    plan is visible (no checkpoint truncation): the corpus pass must
-    partial-aggregate and the prefix sum must exchange on the bucket
-    id, never a range partition."""
-    df = _Q["q_vocab_coverage"](spark, sf_medium)
+    """The coverage curve's only unavoidable SinglePartition exchange
+    is the final global min-aggregate over per-partition partials
+    (len(targets) rows of longs) — ABOVE the adaptive bucket floor the
+    corpus pass must partial-aggregate and the vocabulary prefix sum
+    must exchange on the literal-boundary bucket id, never a range
+    partition.  Asserted on a synthetic vocabulary above the floor
+    (sf_medium's whole vocabulary is ~31 terms — one bucket by
+    design)."""
+    from real_timetransactionaldatalakehouse_spark.operators.text import (
+        vocab_coverage,
+    )
+
+    # ~100k distinct tokens, zipf-ish counts via repeated words
+    big = spark.range(0, 100_000).selectExpr(
+        "concat('tok', id, ' tok', CAST(id % 1000 AS STRING)) AS text"
+    )
+    df = vocab_coverage(big, targets=(50, 90, 99))
     plan = P.formatted_plan(df)
     assert plan.count("SinglePartition") == 1, plan
     assert "hashpartitioning(__b" in plan, plan
     assert "rangepartitioning" not in plan, plan
     assert P.has_partial_aggregation(df), plan
-    layouts = getattr(df, "_layout_frames", [])
-    assert layouts, "prefix-sum operator must expose _layout_frames"
+    q = _Q["q_vocab_coverage"](spark, sf_medium)
+    assert "rangepartitioning" not in P.formatted_plan(q)
+    assert getattr(q, "_layout_frames", []), \
+        "prefix-sum operator must expose _layout_frames"
 
 
 def test_passage_repetition_shuffles_fingerprints_not_text(spark, sf_medium):
