@@ -5208,73 +5208,90 @@ def q_split_leakage(spark, sf_dir):
 # Every name rotating out must already hold a hash-green driver row from a
 # past round AND pass the sf0.001+sf0.01 pytest parity sweep.
 #
-# Round-8 window (VERDICT r7 #2): the 21 queries whose last driver
-# certification is r4 (3 rounds old — the freshness bound was binding)
-# HEAD the window, then the 10 whose implementation changed this round
-# (prefix-sum literal-boundary rework, semdedup production combo,
-# LSH auto-planes default, MoR delete-wins precedence), then the
-# oldest r5 greens fill the remaining slots.  Round 7's window was
-# 45 hash-green + 5 rows-only-by-design (CORRECTNESS_r07), so no
-# rotation debt carried in.
+# Round-9 window (VERDICT r8 #1): the 21 queries whose last driver
+# certification is r5 (3 rounds old — the freshness bound binds again)
+# HEAD the window, then the 4 whose implementation changed this round
+# (semdedup duplicate-ratio-gated collapse; the three LSH operators
+# gained tables="auto" derivation — their certified calls pin tables
+# explicitly so results are unchanged, but the rule is implementation
+# CHANGE, not result change), then the oldest r6 greens fill the
+# remaining 25 slots.  Round 8's window came back 50/50 hash-green
+# (CORRECTNESS_r08), so no rotation debt carried in.
+#
+# SLOT BUDGET for r10 (VERDICT r8 #1 asks this written down):
+# 150 queries / 50 slots = a zero-slack 3-round cycle.  After this
+# round the freshness ledger reads: 14 r6 greens left over (below),
+# 40 r7 greens, 50 r8 greens, 50 r9 greens.  r10 MUST head with the
+# 14 remaining r6 greens (q_neardup_cross_corpus q_neardup_minhash
+# q_search_ranked q_semantic_decontaminate q_semantic_topk_contaminants
+# q_sessionize_lag q_shard_layout q_simhash_neardup q_spike_detect
+# q_text_fingerprint q_text_redact q_text_repetition q_text_winnow
+# q_trend_slope), then fit 36 of the 40 r7 greens — so r10 tolerates
+# AT MOST 0 implementation changes without pushing 4+ r7 greens to a
+# 4-round age in r11; any r10 churn must displace the YOUNGEST r7
+# greens (they were re-verified by the per-round pytest parity sweep,
+# which is the documented backstop for a 4-round-stale green).
 _CHECK_FIRST: list[str] = [
-    # -- the 21 r4-stale greens (freshness rule, VERDICT r7 #2)
-    "q_join_broadcast",
-    "q_join_inner_equi",
-    "q_join_interval",
-    "q_join_left_enrich",
-    "q_json_extract",
-    "q_multimodal_features",
-    "q_orderby_limit_topk",
-    "q_pivot",
-    "q_project_cast",
-    "q_quality_gate",
-    "q_resample_fill",
-    "q_retention_filter",
-    "q_rollup",
-    "q_scan_project",
-    "q_scd2_history",
-    "q_schema_evolution",
-    "q_snapshot_diff",
-    "q_text_tokens_bpe",
-    "q_trending_velocity",
-    "q_ts_diff",
-    "q_union_all",
-    # -- implementation changed in r8
-    "q_sample_weighted",        # prefix sums: literal-boundary buckets
-    "q_vocab_coverage",         # (checkpoint pin removed; layout now a
-    "q_pack_sequences",         #  pure function of the row)
-    "q_agg_percentile",         #
-    "q_orderby",                #
-    "q_semdedup",               # certified on the production combo:
-                                # collapse_exact=True, max_cell=256 (r7 #5)
-    "q_knn_lsh",                # planes="auto" default wired (r7 #3);
-    "q_embed_neardup_lsh",      # certified calls pin explicit planes
-    "q_semantic_decontaminate_lsh",  # ditto (call now passes planes=8)
-    "q_mor_upsert",             # delete-wins precedence in combined batches
-    # -- oldest r5 greens rotate back in (first 19 alphabetically)
-    "q_agg_bool",
-    "q_agg_corr",
-    "q_agg_geomean",
-    "q_agg_harmonic",
-    "q_agg_mode",
-    "q_agg_skew",
-    "q_agg_variance",
-    "q_array_hof",
-    "q_bpe_pairs",
-    "q_corpus_prep",
-    "q_dedup_exact",
-    "q_embed_centroids",
-    "q_embed_clusters",
-    "q_except",
-    "q_funnel",
-    "q_fuzzy_pairs",
-    "q_gopher_filter",
-    "q_grouping_sets",
-    "q_intersect",
+    # -- the 21 r5-stale greens (freshness rule, VERDICT r8 #1)
+    "q_join_asof_nearest",
+    "q_join_asof_tolerance",
+    "q_minmax_scale",
+    "q_moving_avg",
+    "q_ratio_to_total",
+    "q_robust_scale",
+    "q_running_total",
+    "q_sample_exact_n",
+    "q_scan_limit",
+    "q_scd2_pointlookup",
+    "q_session_window_agg",
+    "q_silver_view",
+    "q_sql_text",
+    "q_string_funcs",
+    "q_text_entropy",
+    "q_union_evolve",
+    "q_unpivot",
+    "q_window_lead",
+    "q_window_range_frame",
+    "q_window_rank_stats",
+    "q_zscore_norm",
+    # -- implementation changed in r9
+    "q_semdedup",               # collapse_exact now gated on a build-
+                                # time duplicate-ratio probe (work-
+                                # proportional, VERDICT r8 #2)
+    "q_knn_lsh",                # tables="auto" derivation added beside
+    "q_embed_neardup_lsh",      # planes="auto" (VERDICT r8 #3); the
+    "q_semantic_decontaminate_lsh",  # certified calls pin planes AND
+                                # tables so the oracles are unchanged
+    # -- oldest r6 greens rotate back in (first 25 alphabetically)
+    "q_agg_count_distinct",
+    "q_agg_pct_threshold",
+    "q_agg_ratio_velocity",
+    "q_bm25_search",
+    "q_collect_set",
+    "q_column_profile",
+    "q_contamination_report",
+    "q_decontaminate",
+    "q_decontaminate_ngram",
+    "q_dedup_latest",
+    "q_dedup_passage",
+    "q_embed_neardup",
+    "q_embed_quantize",
+    "q_ewma_anomaly",
+    "q_ewma_state",
+    "q_first_value_ignore_nulls",
+    "q_freshness_view",
+    "q_join_asof",
+    "q_json_parse_struct",
+    "q_keywords_per_doc",
+    "q_knn_ivf",
+    "q_knn_topk",
+    "q_lm_score",
+    "q_max_over_partition",
+    "q_merge_upsert",
 ]
-# r9 rotation queue: the remaining 21 r5 greens (q_join_asof_nearest ..
-# q_zscore_norm), then the r6 block; plus anything r8 adds or changes
-# after CORRECTNESS_r08 lands.
+# r10 rotation queue: the 14 remaining r6 greens (q_neardup_cross_corpus
+# .. q_trend_slope, listed in the slot budget above), then 36 of the 40
+# r7 greens (displace youngest-first if r10 changes implementations).
 
 
 def _ranked(names: dict[str, object]) -> list[str]:
