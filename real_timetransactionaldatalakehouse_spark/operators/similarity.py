@@ -673,6 +673,33 @@ def embedding_neardup_pairs(
     )
 
 
+def _exact_dup_probe(df: DataFrame, vec_col: str) -> bool:
+    """Build-time duplicate-ratio probe gating the ``collapse_exact``
+    passes (VERDICT r8 #2 — make the collapse WORK-PROPORTIONAL): ONE
+    agg job compares the row count against the distinct-fingerprint
+    count (the same seeded 128-bit xxhash64 pair the collapse itself
+    keys on) and returns whether ANY byte-identical vector group
+    exists.  On a dup-free corpus the collapse is the identity map but
+    still paid a full fingerprint groupBy plus two corpus-wide joins —
+    at bench sf0.1 that doubled q_semdedup's steady wall (1.444 s vs
+    0.70 s oracle) for zero collapsed rows; gated, the dup-free plan
+    IS the plain plan (bit-equal by construction: with no duplicate
+    groups every vector is its own representative).  The probe's one
+    narrow pass (two longs per row, map-side partial distinct) is the
+    price a duplicate-heavy corpus pays ON TOP of the collapse it
+    needs anyway — O(n) against the O(n log n + joins) it buys out of
+    on the dup-free side.  Deterministic (exact counts over the data),
+    so retry- and layout-stable; runs at plan-build time like the seed
+    sample and centroid collects (a metadata-sized one-row result)."""
+    n_all, n_fp = df.agg(
+        F.count(F.lit(1)),
+        F.count_distinct(
+            F.xxhash64(F.col(vec_col)), F.xxhash64(F.lit(1), F.col(vec_col))
+        ),
+    ).first()
+    return int(n_all) != int(n_fp)
+
+
 def embedding_neardup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.9,
@@ -717,13 +744,27 @@ def embedding_neardup_pairs_lsh(
     vector has 49 exact copies) the m-cliques of identical vectors
     dominate the band table, the bucket self-join AND the verify
     fold-cosines, and concentrate in single tasks (identical vectors
-    share EVERY bucket).  OUTPUT-EQUIVALENT, bit for bit: copies
-    share all band buckets, so (x, y) co-buckets iff their reps do;
-    every expanded pair's score is the SAME fold expression over the
-    same vector bytes (within-group pairs score dot(v,v)/(n*n) —
-    computed once per group — and cross-group pairs inherit the rep
-    pair's fold).  The expansion joins are narrow (id, rep) rows;
-    only the output cardinality — which both forms share — is big.
+    share EVERY bucket).  With ``max_bucket=None`` (the tested and
+    certified combination) the collapse is OUTPUT-EQUIVALENT, bit for
+    bit, to plain banding: copies share all band buckets, so (x, y)
+    co-buckets iff their reps do; every expanded pair's score is the
+    SAME fold expression over the same vector bytes (within-group
+    pairs score dot(v,v)/(n*n) — computed once per group — and
+    cross-group pairs inherit the rep pair's fold).  With
+    ``max_bucket`` SET the collapsed output is a SUPERSET of the
+    capped plain output, not bit-equal to it: the capped plain path
+    can scatter byte-identical vectors into different subcells (the
+    subcell hash keys on the id, which differs per copy) in every
+    table and drop those within-group pairs, while the collapse path
+    always emits them — strictly better recall, same bound on per-key
+    work.  The expansion joins are narrow (id, rep) rows; only the
+    output cardinality — which both forms share — is big.
+
+    r9: the collapse is GATED on a build-time duplicate-ratio probe
+    (:func:`_exact_dup_probe`, one narrow agg job): a dup-free corpus
+    skips the fingerprint groupBy and expansion joins entirely and
+    runs the plain plan, which is bit-equal when no duplicate group
+    exists.  Work done now tracks duplicates present.
 
     ``max_bucket`` (r8) is the HOT-BUCKET backstop for densely
     clustered embedding spaces, where near-identical (but not
@@ -754,6 +795,13 @@ def embedding_neardup_pairs_lsh(
     from .dedup import _attach_cached
 
     planes = _resolve_planes(planes, df, corpus_count)
+    if collapse_exact:
+        # work-proportional gate (VERDICT r8 #2): on a dup-free corpus
+        # the collapse is the identity, so skip its groupBy + expansion
+        # joins entirely — the plain banding below is bit-equal to the
+        # collapsed form when no duplicate group exists (regardless of
+        # max_bucket: identity collapse means reps == members)
+        collapse_exact = _exact_dup_probe(df, vec_col)
     if collapse_exact:
         fpg = df.select(
             F.col(id_col).alias("__mid"),
@@ -1091,6 +1139,15 @@ def semantic_dedup(
     than uncollapsed+capped (copies merge regardless of subcell
     scatter), not bit-equal to it.
 
+    r9 (VERDICT r8 #2): the collapse is GATED on a build-time
+    duplicate-ratio probe (:func:`_exact_dup_probe`) so its cost is
+    work-proportional — a dup-free corpus (the common case outside
+    re-crawl pipelines; also the sf0.1 bench data, where the
+    unconditional pass doubled this operator's steady wall for zero
+    collapsed rows) skips the fingerprint groupBy and both expansion
+    joins and runs the plain plan, which produces the identical
+    output when no duplicate group exists.
+
     Output: ``(id, cell, cluster_id, n_members, keep)`` for every
     member of a duplicate group; singletons never enter the pair graph
     and are implicit keeps (``dedup.neardup_clusters`` contract).
@@ -1120,6 +1177,13 @@ def semantic_dedup(
         base.orderBy(id_hash.asc(), F.col("id").asc()).limit(k).collect()
     )
     groups = member = None
+    if collapse_exact:
+        # work-proportional gate (VERDICT r8 #2): zero duplicate groups
+        # -> the collapse is the identity map -> the plain path below
+        # produces the identical output without the fingerprint groupBy
+        # or the expansion joins.  The probe is one narrow agg job at
+        # plan-build time (see _exact_dup_probe).
+        collapse_exact = _exact_dup_probe(base, "v")
     if collapse_exact:
         # 128-bit seeded hash of the raw vector: copies collapse to the
         # min-id representative; the (fp, id) exchange never carries

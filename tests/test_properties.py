@@ -1348,6 +1348,55 @@ def test_semdedup_exact_collapse_equivalence(spark, sf_small):
     assert 700000 in ids, "exact copy of vec 0 must be clustered"
 
 
+def test_collapse_exact_gate_is_work_proportional(spark, sf_small):
+    """VERDICT r8 #2: the collapse_exact pass must cost nothing on a
+    dup-free corpus.  The build-time duplicate-ratio probe gates it:
+    with zero byte-identical vectors the built plan is the PLAIN plan
+    (no fingerprint columns, no expansion joins — asserted on the
+    physical plan via the collapse's __f1 fingerprint alias; xxhash64
+    itself also serves the label-propagation hash, so the node name is
+    not a usable needle), and with duplicates present the collapse
+    engages (fingerprint columns appear; output equivalence is pinned by
+    test_semdedup_exact_collapse_equivalence and the LSH sibling).
+    Output equality between gated-off and plain is also asserted
+    directly — the gate's correctness argument in one check."""
+    from real_timetransactionaldatalakehouse_spark import plans as P
+    from real_timetransactionaldatalakehouse_spark.operators import (
+        similarity as S,
+    )
+    from real_timetransactionaldatalakehouse_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_small, "embeddings").filter(
+        F.col("vec_id") < 300
+    ).select("vec_id", "embedding")
+    kw = dict(k=8, threshold=0.32, max_cell=256)
+    gated = S.semantic_dedup(emb, **kw, collapse_exact=True)
+    plain = S.semantic_dedup(emb, **kw)
+    # dup-free: the gate disengages -> no fingerprint column in the plan
+    assert "__f1" not in P.formatted_plan(gated)
+    assert sorted(map(tuple, gated.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # duplicate-bearing: the gate engages -> the collapse plan ships
+    dup = emb.unionByName(
+        emb.limit(5).select(
+            (F.col("vec_id") + 700000).alias("vec_id"), "embedding"
+        )
+    )
+    engaged = S.semantic_dedup(dup, **kw, collapse_exact=True)
+    assert "__f1" in P.formatted_plan(engaged)
+    # same gate on the LSH operator
+    lsh_gated = S.embedding_neardup_pairs_lsh(
+        emb, threshold=0.35, planes=4, tables=8, collapse_exact=True
+    )
+    assert "__f1" not in P.formatted_plan(lsh_gated)
+    lsh_engaged = S.embedding_neardup_pairs_lsh(
+        dup, threshold=0.35, planes=4, tables=8, collapse_exact=True
+    )
+    assert "__f1" in P.formatted_plan(lsh_engaged)
+
+
 def test_semantic_topk_contaminants_matches_bruteforce(spark, sf_small):
     """The per-eval-item review queue (fused-kernel top-3) must equal
     the plain brute-force knn on the same disjoint sides, rank by
