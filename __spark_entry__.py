@@ -4951,14 +4951,17 @@ def q_semantic_decontaminate_lsh(spark, sf_dir):
     from real_timetransactionaldatalakehouse_spark.operators import similarity as S
 
     emb = _t(spark, sf_dir, "embeddings")
-    # planes pinned at 8 so the static oracle's hyperplane CTE matches
-    # at every sf; production callers leave planes="auto" and the
-    # derivation tracks corpus size (similarity.derive_planes)
+    # planes AND tables pinned (8 x 8) so the static oracle's
+    # hyperplane CTE matches at every sf; production callers leave
+    # planes="auto"/tables="auto" and the derivations track corpus
+    # size and the recall model (similarity.derive_planes /
+    # derive_tables, r9)
     return S.semantic_contamination_lsh(
         emb.filter(F.col("vec_id") % 97 != 0),
         emb.filter(F.col("vec_id") % 97 == 0),
         threshold=0.28,
         planes=8,
+        tables=8,
     )
 
 

@@ -328,11 +328,11 @@ def derive_planes(
     ~10^9 in-bucket candidate pairs): in-bucket pair work grows as
     n^2 / 2^planes per table, so planes must track log2(n) to keep
     per-bucket cost flat.  The price is recall at a fixed ``tables``
-    — per-table co-bucket probability is match^planes — so callers
-    that raise ``planes`` beyond their tuned point should raise
-    ``tables`` with it (OR-amplification); the decontamination /
-    near-dup thresholds this repo ships use cosine >= 0.9 hits where
-    8 extra planes cost ~2x `tables` for the same recall.  Bounds:
+    — per-table co-bucket probability is match^planes — which is why
+    ``tables="auto"`` (:func:`derive_tables`, r9) re-solves the table
+    count from the recall model whenever this derivation raises the
+    plane count: the two defaults compose, bounded bucket work AND
+    held recall.  Bounds:
     ``lo`` keeps tiny corpora from degenerating to planes<=1 (every
     pair co-buckets = brute force); ``hi=24`` caps bucket-id width
     comfortably inside the int32 bucket column."""
@@ -347,11 +347,83 @@ def _resolve_planes(planes, df: DataFrame, corpus_count: int | None,
                     target_bucket: int = 128) -> int:
     """``planes="auto"`` -> :func:`derive_planes` over the given
     side's row count (``corpus_count`` skips the count job when the
-    caller already knows it); integers pass through unchanged."""
+    caller already knows it); integers pass through unchanged.
+    NOTE: the "auto" path runs an eager ``count()`` JOB at operator
+    CONSTRUCTION time (one scan of the corpus side) — pass
+    ``corpus_count`` in pipelines that already know the size."""
     if planes == "auto":
         n = corpus_count if corpus_count is not None else df.count()
         return derive_planes(int(n), target_bucket)
     return int(planes)
+
+
+def derive_tables(
+    threshold: float,
+    planes: int,
+    target_recall: float = 0.9,
+    lo: int = 2,
+    hi: int = 64,
+) -> int:
+    """Default table count for the sign-LSH family, derived from the
+    RECALL MODEL so the OR-amplification keeps up when
+    :func:`derive_planes` raises the plane count with corpus size
+    (VERDICT r8 #3: auto-planes without auto-tables silently traded
+    recall — measured 0.929 -> 0.131 going planes 4 -> 10 at
+    threshold 0.35 with tables=16).
+
+    For a pair at cosine ``threshold`` the per-table co-bucket
+    probability is ``match^planes`` with ``match = 1 - theta/pi``
+    (sign-random-projection collision probability, Charikar 2002);
+    over ``tables`` independent tables recall is
+    ``1 - (1 - match^planes)^tables``.  This solves for the smallest
+    ``tables`` reaching ``target_recall`` at the pair the operator is
+    DESIGNED to catch (its own ``threshold``): pairs above it are hit
+    even more often.  The model is measured-accurate to ~0.04
+    absolute against the r8 recall sweep (pytest-pinned).
+
+    Cost is LINEAR in tables (band rows per vector), so ``hi`` caps
+    the spend: when even ``hi`` tables cannot reach the target —
+    moderate thresholds like 0.35 at high plane counts need hundreds
+    — the clamp fires A WARNING naming the achievable recall, because
+    silently shipping a low-recall default is the trap this function
+    exists to close; the caller should lower ``planes`` (denser
+    verify work), raise ``hi`` knowingly, or accept the stated
+    recall.  ``lo`` keeps degenerate inputs (match ~ 1) from
+    single-table flakiness."""
+    import math
+    import warnings
+
+    match = 1.0 - math.acos(max(-1.0, min(1.0, float(threshold)))) / math.pi
+    p = match ** int(planes)
+    if p >= 1.0:
+        return lo
+    if p <= 0.0:
+        t = float("inf")
+    else:
+        t = math.log(1.0 - target_recall) / math.log(1.0 - p)
+    n = max(lo, min(hi, math.ceil(t) if t != float("inf") else hi))
+    if t > hi:
+        achievable = 1.0 - (1.0 - p) ** hi
+        warnings.warn(
+            f"derive_tables: target recall {target_recall} at cosine "
+            f">= {threshold} needs ~{math.ceil(t) if t != float('inf') else 'inf'} "
+            f"tables at planes={planes}; clamped to {hi} "
+            f"(achievable recall ~{achievable:.3f}). Lower planes, raise "
+            f"hi, or accept the stated recall.",
+            stacklevel=3,
+        )
+    return n
+
+
+def _resolve_tables(tables, threshold: float, planes: int,
+                    target_recall: float = 0.9) -> int:
+    """``tables="auto"`` -> :func:`derive_tables` at the operator's
+    own threshold and the RESOLVED plane count (call after
+    ``_resolve_planes`` so auto-planes and auto-tables compose);
+    integers pass through unchanged."""
+    if tables == "auto":
+        return derive_tables(threshold, planes, target_recall)
+    return int(tables)
 
 
 def _lsh_banded_narrow(df: DataFrame, id_alias: str, id_col: str,
@@ -376,12 +448,13 @@ def knn_lsh(
     candidates: DataFrame,
     k: int = 5,
     planes: int | str = "auto",
-    tables: int = 16,
+    tables: int | str = "auto",
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     collect_queries: bool = False,
     corpus_count: int | None = None,
+    recall_at: float = 0.9,
 ) -> DataFrame:
     """Approximate top-k: multi-table sign-random-projection LSH
     (OR-amplification: a pair is a candidate if it co-buckets in ANY of
@@ -396,7 +469,16 @@ def knn_lsh(
     candidate-side row count (:func:`derive_planes` — in-bucket pair
     work grows n^2/2^planes per table, so a FIXED plane count stops
     scaling past its tuned corpus size); pass ``corpus_count`` to skip
-    the count job when the size is already known.
+    the count job when the size is already known.  NOTE: the auto
+    derivation runs that ``count()`` as an eager job at operator
+    CONSTRUCTION time.  ``tables="auto"`` (default, r9) closes the
+    recall side of the same loop: :func:`derive_tables` solves the
+    recall model for the table count that keeps recall >=
+    ``target_recall`` at cosine ``recall_at`` (the design point a
+    top-k caller cares about — there is no threshold parameter to
+    read it from) AFTER planes resolve, so growing the corpus raises
+    planes for bounded bucket work and tables for held recall
+    together.
 
     ``collect_queries=True`` is the index-free serving shape for a
     metadata-sized query batch: the query bucket table (same bit math
@@ -408,6 +490,7 @@ def knn_lsh(
     real table, or persist the banded table when lookups repeat.
     """
     planes = _resolve_planes(planes, candidates, corpus_count)
+    tables = _resolve_tables(tables, recall_at, planes)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
@@ -704,7 +787,7 @@ def embedding_neardup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.9,
     planes: int | str = "auto",
-    tables: int = 8,
+    tables: int | str = "auto",
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -734,7 +817,13 @@ def embedding_neardup_pairs_lsh(
     corpus size (:func:`derive_planes`): in-bucket candidate pairs
     grow n^2/2^planes per table, so the fixed planes=8 this operator
     shipped with stops scaling past ~10^5 vectors; ``corpus_count``
-    skips the derivation's count job when known.
+    skips the derivation's count job when known (otherwise the auto
+    path runs one eager ``count()`` at construction).
+    ``tables="auto"`` (default, r9, VERDICT r8 #3) derives the table
+    count from (``threshold``, resolved planes) via the recall model
+    (:func:`derive_tables`, target 0.9 at the operator's own
+    threshold) — without it, auto-planes held bucket work flat by
+    silently giving up recall as the corpus grew.
 
     ``collapse_exact=True`` (r8) pre-collapses BYTE-IDENTICAL vectors
     to their min-id representative before banding — the embedding
@@ -795,6 +884,7 @@ def embedding_neardup_pairs_lsh(
     from .dedup import _attach_cached
 
     planes = _resolve_planes(planes, df, corpus_count)
+    tables = _resolve_tables(tables, threshold, planes)
     if collapse_exact:
         # work-proportional gate (VERDICT r8 #2): on a dup-free corpus
         # the collapse is the identity, so skip its groupBy + expansion
@@ -1396,7 +1486,7 @@ def semantic_contamination_lsh(
     evalset: DataFrame,
     threshold: float = 0.28,
     planes: int | str = "auto",
-    tables: int = 8,
+    tables: int | str = "auto",
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1437,9 +1527,20 @@ def semantic_contamination_lsh(
     ``planes="auto"`` (default, r8) derives the plane count from the
     CORPUS side's row count (:func:`derive_planes`; the eval side is
     assumed the smaller — bucket collision work is corpus-dominated);
-    ``corpus_count`` skips the derivation's count job when known.
+    ``corpus_count`` skips the derivation's count job when known
+    (otherwise the auto path runs one eager ``count()`` at
+    construction).  ``tables="auto"`` (default, r9, VERDICT r8 #3)
+    derives the table count from (``threshold``, resolved planes) via
+    the recall model (:func:`derive_tables`).  NOTE: this operator's
+    default threshold (0.28) is a MODERATE-similarity design point —
+    at scale-derived plane counts the 0.9-recall table count exceeds
+    the 64-table cap and :func:`derive_tables` warns with the
+    achievable recall; decontamination runs that need high recall at
+    loose thresholds should lower ``planes`` (paying denser verify
+    work) or treat the exact operator as the authority.
     """
     planes = _resolve_planes(planes, corpus, corpus_count)
+    tables = _resolve_tables(tables, threshold, planes)
     cb = _lsh_banded_narrow(corpus, "id", id_col, vec_col, planes, dim, tables)
     eb = _lsh_banded_narrow(
         evalset, "eid", eval_id_col, eval_vec_col, planes, dim, tables

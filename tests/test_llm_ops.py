@@ -1398,6 +1398,65 @@ def test_derive_planes_scaling(spark, sf_small):
     assert a == c
 
 
+def test_derive_tables_recall_model(spark, sf_small):
+    """tables="auto" (r9, VERDICT r8 #3): derive_tables solves
+    1 - (1 - match^planes)^tables >= target_recall for the smallest
+    table count, match = 1 - acos(threshold)/pi.  Pinned against the
+    r8 MEASURED recall sweep (SCALING.md: 2000 vectors, threshold
+    0.35, tables=16 -> recall 0.929 / 0.317 / 0.131 at planes
+    4/8/10): the model must reproduce each measured point within
+    0.06 absolute — the accuracy claim the derivation rests on."""
+    import math
+    import warnings
+
+    from real_timetransactionaldatalakehouse_spark.operators.similarity import (
+        derive_planes,
+        derive_tables,
+        embedding_neardup_pairs_lsh,
+    )
+
+    def model(threshold, planes, tables):
+        match = 1.0 - math.acos(threshold) / math.pi
+        return 1.0 - (1.0 - match ** planes) ** tables
+
+    for planes, measured in [(4, 0.929), (8, 0.317), (10, 0.131)]:
+        assert abs(model(0.35, planes, 16) - measured) < 0.06, planes
+    # the derivation hits its target where the model says it can:
+    # recall at the derived count >= target, and derived-1 < target
+    # (minimality) wherever the clamp is not binding
+    for threshold in (0.9, 0.95, 0.8):
+        for planes in (4, 8, 11, 13):
+            t = derive_tables(threshold, planes, target_recall=0.9)
+            if t < 64:  # unclamped
+                assert model(threshold, planes, t) >= 0.9, (threshold, planes)
+                if t > 2:
+                    assert model(threshold, planes, t - 1) < 0.9
+    # default near-dup design point: threshold 0.9, auto planes at the
+    # 50x replica (200k vectors -> planes 11) derives a table count
+    # that HOLDS recall >= 0.9 where the fixed 8 tables had fallen to
+    # ~0.85 and fixed 16 was overpaying at small n
+    assert derive_tables(0.9, derive_planes(200_000)) == 12
+    # moderate thresholds at high plane counts cannot reach 0.9 under
+    # the 64-table cost cap: the clamp must WARN with the achievable
+    # recall instead of silently shipping a low-recall default
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        t = derive_tables(0.35, 10, target_recall=0.9)
+        assert t == 64
+        assert any("achievable recall" in str(x.message) for x in w)
+    # composition: tables="auto" on the operator equals the explicit
+    # derived count (planes resolves first, then tables reads it)
+    emb = load_table(spark, sf_small, "embeddings")
+    n = emb.count()
+    p = derive_planes(n)
+    auto = {(r.id_a, r.id_b) for r in embedding_neardup_pairs_lsh(
+        emb, threshold=0.9).collect()}
+    explicit = {(r.id_a, r.id_b) for r in embedding_neardup_pairs_lsh(
+        emb, threshold=0.9, planes=p,
+        tables=derive_tables(0.9, p)).collect()}
+    assert auto == explicit
+
+
 def test_embed_neardup_lsh_collapse_exact_equivalence(spark, sf_small):
     """collapse_exact=True must be bit-equal to the plain banding on a
     duplicate-heavy corpus (every vector given one exact copy with a
