@@ -1317,6 +1317,55 @@ def test_grouped_percentiles_exact_equals_plain_aggregate(spark, sf_medium):
     assert plain == new
 
 
+def test_grouped_percentiles_approx_rank_bound(spark, sf_medium):
+    """The at-scale form (grouped_percentiles, exact=False — VERDICT
+    r8 #4): percentile_approx's documented Greenwald-Khanna contract
+    is a RANK bound, so pin exactly that — for every group and every
+    quantile p, the returned value must be an actual group element
+    whose rank is within n/accuracy (+1 for rank-vs-index off-by-one)
+    of floor(p * n).  Also pins the dispatch: exact=True must be the
+    certified order-statistics plan, row-identical to
+    grouped_percentiles_exact."""
+    from real_timetransactionaldatalakehouse_spark.operators.relational import (
+        grouped_percentiles,
+        grouped_percentiles_exact,
+    )
+
+    li = load_table(spark, sf_medium, "lineitem")
+    probs = {"p50": 0.5, "p95": 0.95}
+    accuracy = 1000
+    approx = {r["l_returnflag"]: r for r in grouped_percentiles(
+        li, "l_returnflag", "l_extendedprice", probs, accuracy=accuracy,
+    ).collect()}
+    vals: dict = {}
+    for r in li.select("l_returnflag", "l_extendedprice").collect():
+        vals.setdefault(r[0], []).append(float(r[1]))
+    assert set(approx) == set(vals)
+    for g, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        for name, p in probs.items():
+            v = float(approx[g][name])
+            assert v in xs, f"approx returned a non-element for {g}/{name}"
+            # rank window of the returned element (duplicates span)
+            import bisect
+
+            lo = bisect.bisect_left(xs, v)
+            hi = bisect.bisect_right(xs, v) - 1
+            target = int(p * n)
+            slack = n / accuracy + 1
+            assert lo - slack <= target <= hi + slack, (
+                g, name, v, lo, hi, target, slack,
+            )
+    exact_a = sorted(map(tuple, grouped_percentiles(
+        li, "l_returnflag", "l_extendedprice", probs, exact=True,
+    ).collect()))
+    exact_b = sorted(map(tuple, grouped_percentiles_exact(
+        li, "l_returnflag", "l_extendedprice", probs,
+    ).collect()))
+    assert exact_a == exact_b
+
+
 def test_prefix_sum_family_stable_under_cache_drop(spark, sf_small):
     """The r7 bug class, pinned forever: prefix-sum operators bake
     per-bucket offsets at plan build; a cache drop between build and a
