@@ -260,6 +260,13 @@ def run_maintenance(
             if depth >= mor_flatten_depth:
                 v = tablefmt.flatten_mor(spark, path)
                 r["mor_flatten"] = {"chain_depth": depth, "new_version": v}
+                # the flatten IS this tick's full-table rewrite: falling
+                # through to compact/zorder would rewrite the table a
+                # SECOND time in the same tick (ADVICE r8) — in the
+                # feature whose purpose is write-amplification control.
+                # The freshly flattened snapshot gets bin-packed /
+                # z-ordered on a later tick, when its chain is clean.
+                skip_rewrite = True
             elif depth > 0:
                 # a shallow live chain: skip this run's rewrite entirely
                 # (compact would flatten implicitly and pay the full

