@@ -64,12 +64,18 @@ def _attach_cached(df: DataFrame, deps: list[DataFrame]) -> DataFrame:
 
 
 def _attach_layout(df: DataFrame, frames: list[DataFrame]) -> DataFrame:
-    """Mark ``df`` as a BUILD-JOB query: constructing its plan runs
+    """Mark ``df`` as a BUILD-JOB query: constructing its plan ran
     real data passes (boundary samples / offset collects in the
-    prefix-sum family), so honest steady timing must rebuild the query
-    inside the clock (bench.run_rebuild keys on this attribute).
-    ``frames`` point at the frame(s) those build passes read, for
-    plan-contract inspection."""
+    prefix-sum family).  PLAN-CONTRACT-ONLY since r8: ``frames``
+    point at the frame(s) those build passes read so test_plans can
+    inspect them; the attribute does NOT affect bench timing.  Since
+    the literal-boundary rework the prebuilt plan re-executes its
+    full data path on every run, so bench.run_df times these queries
+    like any other and the build collects are declare-time constants
+    (the q_knn_ivf centroid precedent).  The (currently unused)
+    rebuild-timing escape hatch is ``df._rebuild_bench`` — set THAT
+    if a future operator's prebuilt plan would skip data work on
+    re-execution (bench.run_rebuild keys on it)."""
     df._layout_frames = frames
     return df
 

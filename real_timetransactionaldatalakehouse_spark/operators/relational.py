@@ -496,9 +496,11 @@ def global_rank(df: DataFrame, order_cols: list[str], rank_col: str = "pos",
         out.withColumn(rank_col, F.row_number().over(w) + off_expr)
         .drop("__b", "__offset")
     )
-    # bench marker: the boundary/offset collects are real data passes
-    # that happen at PLAN BUILD — steady timing must rebuild the query
-    # inside the clock (bench.run_rebuild)
+    # plan-contract marker only: the boundary/offset collects are real
+    # data passes at PLAN BUILD, but the prebuilt plan re-executes its
+    # full data path on every run (literal boundaries, r8), so bench
+    # times it with run_df and treats the collects as declare-time
+    # constants; _layout_frames just exposes the frames to test_plans
     from .dedup import _attach_layout
 
     return _attach_layout(out, [df])
