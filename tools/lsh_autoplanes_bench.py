@@ -50,7 +50,7 @@ def main() -> None:
                          "row (clustered regions co-bucket at any "
                          "plane count; the cap bounds per-key pair "
                          "work - twin replicates the split)")
-    ap.add_argument("--sections", default="replica,unique_spark,unique_twin,recall",
+    ap.add_argument("--sections", default="replica,unique_spark,unique_twin,recall",  # also: recall50, boundary1x
                     help="comma list of sections to run; each prints "
                          "its JSON line as it completes so a timeout "
                          "never loses finished measurements")
@@ -261,6 +261,174 @@ SELECT COUNT(*) FROM scored WHERE score >= {args.threshold}
             "pairs_match": d_pairs == n_pairs,
             "ratio_vs_twin": round(best / d_best, 2) if d_best < 1e9 and best < 1e9 else None,
         }
+
+    if "recall50" in sections:
+        # r9 (VERDICT r8 #3): ONE wall/recall point at the 50x scale
+        # for the fully-derived config (planes="auto" AND
+        # tables="auto") at the operator's DEFAULT 0.9 threshold, on
+        # the unique-vector variant (byte-dups measure the collapse
+        # path, not banding recall).  Ground truth at 100k vectors is
+        # not an all-pairs job (5x10^9 cosines): recall is estimated
+        # on SAMPLED ENDPOINTS — every pair with at least one endpoint
+        # in a deterministic ~1% id sample has its exact neighbors
+        # computed by a driver-side matmul (sample x corpus, ~10^8
+        # fused flops), and recall = |found pairs with a sampled
+        # endpoint| / |exact such pairs|.  Unbiased for pair recall
+        # because sampling is on ids, independent of the hash family.
+        import numpy as np
+
+        pfile = os.path.join(args.replica, "embeddings_unique.parquet")
+        if not os.path.exists(pfile):
+            duckdb.connect().execute(f"""
+COPY (
+  SELECT vec_id,
+    [embedding[1] + (vec_id % 1009) * 0.00000095367431640625]
+      || embedding[2:] AS embedding
+  FROM read_parquet('{args.replica}/embeddings.parquet/*.parquet')
+) TO '{pfile}' (FORMAT PARQUET)
+""")
+        uemb = spark.read.parquet(pfile)
+        un = uemb.count()
+        thr = 0.9
+        up = S.derive_planes(un)
+        ut = S.derive_tables(thr, up)
+        t0 = time.perf_counter()
+        found_df = S.embedding_neardup_pairs_lsh(
+            uemb, threshold=thr, planes="auto", tables="auto",
+            corpus_count=un, max_bucket=args.max_bucket,
+        )
+        found = [(r.id_a, r.id_b) for r in found_df.collect()]
+        wall = time.perf_counter() - t0
+        # exact ground truth on sampled endpoints (driver matmul)
+        rowsv = spark.read.parquet(pfile).collect()
+        ids = np.array([r.vec_id for r in rowsv], dtype="int64")
+        V = np.array([r.embedding for r in rowsv], dtype="float64")
+        nrm = np.sqrt((V * V).sum(axis=1))
+        ok = nrm > 0
+        samp_mask = (ids % 97 == 0) & ok
+        S_ids, S_V = ids[samp_mask], V[samp_mask]
+        exact_pairs = set()
+        for i in range(0, len(S_ids), 64):
+            q = S_V[i:i + 64]
+            qn = nrm[samp_mask][i:i + 64]
+            cos = (q @ V[ok].T) / (qn[:, None] * nrm[ok][None, :])
+            hit_q, hit_c = np.nonzero(cos >= thr)
+            for a, b in zip(S_ids[i + hit_q], ids[ok][hit_c]):
+                if a != b:
+                    exact_pairs.add((min(a, b), max(a, b)))
+        samp_set = set(S_ids.tolist())
+        found_samp = {
+            (a, b) for a, b in found if a in samp_set or b in samp_set
+        }
+        # found pairs are already verified >= thr, so found_samp is a
+        # subset of exact_pairs up to float equality at the boundary
+        recall = len(found_samp & exact_pairs) / max(len(exact_pairs), 1)
+        out["recall50"] = {
+            "vectors": un, "threshold": thr,
+            "derived_planes": up, "derived_tables": ut,
+            "max_bucket": args.max_bucket,
+            "spark_wall_s": round(wall, 2),
+            "pairs_found": len(found),
+            "sampled_ids": len(S_ids),
+            "exact_sampled_pairs": len(exact_pairs),
+            "found_sampled_pairs": len(found_samp),
+            "recall": round(recall, 3),
+        }
+        print(json.dumps({"recall50": out["recall50"]}), flush=True)
+        # companion 1x point, same fully-derived config, full exact
+        # ground truth (computable at sf0.1 scale).  The raw synthetic
+        # corpus has NO natural pairs at cosine 0.9 (measured: zero),
+        # so the 1x point PLANTS them: one perturbed copy per vector
+        # (same epsilon family as the unique-vector replica), giving
+        # 2000 known-near pairs at cosine ~1 plus whatever the
+        # perturbation geometry adds — then exact brute force is the
+        # ground truth over the augmented corpus.
+        emb1x = load_table(spark, args.src, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        # perturb component 0 by a tiny deterministic epsilon, keep dims
+        pert = emb1x.selectExpr(
+            "vec_id + 10000000 AS vec_id",
+            "concat(array(embedding[0] + (vec_id % 1009) * "
+            "0.00000095367431640625D), slice(embedding, 2, "
+            "size(embedding) - 1)) AS embedding",
+        )
+        aug = emb1x.unionByName(pert)
+        n1x = aug.count()
+        exact1x = {(r.id_a, r.id_b) for r in S.embedding_neardup_pairs(
+            aug, threshold=thr, max_id=10**12).collect()}
+        found1x = {(r.id_a, r.id_b) for r in S.embedding_neardup_pairs_lsh(
+            aug, threshold=thr, planes="auto", tables="auto",
+            corpus_count=n1x).collect()}
+        out["recall1x_derived"] = {
+            "vectors": n1x, "threshold": thr,
+            "derived_planes": S.derive_planes(n1x),
+            "derived_tables": S.derive_tables(thr, S.derive_planes(n1x)),
+            "exact_pairs": len(exact1x),
+            "found_pairs": len(found1x),
+            "recall": (round(len(found1x & exact1x) / len(exact1x), 3)
+                       if exact1x else None),
+        }
+        print(json.dumps({"recall1x_derived": out["recall1x_derived"]}),
+              flush=True)
+    if "boundary1x" in sections:
+        import numpy as np
+
+        from real_timetransactionaldatalakehouse_spark.sources import load_table as _lt
+        emb1x = _lt(spark, args.src, "embeddings").select("vec_id", "embedding")
+        thr = 0.9
+        # BOUNDARY tier (the honest recall test): epsilon-perturbed
+        # copies sit at cosine ~1, which ANY table count catches — so
+        # also plant pairs AT cosine 0.92, just above the 0.9
+        # threshold, where the recall model predicts the derived
+        # config's real margin (u = c*v_hat + sqrt(1-c^2)*w_hat scaled
+        # to |v|, w a deterministic per-id direction).  Measured
+        # recall here validates the model AT THE DESIGN POINT instead
+        # of at the easy end.
+        rows1 = emb1x.collect()
+        idsb = np.array([r.vec_id for r in rows1], dtype="int64")
+        Vb = np.array([r.embedding for r in rows1], dtype="float64")
+        nb = np.sqrt((Vb * Vb).sum(axis=1))
+        keep = nb > 0
+        idsb, Vb, nb = idsb[keep], Vb[keep], nb[keep]
+        c = 0.92
+        rng_dirs = np.array([
+            [(((i * 1_000_003 + d * 7_919 + 999) * 2654435761) % 2_000_001)
+             / 1_000_000.0 - 1.0 for d in range(Vb.shape[1])]
+            for i in range(len(idsb))
+        ])
+        vhat = Vb / nb[:, None]
+        # orthogonalize the deterministic direction against v
+        w = rng_dirs - (rng_dirs * vhat).sum(axis=1)[:, None] * vhat
+        w = w / np.sqrt((w * w).sum(axis=1))[:, None]
+        U = (c * vhat + np.sqrt(1 - c * c) * w) * nb[:, None]
+        aug2 = spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in zip(idsb, Vb)]
+            + [(int(i) + 20_000_000, [float(x) for x in u])
+               for i, u in zip(idsb, U)],
+            "vec_id long, embedding array<double>",
+        )
+        n2 = aug2.count()
+        p2 = S.derive_planes(n2)
+        t2 = S.derive_tables(thr, p2)
+        exact2 = {(r.id_a, r.id_b) for r in S.embedding_neardup_pairs(
+            aug2, threshold=thr, max_id=10**12).collect()}
+        found2 = {(r.id_a, r.id_b) for r in S.embedding_neardup_pairs_lsh(
+            aug2, threshold=thr, planes="auto", tables="auto",
+            corpus_count=n2).collect()}
+        match = 1.0 - __import__("math").acos(c) / __import__("math").pi
+        model_recall = 1.0 - (1.0 - match ** p2) ** t2
+        out["recall1x_boundary"] = {
+            "vectors": n2, "planted_cosine": c, "threshold": thr,
+            "derived_planes": p2, "derived_tables": t2,
+            "exact_pairs": len(exact2),
+            "found_pairs": len(found2 & exact2),
+            "recall": (round(len(found2 & exact2) / len(exact2), 3)
+                       if exact2 else None),
+            "model_recall_at_planted": round(model_recall, 3),
+        }
+        print(json.dumps({"recall1x_boundary": out["recall1x_boundary"]}),
+              flush=True)
 
     # recall/wall trade at 1x where exact ground truth is computable
     if "recall" not in sections:
