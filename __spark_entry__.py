@@ -5240,7 +5240,10 @@ def q_split_leakage(spark, sf_dir):
 # SLOT BUDGET for r10 (VERDICT r8 #1 asks this written down):
 # 150 queries / 50 slots = a zero-slack 3-round cycle.  After this
 # round the freshness ledger reads: 14 r6 greens left over (below),
-# 40 r7 greens, 50 r8 greens, 50 r9 greens.  r10 MUST head with the
+# 40 r7 greens, 46 r8 greens (50 certified in r8 minus the 4
+# implementation-changed queries re-certified at the head of THIS
+# window — they count once, in the r9 bucket), 50 r9 greens;
+# 14 + 40 + 46 + 50 = 150.  r10 MUST head with the
 # 14 remaining r6 greens (q_neardup_cross_corpus q_neardup_minhash
 # q_search_ranked q_semantic_decontaminate q_semantic_topk_contaminants
 # q_sessionize_lag q_shard_layout q_simhash_neardup q_spike_detect

@@ -406,6 +406,14 @@ def main() -> None:
         n: round(steady[n] / max(oracle[n], 1e-9), 2) for n in covered
     }
     worst5 = dict(sorted(ratios.items(), key=lambda kv: -kv[1])[:5])
+    # computed ONCE so the published median-based ratio and the
+    # median-sum it decomposes can never desynchronize (the ratio is
+    # DEFINED as this sum over the oracle sum)
+    r3_median_sum = sum(
+        (samples[n][(len(samples[n]) - 1) // 2]
+         + samples[n][len(samples[n]) // 2]) / 2
+        for n in r3cov
+    )
     detail = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 4),
@@ -436,12 +444,7 @@ def main() -> None:
         # standard steady-state estimator and the least ambient-
         # sensitive point of the sample.)
         "steady_vs_oracle_ratio_r3common_median": round(
-            sum(
-                (samples[n][(len(samples[n]) - 1) // 2]
-                 + samples[n][len(samples[n]) // 2]) / 2
-                for n in r3cov
-            ) / max(sum(oracle[n] for n in r3cov), 1e-9),
-            3,
+            r3_median_sum / max(sum(oracle[n] for n in r3cov), 1e-9), 3
         ),
         "queries_steady_samples": samples,
         # numerator/denominator decomposition (r7): the r6->r7 swing of
@@ -453,13 +456,7 @@ def main() -> None:
         # both sums makes that decomposition possible without the
         # detail file.
         "r3common_steady_sum": round(sum(steady[n] for n in r3cov), 4),
-        "r3common_median_sum": round(
-            sum(
-                (samples[n][(len(samples[n]) - 1) // 2]
-                 + samples[n][len(samples[n]) // 2]) / 2
-                for n in r3cov
-            ), 4,
-        ),
+        "r3common_median_sum": round(r3_median_sum, 4),
         "r3common_oracle_sum": round(sum(oracle[n] for n in r3cov), 4),
         "r3common_queries": len(r3cov),
         # queries whose steady time is BUILD-INCLUSIVE (run_rebuild) —

@@ -397,7 +397,10 @@ def derive_tables(
     p = match ** int(planes)
     if p >= 1.0:
         return lo
-    if p <= 0.0:
+    if p <= 0.0 or target_recall >= 1.0:
+        # target_recall >= 1 is unreachable for ANY finite table count
+        # (the model approaches 1 only asymptotically) — same clamp+warn
+        # path as a table count past ``hi``, not a math-domain crash.
         t = float("inf")
     else:
         t = math.log(1.0 - target_recall) / math.log(1.0 - p)
@@ -455,6 +458,7 @@ def knn_lsh(
     collect_queries: bool = False,
     corpus_count: int | None = None,
     recall_at: float = 0.9,
+    target_recall: float = 0.9,
 ) -> DataFrame:
     """Approximate top-k: multi-table sign-random-projection LSH
     (OR-amplification: a pair is a candidate if it co-buckets in ANY of
@@ -490,7 +494,7 @@ def knn_lsh(
     real table, or persist the banded table when lookups repeat.
     """
     planes = _resolve_planes(planes, candidates, corpus_count)
-    tables = _resolve_tables(tables, recall_at, planes)
+    tables = _resolve_tables(tables, recall_at, planes, target_recall)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
@@ -794,6 +798,7 @@ def embedding_neardup_pairs_lsh(
     corpus_count: int | None = None,
     collapse_exact: bool = False,
     max_bucket: int | None = None,
+    target_recall: float = 0.9,
 ) -> DataFrame:
     """Scale path for embedding near-dup: candidate pairs come from
     multi-table sign-LSH co-bucketing instead of the all-pairs cross
@@ -884,7 +889,7 @@ def embedding_neardup_pairs_lsh(
     from .dedup import _attach_cached
 
     planes = _resolve_planes(planes, df, corpus_count)
-    tables = _resolve_tables(tables, threshold, planes)
+    tables = _resolve_tables(tables, threshold, planes, target_recall)
     if collapse_exact:
         # work-proportional gate (VERDICT r8 #2): on a dup-free corpus
         # the collapse is the identity, so skip its groupBy + expansion
@@ -1493,6 +1498,7 @@ def semantic_contamination_lsh(
     eval_id_col: str = "vec_id",
     eval_vec_col: str = "embedding",
     corpus_count: int | None = None,
+    target_recall: float = 0.9,
 ) -> DataFrame:
     """Scale path for :func:`semantic_contamination`: candidate
     (corpus, eval) pairs come from multi-table sign-LSH co-bucketing
@@ -1540,7 +1546,7 @@ def semantic_contamination_lsh(
     work) or treat the exact operator as the authority.
     """
     planes = _resolve_planes(planes, corpus, corpus_count)
-    tables = _resolve_tables(tables, threshold, planes)
+    tables = _resolve_tables(tables, threshold, planes, target_recall)
     cb = _lsh_banded_narrow(corpus, "id", id_col, vec_col, planes, dim, tables)
     eb = _lsh_banded_narrow(
         evalset, "eid", eval_id_col, eval_vec_col, planes, dim, tables

@@ -1493,6 +1493,13 @@ def test_derive_tables_recall_model(spark, sf_small):
         t = derive_tables(0.35, 10, target_recall=0.9)
         assert t == 64
         assert any("achievable recall" in str(x.message) for x in w)
+    # target_recall >= 1.0 is unreachable for ANY finite table count
+    # (the model only approaches 1 asymptotically): same clamp+warn
+    # path, never a math-domain crash (r9 review fix)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert derive_tables(0.9, 8, target_recall=1.0) == 64
+        assert any("achievable recall" in str(x.message) for x in w)
     # composition: tables="auto" on the operator equals the explicit
     # derived count (planes resolves first, then tables reads it)
     emb = load_table(spark, sf_small, "embeddings")

@@ -46,18 +46,14 @@ def main() -> None:
     args = ap.parse_args()
     depths = sorted(int(d) for d in args.depths.split(","))
 
-    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", "100g")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    from real_timetransactionaldatalakehouse_spark.session import batch_session
+
+    # the production read profile (AQE, skew handling, 64m broadcast
+    # threshold) — the depth-d broadcast anti-join chain this tool
+    # measures must be planned the way real readers plan it
+    spark = batch_session("mor-read-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     from real_timetransactionaldatalakehouse_spark import tablefmt as TF

@@ -43,15 +43,37 @@ import duckdb  # noqa: E402
 from tools.amortized_bench import build_replica  # noqa: E402
 
 
-def _spark_steady(df_fn, spark, reps: int) -> float:
-    df_fn().write.mode("overwrite").format("noop").save()  # warm
-    best = 1e9
+def _spark_times(df_fn, spark, reps: int) -> tuple[float, float]:
+    """(rebuild, steady), both min-of-reps after a shared untimed warm
+    pass (JVM/codegen/page-cache warmth excluded from both):
+
+    - rebuild = build + execute inside one clock, per rep — the
+      amortized_bench methodology, what a ONE-SHOT query pays.  For
+      global_rank the boundary-sample and per-bucket offset collects
+      run at PLAN BUILD, so a one-shot clock rightly contains them.
+    - steady  = re-execution of a PREBUILT plan — bench.py's sf0.1
+      methodology, what REPEATED execution pays (the collects are
+      declare-time constants).
+
+    Reporting both is the point: the r8 amortized table's 2.9x
+    q_orderby row is a REBUILD number while the sf0.1 gate rows are
+    PREBUILT — conflating the two overstates the rank-materialization
+    share of the steady cost (r9 review fix)."""
+    df = df_fn()
+    df.write.mode("overwrite").format("noop").save()  # shared warm
+    rebuild = 1e9
     for _ in range(reps):
         t0 = time.perf_counter()
         df_fn().write.mode("overwrite").format("noop").save()
-        best = min(best, time.perf_counter() - t0)
+        rebuild = min(rebuild, time.perf_counter() - t0)
         spark.catalog.clearCache()
-    return best
+    steady = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        steady = min(steady, time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    return rebuild, steady
 
 
 def _duck_steady(con, sql: str, reps: int) -> float:
@@ -117,12 +139,13 @@ def main() -> None:
         f"read_parquet('{os.path.join(out, 'events.parquet')}/*.parquet')"
     )
 
-    print("| form | Spark steady | DuckDB twin | ratio |")
-    print("|---|---|---|---|")
+    print("| form | Spark one-shot (build+exec) | Spark steady (prebuilt) | DuckDB twin | one-shot ratio | steady ratio |")
+    print("|---|---|---|---|---|---|")
     for label, df_fn, sql in forms:
-        s = _spark_steady(df_fn, spark, args.reps)
+        rebuild, s = _spark_times(df_fn, spark, args.reps)
         d = _duck_steady(con, sql, args.reps)
-        print(f"| {label} | {s:.2f} s | {d:.2f} s | {s / d:.1f}x |")
+        print(f"| {label} | {rebuild:.2f} s | {s:.2f} s | {d:.2f} s "
+              f"| {rebuild / d:.1f}x | {s / d:.1f}x |")
 
 
 if __name__ == "__main__":
