@@ -664,3 +664,37 @@ def test_mor_read_plan_depth_contract(spark, tmp_path):
     # tripwire for accidental quadratic recursion, not a benchmark)
     assert wall < 60, wall
     assert TF.MOR_MAX_CHAIN <= depth // 2
+
+
+def test_reader_snapshot_isolation_across_maintenance(spark, tmp_path):
+    """A reader resolved BEFORE maintenance commits keeps reading its
+    snapshot bit-for-bit: version dirs are immutable, commits flip the
+    ``_CURRENT`` pointer, and ``read_table`` pins the version at
+    DataFrame CONSTRUCTION — so serving queries in flight while the
+    hourly loop rewrites tables (reference ``dags/maintenance_dag.py:
+    13-31`` runs compaction+expiry against live readers through
+    Iceberg's snapshot isolation) never see a half-rewritten table,
+    torn between old and new files.  New readers see the new data."""
+    tbl = str(tmp_path / "dim")
+    TF.write_version(spark.range(0, 300).selectExpr("id", "id AS v"), tbl)
+
+    reader_v1 = TF.read_table(spark, tbl)          # pinned at v1
+    want_v1 = {(i, i) for i in range(300)}
+
+    # maintenance between resolve and collect: a MoR upsert commit,
+    # then a full compaction rewrite (chain-flattening commit)
+    TF.write_mor_upsert(
+        spark.createDataFrame([(7, 700), (8, 800)], "id long, v long"),
+        tbl, ["id"],
+    )
+    MT.compact(spark, tbl)
+    assert TF.current_version(tbl) >= 3
+
+    # the in-flight reader still returns exactly its snapshot
+    assert {(r.id, r.v) for r in reader_v1.collect()} == want_v1
+    # and matches an explicit time travel to the same version
+    assert {(r.id, r.v) for r in TF.read_table(spark, tbl, version=1).collect()} == want_v1
+    # a NEW reader sees the post-maintenance state (upserts applied,
+    # row count preserved by the compaction guard)
+    now = {(r.id, r.v) for r in TF.read_table(spark, tbl).collect()}
+    assert now == (want_v1 - {(7, 7), (8, 8)}) | {(7, 700), (8, 800)}
