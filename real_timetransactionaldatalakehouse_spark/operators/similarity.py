@@ -482,7 +482,12 @@ def knn_lsh(
     top-k caller cares about — there is no threshold parameter to
     read it from) AFTER planes resolve, so growing the corpus raises
     planes for bounded bucket work and tables for held recall
-    together.
+    together.  MIND THE TWO 0.9-DEFAULT KNOBS: ``recall_at`` is a
+    COSINE (where on the similarity axis recall is guaranteed), NOT a
+    recall — to ask for more recall raise ``target_recall``.  RAISING
+    ``recall_at`` relaxes the design point (higher-cosine pairs
+    co-bucket more often), so the derivation returns FEWER tables and
+    recall at any looser operating threshold silently drops.
 
     ``collect_queries=True`` is the index-free serving shape for a
     metadata-sized query batch: the query bucket table (same bit math

@@ -52,7 +52,12 @@ def main() -> None:
 
     # the production read profile (AQE, skew handling, 64m broadcast
     # threshold) — the depth-d broadcast anti-join chain this tool
-    # measures must be planned the way real readers plan it
+    # measures must be planned the way real readers plan it.  Keep the
+    # big local-mode heap the first draft (and the sibling write-amp
+    # bench) sized for 750k+ keys: in local mode the driver JVM holds
+    # all executor memory, and the 8g default tips over at large
+    # --keys.  setdefault so an explicit env override still wins.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "100g")
     spark = batch_session("mor-read-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
