@@ -5243,16 +5243,35 @@ def q_split_leakage(spark, sf_dir):
 # 40 r7 greens, 46 r8 greens (50 certified in r8 minus the 4
 # implementation-changed queries re-certified at the head of THIS
 # window — they count once, in the r9 bucket), 50 r9 greens;
-# 14 + 40 + 46 + 50 = 150.  r10 MUST head with the
-# 14 remaining r6 greens (q_neardup_cross_corpus q_neardup_minhash
-# q_search_ranked q_semantic_decontaminate q_semantic_topk_contaminants
+# 14 + 40 + 46 + 50 = 150.
+#
+# r9's late self-review fixed defects in shared dedup/sampling
+# operators (NULL-text MinHash kernel guard, bands divisibility
+# validation, word_shingles dead-branch removal, stratified-sample
+# key-length validation, _global_cumsum NULL-sum guard, cluster
+# build-frame persistence, split_bucket/_md5_60 dedup, decontaminate
+# anti-join left to AQE).  The changed queries INSIDE the r9 window
+# (q_decontaminate q_decontaminate_ngram q_contamination_report
+# q_dedup_passage, plus the four already at its head) re-certify this
+# round.  The changed queries OUTSIDE it MUST head r10 per the
+# rotation rule: q_neardup_verified q_neardup_clusters
+# q_corpus_pipeline q_neardup_free_corpus q_split_leakage
+# q_stratified_sample q_chunk_documents q_corpus_mix (r7 greens) and
+# q_sample_weighted q_vocab_coverage (r8 greens).
+#
+# r10 window therefore = the 14 remaining r6 greens
+# (q_neardup_cross_corpus q_neardup_minhash q_search_ranked
+# q_semantic_decontaminate q_semantic_topk_contaminants
 # q_sessionize_lag q_shard_layout q_simhash_neardup q_spike_detect
 # q_text_fingerprint q_text_redact q_text_repetition q_text_winnow
-# q_trend_slope), then fit 36 of the 40 r7 greens — so r10 tolerates
-# AT MOST 0 implementation changes without pushing 4+ r7 greens to a
-# 4-round age in r11; any r10 churn must displace the YOUNGEST r7
-# greens (they were re-verified by the per-round pytest parity sweep,
-# which is the documented backstop for a 4-round-stale green).
+# q_trend_slope — four of which are themselves in the changed set's
+# blast radius and re-certify the new code) + the 10 changed-in-r9
+# queries above + the 26 OLDEST unchanged r7 greens.  That leaves 6
+# unchanged r7 greens slipping to a 4-round age in r11 — the
+# documented backstop is the per-round sf0.001+sf0.01 pytest parity
+# sweep, which re-verifies every oracle-backed query each round.
+# r10 then tolerates ZERO further implementation changes without
+# pushing more r7 greens out.
 _CHECK_FIRST: list[str] = [
     # -- the 21 r5-stale greens (freshness rule, VERDICT r8 #1)
     "q_join_asof_nearest",

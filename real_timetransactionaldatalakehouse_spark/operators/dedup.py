@@ -141,14 +141,15 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
     for j in range(1, n):
         shifted = F.slice(t, j + 1, F.greatest(F.size(t) - F.lit(j), F.lit(0)))
         sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    # zero-token texts: the pre-r6 index-transform form emitted ONE
-    # empty-string shingle (concat_ws over an empty slice), and the
-    # DuckDB shingle CTEs still do — an empty array here would silently
-    # diverge for degenerate docs (two whitespace-only docs drop from
-    # jaccard 1.0 to no-pair), so reproduce the single-empty-gram case
-    return F.when(F.size(t) == 0, F.array(F.lit(""))).otherwise(
-        F.slice(sh, 1, F.greatest(F.size(t) - (n - 1), F.lit(1)))
-    )
+    # degenerate docs: split() never returns an EMPTY array for
+    # non-NULL text (split('', ' ') == ['']), so empty text flows
+    # through the slice as ONE shingle — concat_ws over [''] plus the
+    # NULL zip-padding yields the single empty-string gram the DuckDB
+    # shingle CTEs also emit (two whitespace-only docs stay jaccard
+    # 1.0).  NULL text propagates NULL.  (A size==0 special case here
+    # was unreachable dead code — r9 review fix removed it; output is
+    # expression-for-expression identical on every reachable input.)
+    return F.slice(sh, 1, F.greatest(F.size(t) - (n - 1), F.lit(1)))
 
 
 def _seeded_hash(seed: int):
@@ -203,7 +204,10 @@ def _minhash_sig_udf(num_hashes: int, shingle_n: int):
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig(th: pd.Series) -> pd.Series:
-        arrs = [np.asarray(a, dtype="int64") for a in th]
+        # NULL text reaches the kernel as None (Arrow null array slot);
+        # treat it as zero tokens — the same degenerate path as empty
+        # text — instead of crashing the whole stage (r9 review fix)
+        arrs = [np.asarray(a if a is not None else [], dtype="int64") for a in th]
         lens = np.array([max(len(a) - (shingle_n - 1), 1) for a in arrs])
         flat = np.concatenate(arrs).view(np.uint64) if arrs else np.empty(0, np.uint64)
         # rolling n-gram combine; rows shorter than n keep their 1+ tokens
@@ -268,6 +272,16 @@ def minhash_banded(
     every one of its O(m^2) bucket pairs).  Off by default so the
     streaming band-index schema is unchanged.
     """
+    if bands <= 0 or num_hashes % bands != 0:
+        # floor-division would silently band only the first
+        # bands*(num_hashes//bands) signature rows — computing hashes
+        # that never influence recall, so the caller's (b, r) curve is
+        # quietly wrong (and bands > num_hashes plans a zero-argument
+        # xxhash64 that fails analysis opaquely).  r9 review fix.
+        raise ValueError(
+            f"bands must divide num_hashes: got num_hashes={num_hashes}, "
+            f"bands={bands}"
+        )
     rows_per_band = num_hashes // bands
     spread = df
     if repartition:
@@ -980,10 +994,16 @@ def verified_neardup_clusters(
     fpg = df.select(
         F.md5(F.col(text_col)).alias("__fp"), F.col(id_col).alias("id")
     )
+    # multi-consumer build frame (r9 review fix): groups feeds member/
+    # reps/sizes/lone and member feeds both expansion joins, and label
+    # propagation in between runs EAGER jobs — without a persist the
+    # full-corpus md5 groupBy re-executes for every cold consumer (the
+    # same defect class the r6 single-pass verify fix measured at
+    # 1.88 -> 1.24 s).  Released via dedup.release_cached(result).
     groups = fpg.groupBy("__fp").agg(
         F.min("id").alias("__rep"), F.count(F.lit(1)).alias("__n")
-    )
-    member = fpg.join(groups, "__fp").select("id", "__rep")
+    ).persist()
+    member = fpg.join(groups, "__fp").select("id", "__rep").persist()
     reps = df.join(
         groups.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
     )
@@ -1012,7 +1032,7 @@ def verified_neardup_clusters(
     lone_members = member.join(lone, "__rep").select(
         "id", F.col("__rep").alias("cluster_id"), "n_members"
     )
-    return in_graph.unionByName(lone_members)
+    return _attach_cached(in_graph.unionByName(lone_members), [groups, member])
 
 
 def drop_near_duplicates(
@@ -1082,7 +1102,7 @@ def passage_repetition(
     production runs use ``'xxhash64'`` (~10x cheaper, same collision
     argument as every gram pipeline here).
     """
-    hasher = _md5_60 if hash_fn == "md5_60" else TOKEN_HASHES[hash_fn]
+    hasher = TOKEN_HASHES[hash_fn]  # "md5_60" maps to _md5_60 already
     t = tokens(text_col)
     base = (
         df.select(F.col(id_col), t.alias("__t"))

@@ -35,9 +35,10 @@ def split_bucket(id_col, seed: str = "split-v1", buckets: int = 1000):
     produces an independent re-split; same seed is stable forever.
     DuckDB twin: ``('0x' || substr(md5(id || ':' || seed), 1, 15))
     ::BIGINT % buckets``."""
+    from .dedup import _md5_60
+
     key = F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))
-    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
-    return F.pmod(h, F.lit(buckets))
+    return F.pmod(_md5_60(key), F.lit(buckets))
 
 
 def hash_split(
@@ -91,6 +92,15 @@ def stratified_sample(
         keep = None
         for key, rate in rates.items():
             key = key if isinstance(key, tuple) else (key,)
+            if len(key) != len(strata_cols):
+                # zip() would silently truncate: a key one element
+                # longer than strata_cols applies its rate to the
+                # whole prefix stratum — deterministic deletion of the
+                # WRONG strata (r9 review fix: hard error instead)
+                raise ValueError(
+                    f"rates key {key!r} has {len(key)} element(s) but "
+                    f"strata_cols has {len(strata_cols)}: {strata_cols}"
+                )
             match = None
             for c, v in zip(strata_cols, key):
                 cond = F.col(c) == F.lit(v)
@@ -188,10 +198,16 @@ def decontaminate(
     verbatim eval leakage of that length cannot survive.
 
     Plan shape: both sides reduce to (fp, id) pairs; the benchmark
-    side (eval sets are thousands of docs, not billions) broadcasts
-    into a semi-join marking contaminated ids, then a broadcast
-    anti-join keeps the clean corpus.  Fingerprints (60-bit ints)
-    shuffle; documents never do.
+    side (eval sets are thousands of docs, not billions — a size the
+    CALLER controls) broadcasts into a semi-join marking contaminated
+    ids.  The contaminated-id side of the final anti-join is NOT
+    force-broadcast (r9 review fix): its size is corpus-determined —
+    one boilerplate passage shared with an eval doc can mark a large
+    fraction of a duplicate-heavy crawl — so AQE decides at runtime:
+    broadcast when small (the common case, same plan as before), a
+    shuffled anti-join instead of a driver/executor OOM when not.
+    Fingerprints (60-bit ints) shuffle; documents never shuffle for
+    the semi side.
     """
     def fps(df: DataFrame) -> DataFrame:
         # winnow_fingerprints keys on "doc_id" — normalize the id name
@@ -203,7 +219,7 @@ def decontaminate(
         fps(corpus).join(F.broadcast(b_fp), "fp", "left_semi")
         .select(F.col("doc_id").alias(id_col)).distinct()
     )
-    return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
+    return corpus.join(contaminated, id_col, "left_anti")
 
 
 def _gram_hashes(
@@ -276,9 +292,13 @@ def decontaminate_ngram(
     Plan shape: both sides reduce to distinct xxhash64 n-gram hashes
     (only hash EQUALITY matters — the join is engine-internal, so the
     fastest native 64-bit hash wins); the benchmark side (eval sets
-    are thousands of docs, not billions) broadcasts into a semi-join
-    marking contaminated ids, then a broadcast anti-join keeps the
-    clean corpus.  N-gram hashes shuffle; documents never do.
+    are thousands of docs, not billions — caller-bounded) broadcasts
+    into a semi-join marking contaminated ids.  The contaminated-id
+    anti-join is left to AQE (r9 review fix, same reasoning as
+    :func:`decontaminate`): the set is corpus-determined and
+    unbounded under boilerplate overlap, so it broadcasts at runtime
+    when small and shuffles instead of OOMing when not.  N-gram
+    hashes shuffle; documents never shuffle for the semi side.
 
     ``repartition``: the gram build is per-row CPU-heavy (n token
     concats per position), so an under-split corpus is fanned out to
@@ -295,7 +315,7 @@ def decontaminate_ngram(
         .select(id_col)
         .distinct()
     )
-    return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
+    return corpus.join(contaminated, id_col, "left_anti")
 
 
 def pack_sequences(
@@ -548,8 +568,13 @@ def _global_cumsum(
         row_offsets.append((b, rows_acc))
         sum_offsets.append((b, total_sum))
         if per_bucket[b] is not None:
-            rows_acc += int(per_bucket[b][0])
-            total_sum += int(per_bucket[b][1])
+            # SUM over zero rows (or an all-NULL value column) is
+            # NULL even when the COUNT field is present — guard the
+            # sum element like pack_sequences guards its count, so an
+            # empty/degenerate input reaches the operators' documented
+            # ValueError instead of int(None) (r9 review fix)
+            rows_acc += int(per_bucket[b][0] or 0)
+            total_sum += int(per_bucket[b][1] or 0)
     order_exprs = [c.asc() if d == "asc" else c.desc() for c, d in specs]
     w = Window.partitionBy("__b").orderBy(*order_exprs).rowsBetween(
         Window.unboundedPreceding, 0
@@ -726,14 +751,12 @@ def training_shard_layout(
     """
     from pyspark.sql import Window
 
+    from .dedup import _md5_60
+
     h_shard = split_bucket(id_col, seed + ":shard", shards)
-    order_h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(id_col).cast("string"),
-                           F.lit(":" + seed + ":pos"))),
-            1, 15,
-        ), 16, 10,
-    ).cast("long")
+    order_h = _md5_60(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + seed + ":pos"))
+    )
     w = Window.partitionBy("shard").orderBy(
         F.col("__oh").asc(), F.col(id_col).asc()
     )

@@ -1574,3 +1574,65 @@ def test_embed_neardup_lsh_max_bucket(spark, sf_small):
     for k, v in capped.items():
         assert v == base[k]
     assert capped, "tiny cap still finds in-subcell pairs"
+
+
+def test_minhash_tolerates_null_text(spark):
+    """r9 review fix: a NULL-text row must not kill the Arrow MinHash
+    kernel (np.asarray(None) raised TypeError and aborted the stage).
+    NULL text takes the zero-token degenerate path — same as empty
+    text — and the non-null rows still pair normally."""
+    base = " ".join(f"tok{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, base), (2, None),
+         (3, base + " trailing"), (4, "")],
+        "doc_id long, text string",
+    )
+    banded = D.minhash_banded(df, repartition=False)
+    assert banded.filter(F.col("id") == 1).count() > 0
+    pairs = D.minhash_neardup_pairs(df, jaccard_threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 3) in got, got
+
+
+def test_minhash_bands_must_divide_num_hashes(docs):
+    """r9 review fix: floor-division silently banded only the first
+    bands*(num_hashes//bands) signature rows, quietly weakening the
+    caller's (b, r) recall curve — now a hard error."""
+    with pytest.raises(ValueError, match="divide"):
+        D.minhash_banded(docs, num_hashes=32, bands=6)
+    with pytest.raises(ValueError, match="divide"):
+        D.minhash_banded(docs, num_hashes=32, bands=33)
+
+
+def test_stratified_sample_rejects_mismatched_key_length(spark, sf_small):
+    """r9 review fix: zip() silently truncated a rates key longer than
+    strata_cols, applying the rate to the whole prefix stratum — a
+    ('en','web') key with strata_cols=['lang'] deleted every 'en' row.
+    Now a hard error, both directions."""
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "lang")
+    with pytest.raises(ValueError, match="strata_cols"):
+        SP.stratified_sample(docs, ["lang"], {("en", "web"): 0.0})
+    with pytest.raises(ValueError, match="strata_cols"):
+        SP.stratified_sample(docs, ["lang", "source"], {("en",): 0.5})
+
+
+def test_sample_systematic_empty_input_clean_error(spark):
+    """r9 review fix: COUNT=0 buckets carry SUM=NULL, so an empty (or
+    all-NULL-weight) input crashed _global_cumsum with int(None)
+    before reaching the operators' documented ValueError."""
+    empty = spark.createDataFrame([], "doc_id long, w long")
+    with pytest.raises(ValueError, match="weight"):
+        SP.sample_systematic(empty, k=5, weight_col="w", id_col="doc_id")
+
+
+def test_verified_clusters_attach_and_release_cache(docs):
+    """r9 review fix: the exact-dup group frames are multi-consumer
+    (label propagation runs eager jobs between their uses), so they
+    persist and are released via the standard _cached_deps contract."""
+    out = D.verified_neardup_clusters(_with_mutants(docs), jaccard_threshold=0.5)
+    deps = getattr(out, "_cached_deps", [])
+    assert len(deps) == 2, "groups and member frames must be attached"
+    assert out.count() > 0
+    assert all(d.is_cached for d in deps)
+    D.release_cached(out)
+    assert not any(d.is_cached for d in deps)
