@@ -2285,17 +2285,28 @@ WITH pii AS (
               || (doc_id % 256) || '.7 call +1 555 867 53'
               || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
   FROM documents
+),
+s1 AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '@EMAIL@', '[email]', 'g') AS t1
+  FROM pii
+),
+s2 AS (
+  SELECT doc_id, text, t1,
+         regexp_replace(t1, '@IPV4@', '[ipv4]', 'g') AS t2
+  FROM s1
 )
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '@EMAIL@')) AS INTEGER) AS n_email,
-       CAST(len(regexp_extract_all(text, '@IPV4@')) AS INTEGER) AS n_ipv4,
-       CAST(len(regexp_extract_all(text, '@PHONE@')) AS INTEGER) AS n_phone,
-       md5(regexp_replace(regexp_replace(regexp_replace(text,
-           '@EMAIL@', '[email]', 'g'),
-           '@IPV4@', '[ipv4]', 'g'),
-           '@PHONE@', '[phone]', 'g')) AS fp
-FROM pii
+       CAST(len(regexp_extract_all(t1, '@IPV4@')) AS INTEGER) AS n_ipv4,
+       CAST(len(regexp_extract_all(t2, '@PHONE@')) AS INTEGER) AS n_phone,
+       md5(regexp_replace(t2, '@PHONE@', '[phone]', 'g')) AS fp
+FROM s2
 """
+# Each kind counts on the text its replacement actually sees (earlier
+# kinds already applied) — the engine-side sequential semantics, so the
+# reported counts equal the redactions performed (r9 review fix; on
+# this planted data the kinds never overlap, so values are unchanged).
 
 from real_timetransactionaldatalakehouse_spark.operators.text import (  # noqa: E402
     PII_PATTERNS as _PII,
@@ -5257,7 +5268,9 @@ def q_split_leakage(spark, sf_dir):
 # rotation rule: q_neardup_verified q_neardup_clusters
 # q_corpus_pipeline q_neardup_free_corpus q_split_leakage
 # q_stratified_sample q_chunk_documents q_corpus_mix (r7 greens) and
-# q_sample_weighted q_vocab_coverage (r8 greens).
+# q_sample_weighted q_vocab_coverage q_agg_percentile q_resample_fill
+# (r8 greens — the last two from the text/relational review batch:
+# exact-percentile NULL semantics, resample bounds snapping).
 #
 # r10 window therefore = the 14 remaining r6 greens
 # (q_neardup_cross_corpus q_neardup_minhash q_search_ranked
@@ -5265,8 +5278,8 @@ def q_split_leakage(spark, sf_dir):
 # q_sessionize_lag q_shard_layout q_simhash_neardup q_spike_detect
 # q_text_fingerprint q_text_redact q_text_repetition q_text_winnow
 # q_trend_slope — four of which are themselves in the changed set's
-# blast radius and re-certify the new code) + the 10 changed-in-r9
-# queries above + the 26 OLDEST unchanged r7 greens.  That leaves 6
+# blast radius and re-certify the new code) + the 12 changed-in-r9
+# queries above + the 24 OLDEST unchanged r7 greens.  That leaves 8
 # unchanged r7 greens slipping to a 4-round age in r11 — the
 # documented backstop is the per-round sf0.001+sf0.01 pytest parity
 # sweep, which re-verifies every oracle-backed query each round.

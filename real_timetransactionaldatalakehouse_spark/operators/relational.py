@@ -555,6 +555,7 @@ def resample_fill(
     group_cols: list[str] | None = None,
     agg_exprs: dict[str, Column] | None = None,
     bounds: tuple | None = None,
+    fill_zero: list[str] | None = None,
 ) -> DataFrame:
     """Time-series densify: bucket rows to ``step``, aggregate, then
     emit EVERY bucket in the observed (or given) range — gaps become
@@ -565,8 +566,13 @@ def resample_fill(
     ONE metadata-sized min/max agg — never a driver loop; with
     ``group_cols`` the spine cross-joins the distinct key set (small
     by definition for a per-key chart) and the observed aggregates
-    left-join on (key, bucket).  Missing counts fill with 0; other
-    aggregates keep NULL unless coalesced by the caller.
+    left-join on (key, bucket).  ``fill_zero`` names the aggregates to
+    zero-fill in gap rows (default ``["n"]``, the built-in count);
+    other aggregates keep NULL unless coalesced by the caller.
+    Explicit ``bounds`` are SNAPPED to their containing window starts
+    (r9 review fix): observed buckets are window-aligned, so an
+    unsnapped spine built from raw min/max event timestamps joined
+    nothing and silently zero/NULL-filled every bucket.
     """
     aggs = agg_exprs or {"n": F.count(F.lit(1))}
     observed = (
@@ -588,9 +594,20 @@ def resample_fill(
         )
     else:
         lo, hi = bounds
-        bounds_df = spark.range(1).select(
-            F.lit(str(lo)).cast("timestamp").alias("__lo"),
-            F.lit(str(hi)).cast("timestamp").alias("__hi"),
+        # snap to the window start CONTAINING each bound — the spine
+        # must land on the same grid as the observed buckets.  One
+        # window() per projection: Spark rejects two time-window
+        # expressions in a single select.
+        bounds_df = (
+            spark.range(1)
+            .select(
+                F.window(F.lit(str(lo)).cast("timestamp"), step)["start"].alias("__lo"),
+                F.lit(str(hi)).cast("timestamp").alias("__hi_ts"),
+            )
+            .select(
+                "__lo",
+                F.window(F.col("__hi_ts"), step)["start"].alias("__hi"),
+            )
         )
     spine = bounds_df.select(
         F.explode(
@@ -601,9 +618,16 @@ def resample_fill(
         keys = df.select(*group_cols).distinct()
         spine = keys.crossJoin(spine)
     out = spine.join(observed, [*(group_cols or []), "bucket"], "left")
-    # counts zero-fill; everything else is the caller's policy
-    for name, e in aggs.items():
-        if name == "n":
+    # zero-fill the named count aggregates; everything else keeps NULL
+    # (a name match on the literal "n" alone left every caller-named
+    # count NULL in gap rows — the exact breakage the operator exists
+    # to prevent; r9 review fix)
+    zero_cols = set(fill_zero) if fill_zero is not None else {"n"}
+    unknown = zero_cols - set(aggs)
+    if unknown:
+        raise ValueError(f"fill_zero names not in agg_exprs: {sorted(unknown)}")
+    for name in aggs:
+        if name in zero_cols:
             out = out.withColumn(name, F.coalesce(F.col(name), F.lit(0)))
     return out
 
@@ -728,12 +752,18 @@ def zscore_normalize(
         sx.alias("__sx"), sxx.alias("__sxx"), n.alias("__n")
     )
     mean = F.col("__sx") / F.col("__n")
+    # clamp the moment-form variance at 0 before sqrt (r9 review fix):
+    # sxx - sx*sx/n can round to a TINY NEGATIVE on constant-valued
+    # groups, sqrt then yields NaN, and Spark orders NaN ABOVE every
+    # number — so the __sd > 0 zero-variance guard below took the live
+    # branch and emitted NaN z instead of the documented NULL.
     sd = F.when(
         F.col("__n") > 1,
-        F.sqrt(
+        F.sqrt(F.greatest(
             (F.col("__sxx") - F.col("__sx") * F.col("__sx") / F.col("__n"))
-            / (F.col("__n") - F.lit(1))
-        ),
+            / (F.col("__n") - F.lit(1)),
+            F.lit(0.0),
+        )),
     )
     stats = stats.select(
         *group_cols, mean.alias("__mean"), sd.alias("__sd")
@@ -768,10 +798,13 @@ def robust_scale(
     ``percentile_approx`` (mergeable t-digest) behind the same
     signature.  Zero-IQR groups yield NULL (ANSI-safe guard)."""
     stats = df.groupBy(*group_cols).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("__med"),
+        # backtick-quoted so legal-but-non-identifier column names
+        # ("response time", dotted names) parse instead of raising —
+        # every other path here goes through F.col (r9 review fix)
+        F.expr(f"percentile(`{value_col}`, 0.5)").alias("__med"),
         (
-            F.expr(f"percentile({value_col}, 0.75)")
-            - F.expr(f"percentile({value_col}, 0.25)")
+            F.expr(f"percentile(`{value_col}`, 0.75)")
+            - F.expr(f"percentile(`{value_col}`, 0.25)")
         ).alias("__iqr"),
     )
     scaled = F.when(
@@ -791,6 +824,7 @@ def spike_detect(
     ts_col: str,
     bin_seconds: int = 600,
     threshold: float = 3.0,
+    include_new: bool = False,
 ) -> DataFrame:
     """Traffic-spike detection per entity — the batch twin of the
     reference's "Supernova" chaos scenario (a virally boosted entity
@@ -812,8 +846,8 @@ def spike_detect(
     ``//`` (floor) oracle.  ``pmod`` keeps the arithmetic all-integer —
     ``(a - pmod(a, b)) DIV b`` is exact floor division for any long."""
     bin_col = F.expr(
-        f"(CAST(date_trunc('second', {ts_col}) AS LONG)"
-        f" - pmod(CAST(date_trunc('second', {ts_col}) AS LONG), {bin_seconds}))"
+        f"(CAST(date_trunc('second', `{ts_col}`) AS LONG)"
+        f" - pmod(CAST(date_trunc('second', `{ts_col}`) AS LONG), {bin_seconds}))"
         f" DIV {bin_seconds}"
     )
     binned = (
@@ -835,15 +869,22 @@ def spike_detect(
         )
     )
     base_avg = F.col("__base_sum").cast("double") / F.col("__base_bins")
-    return (
-        per_key.filter(F.col("__base_bins") > 0)
-        .select(
-            *key_cols,
-            "recent_cnt",
-            base_avg.alias("base_avg"),
-            (F.col("recent_cnt") / base_avg).alias("spike_ratio"),
-            (F.col("recent_cnt") / base_avg > F.lit(threshold)).alias("is_spike"),
-        )
+    # the default compares an entity against ITS OWN history, so a key
+    # whose first-ever events all land in the latest bin has no
+    # baseline and emits no row.  include_new=True surfaces those keys
+    # too — base_avg/spike_ratio NULL, is_spike TRUE (a burst from zero
+    # history is definitionally a spike; the Supernova launch case) —
+    # as an OPT-IN because the ratio-based contract and its certified
+    # oracle are defined over entities with history (r9 review note).
+    has_hist = F.col("__base_bins") > 0
+    out = per_key if include_new else per_key.filter(has_hist)
+    return out.select(
+        *key_cols,
+        "recent_cnt",
+        F.when(has_hist, base_avg).alias("base_avg"),
+        F.when(has_hist, F.col("recent_cnt") / base_avg).alias("spike_ratio"),
+        F.when(has_hist, F.col("recent_cnt") / base_avg > F.lit(threshold))
+        .otherwise(F.lit(True)).alias("is_spike"),
     )
 
 
@@ -938,7 +979,14 @@ def grouped_percentiles_exact(
     spark = df.sparkSession
     g, v = F.col(group_col), F.col(value_col)
     gtype = df.schema[group_col].dataType.simpleString()
-    cnt = df.groupBy(group_col, value_col).agg(
+    # NULL semantics (r9 review fix): percentile() and quantile_cont
+    # IGNORE null values — unfiltered, a null both inflated the group
+    # size and occupied the lowest rank, silently shifting every
+    # percentile.  Groups whose values are ALL null re-enter at the
+    # end with NULL outputs (the left join below), matching the
+    # aggregates; NULL group KEYS are first-class via null-safe joins
+    # and matches throughout.
+    cnt = df.filter(v.isNotNull()).groupBy(group_col, value_col).agg(
         F.count(F.lit(1)).alias("__c")
     ).persist()
     # literal-boundary buckets over (group, value): the bucket is a
@@ -997,10 +1045,10 @@ def grouped_percentiles_exact(
             pos.add(math.floor(rk) + 1)
             pos.add(math.ceil(rk) + 1)
         targets[grp] = sorted(pos)
-    if not offsets:  # empty input: empty result with the right schema
+    if not offsets:  # no non-null values: every group gets NULL outputs
         cnt.unpersist()
-        return df.groupBy(group_col).agg(
-            *[F.lit(None).cast("double").alias(k) for k in probs]
+        return df.select(group_col).distinct().select(
+            group_col, *[F.lit(None).cast("double").alias(k) for k in probs]
         )
     off_df = F.broadcast(spark.createDataFrame(
         [(p, grp, o) for p, grp, o in offsets],
@@ -1009,15 +1057,25 @@ def grouped_percentiles_exact(
     w = Window.partitionBy("__b", group_col).orderBy(v).rowsBetween(
         Window.unboundedPreceding, 0
     )
+    # null-safe group key joins: a NULL group is a real group to
+    # GROUP BY, and a plain equi-join would silently drop it
+    binned = cnt.withColumn("__b", bexpr)
     cum = (
-        cnt.withColumn("__b", bexpr).join(off_df, ["__b", group_col])
+        binned.join(
+            off_df,
+            (binned["__b"] == off_df["__b"])
+            & binned[group_col].eqNullSafe(off_df[group_col]),
+        )
+        .drop(off_df["__b"]).drop(off_df[group_col])
         .withColumn("__cum", F.sum("__c").over(w) + F.col("__off"))
     )
     pos_df = F.broadcast(spark.createDataFrame(
         [(grp, k) for grp, ks in targets.items() for k in ks],
         f"{group_col} {gtype}, __k long",
     ))
-    hits = cum.join(pos_df, group_col).filter(
+    hits = cum.join(
+        pos_df, cum[group_col].eqNullSafe(pos_df[group_col])
+    ).drop(pos_df[group_col]).filter(
         (F.col("__cum") - F.col("__c") < F.col("__k"))
         & (F.col("__k") <= F.col("__cum"))
     ).select(group_col, "__k", value_col)
@@ -1030,10 +1088,14 @@ def grouped_percentiles_exact(
             hi_of[grp] = math.ceil(rk) + 1
             frac_of[grp] = rk - math.floor(rk)
 
+        def _is_grp(grp):
+            # null-safe literal match (g == lit(None) is NULL, never true)
+            return g.isNull() if grp is None else (g == F.lit(grp))
+
         def _match(of):
             e = None
             for grp, k in of.items():
-                c = (g == F.lit(grp)) & (F.col("__k") == F.lit(k))
+                c = _is_grp(grp) & (F.col("__k") == F.lit(k))
                 e = c if e is None else e | c
             return e
 
@@ -1041,14 +1103,30 @@ def grouped_percentiles_exact(
         v_hi = F.max(F.when(_match(hi_of), F.col(value_col)))
         frac = None
         for grp, fr in frac_of.items():
-            frac = (F.when(g == F.lit(grp), F.lit(fr)) if frac is None
-                    else frac.when(g == F.lit(grp), F.lit(fr)))
+            frac = (F.when(_is_grp(grp), F.lit(fr)) if frac is None
+                    else frac.when(_is_grp(grp), F.lit(fr)))
         frac = F.max(frac)
         aggs.append(
             (v_lo * (F.lit(1.0) - frac) + v_hi * frac)
             .cast("double").alias(name)
         )
     out = hits.groupBy(group_col).agg(*aggs)
+    # groups whose values were ALL null dropped out at the filter;
+    # percentile()/quantile_cont still emit their group row with NULL —
+    # restore them with a left join from the distinct group set (the
+    # operator targets dashboard-scale group sets, so this side is
+    # metadata-sized).  eqNullSafe keeps a NULL group joinable.
+    all_groups = df.select(group_col).distinct()
+    # rename the right-side key before joining: post-join drop by a
+    # df-qualified column resolved ambiguously here and nulled the
+    # unmatched groups' keys
+    out_r = out.withColumnRenamed(group_col, "__og")
+    out = (
+        all_groups.join(
+            out_r, F.col(group_col).eqNullSafe(F.col("__og")), "left"
+        )
+        .select(group_col, *[F.col(k) for k in probs])
+    )
     from .dedup import _attach_cached, _attach_layout
 
     out = _attach_layout(out, [cnt])

@@ -176,7 +176,15 @@ def winnow_fingerprints(
     doc-keyed exchange loses to the all-map form, recorded here as the
     A/B."""
     t = F.col(text_col)
-    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    # NULL text must emit NO fingerprint rows: F.greatest SKIPS null
+    # arguments (greatest(NULL, 1) = 1), so without the guard a NULL
+    # doc produced one fp=NULL row and groupBy(fp) clustered every
+    # null-text doc into one fake shared-substring cluster (r9 review
+    # fix; repetition_stats already guarded this class).  A NULL
+    # n_grams makes sequence -> transform -> explode emit nothing.
+    n_grams = F.when(
+        t.isNotNull(), F.greatest(F.length(t) - (k - 1), F.lit(1))
+    )
     # hash each k-gram: md5 hex prefix -> 60-bit BIGINT
     h_expr = F.transform(
         F.sequence(F.lit(1), n_grams),
@@ -186,7 +194,12 @@ def winnow_fingerprints(
     )
     hdf = df.select("doc_id", h_expr.alias("__h"))
     h = F.col("__h")
-    n_windows = F.greatest(F.size(h) - (window - 1), F.lit(1))
+    # same guard on the second stage: size(NULL) is NULL and greatest
+    # would skip it, resurrecting one [NULL] fingerprint for the row
+    # the first guard just nulled out
+    n_windows = F.when(
+        h.isNotNull(), F.greatest(F.size(h) - (window - 1), F.lit(1))
+    )
     fps = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), n_windows),
@@ -311,8 +324,14 @@ def redact_pii(
     for kind in kinds:
         pat = PII_PATTERNS[kind]
         if count_cols:
+            # count on the text this kind's replacement actually sees
+            # (after earlier kinds ran), not the original: counting the
+            # original double-counts overlapping kinds — an ipv4 inside
+            # an email's local part was reported as n_ipv4=1 with zero
+            # ipv4 replacements performed, so PII-density thresholds
+            # fired on redactions that never happened (r9 review fix)
             counts.append(
-                F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}")
+                F.regexp_count(redacted, F.lit(pat)).alias(f"n_{kind}")
             )
         redacted = F.regexp_replace(redacted, pat, token.format(kind=kind))
     keep = [c for c in df.columns if c != text_col or out_col != text_col]
@@ -355,9 +374,16 @@ def chunk_documents(
     # across expressions (same note as minhash_signature)
     toked = df.select(F.col(id_col), tokens(text_col).alias("__t"))
     n = F.size("__t")
-    n_chunks = F.greatest(
-        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)).cast("long"),
-        F.lit(1).cast("long"),
+    # NULL text: size(NULL) is NULL and F.greatest skips nulls, so the
+    # unguarded form emitted one phantom chunk with NULL chunk_text per
+    # null doc (r9 review fix — same F.greatest class as the winnowing
+    # guard).  NULL n_chunks -> sequence NULL -> explode emits nothing.
+    n_chunks = F.when(
+        n.isNotNull(),
+        F.greatest(
+            F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)).cast("long"),
+            F.lit(1).cast("long"),
+        ),
     )
     return (
         toked.select(
@@ -618,16 +644,22 @@ def search_ranked(
     matching postings flow into the ranking — never a corpus scan per
     query at serving time (persist ``tfidf_scores`` output as the
     materialized index for repeated queries)."""
-    scores = tfidf_scores(df, text_col, id_col).filter(
-        F.col("term").isin([t for t in terms])
-    )
+    from .dedup import _attach_cached
+
+    base = tfidf_scores(df, text_col, id_col)
+    scores = base.filter(F.col("term").isin([t for t in terms]))
     agg = scores.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_matched"),
         F.sum("tfidf").alias("score"),
     )
     if require_all:
         agg = agg.filter(F.col("n_matched") == len(set(terms)))
-    return agg.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    out = agg.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    # re-attach the postings cache tfidf_scores persisted: .filter()/
+    # .groupBy() return fresh DataFrames without _cached_deps, so
+    # without this the persisted (doc, term, tf) table could never be
+    # released in a long-lived serving session (r9 review fix)
+    return _attach_cached(out, getattr(base, "_cached_deps", []))
 
 
 def bm25_scores(

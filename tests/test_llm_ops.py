@@ -1636,3 +1636,57 @@ def test_verified_clusters_attach_and_release_cache(docs):
     assert all(d.is_cached for d in deps)
     D.release_cached(out)
     assert not any(d.is_cached for d in deps)
+
+
+def test_winnow_and_chunk_null_text_emit_no_rows(spark):
+    """r9 review fix: F.greatest SKIPS null arguments, so NULL-text
+    docs produced one fp=NULL winnowing row (clustering every null doc
+    into a fake shared-substring group) and one phantom NULL chunk.
+    Both paths now emit nothing for NULL text; empty text keeps its
+    documented single-gram/single-chunk behavior."""
+    from real_timetransactionaldatalakehouse_spark.operators.text import (
+        chunk_documents, winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "some real document text here"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, "text", k=4, window=3)
+    assert fps.filter(F.col("doc_id") == 2).count() == 0
+    assert fps.filter(F.col("doc_id") == 1).count() > 0
+    chunks = chunk_documents(df, budget=4)
+    assert chunks.filter(F.col("doc_id") == 2).count() == 0
+    got3 = chunks.filter(F.col("doc_id") == 3).collect()
+    assert len(got3) == 1 and got3[0].chunk_text == ""
+
+
+def test_redact_counts_match_redactions_performed(spark):
+    """r9 review fix: each kind counts on the text its replacement
+    actually sees (earlier kinds applied), so an ipv4 inside an
+    email's local part is not reported as an ipv4 redaction."""
+    from real_timetransactionaldatalakehouse_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "reach 1.2.3.4@example.com or 10.0.0.1 today")],
+        "doc_id long, text string",
+    )
+    r = redact_pii(df, "text").collect()[0]
+    assert r.n_email == 1
+    assert r.n_ipv4 == 1, "the ipv4 consumed by the email must not count"
+    assert "[email]" in r.text and "[ipv4]" in r.text
+    assert "1.2.3.4" not in r.text and "10.0.0.1" not in r.text
+
+
+def test_search_ranked_releases_postings_cache(docs):
+    """r9 review fix: search_ranked re-attaches the postings cache
+    tfidf_scores persisted, so release_cached() actually frees it
+    (filter/groupBy had dropped the _cached_deps attribute)."""
+    from real_timetransactionaldatalakehouse_spark.operators.text import search_ranked
+
+    out = search_ranked(docs, ["the"], k=5, require_all=False)
+    deps = getattr(out, "_cached_deps", [])
+    assert deps, "postings cache must be attached to the result"
+    assert out.count() >= 0
+    D.release_cached(out)
+    assert not any(d.is_cached for d in deps)

@@ -1416,3 +1416,128 @@ def test_semantic_topk_contaminants_matches_bruteforce(spark, sf_small):
         emb.filter(F.col("vec_id") % 97 == 0),
         emb.filter(F.col("vec_id") % 97 != 0), k=3).collect()))
     assert got == want and got
+
+
+def test_resample_fill_snaps_explicit_bounds_and_named_zero_fill(spark):
+    """r9 review fixes: (1) explicit bounds snap to window starts, so
+    passing raw min/max event timestamps (the natural call) still joins
+    the observed window-aligned buckets; (2) fill_zero names which
+    aggregates zero-fill in gap rows — a caller-named count no longer
+    keeps NULL."""
+    import datetime
+
+    from real_timetransactionaldatalakehouse_spark.operators.relational import (
+        resample_fill,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(t0 + datetime.timedelta(seconds=30),),
+         (t0 + datetime.timedelta(minutes=3, seconds=10),)],
+        "ts timestamp",
+    )
+    # unaligned bounds (offset :30) — pre-fix this joined NOTHING
+    out = {r.bucket: r.n for r in resample_fill(
+        df, "ts", "1 minute",
+        bounds=(t0 + datetime.timedelta(seconds=30),
+                t0 + datetime.timedelta(minutes=3, seconds=10)),
+    ).collect()}
+    assert out == {t0: 1,
+                   t0 + datetime.timedelta(minutes=1): 0,
+                   t0 + datetime.timedelta(minutes=2): 0,
+                   t0 + datetime.timedelta(minutes=3): 1}
+    # caller-named count zero-fills when listed in fill_zero
+    out2 = {r.bucket: r.clicks for r in resample_fill(
+        df, "ts", "1 minute",
+        agg_exprs={"clicks": F.count(F.lit(1))}, fill_zero=["clicks"],
+    ).collect()}
+    assert out2[t0 + datetime.timedelta(minutes=1)] == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="fill_zero"):
+        resample_fill(df, "ts", "1 minute", fill_zero=["nope"])
+
+
+def test_zscore_constant_group_yields_null_not_nan(spark):
+    """r9 review fix: the moment-form variance clamps at 0 before
+    sqrt, so a constant-valued group emits the documented NULL z (NaN
+    compares ABOVE every number in Spark, which previously let a
+    rounding-negative variance sneak past the __sd > 0 guard)."""
+    import math
+
+    df = spark.createDataFrame(
+        [("c", 0.1), ("c", 0.1), ("c", 0.1), ("v", 1.0), ("v", 3.0)],
+        "g string, x double",
+    )
+    rows = zscore_normalize(df, ["g"], "x", out_col="z").collect()
+    for r in rows:
+        if r.g == "c":
+            assert r.z is None, r
+        else:
+            assert r.z is not None and not math.isnan(r.z), r
+
+
+def test_robust_scale_non_identifier_column_name(spark):
+    """r9 review fix: the percentile F.expr path backtick-quotes the
+    value column, so legal-but-non-identifier names parse."""
+    from real_timetransactionaldatalakehouse_spark.operators.relational import (
+        robust_scale,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 10.0)],
+        ["g", "response time"],
+    )
+    rows = robust_scale(df, ["g"], "response time").collect()
+    assert len(rows) == 4 and any(r.scaled is not None for r in rows)
+
+
+def test_spike_detect_include_new_surfaces_no_history_key(spark):
+    """r9 review note: a key whose first events all land in the latest
+    bin has no baseline; the default (ratio contract) omits it, and
+    include_new=True surfaces it with NULL ratio and is_spike TRUE."""
+    import datetime
+
+    from real_timetransactionaldatalakehouse_spark.operators.relational import (
+        spike_detect,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [("old", t0 + datetime.timedelta(minutes=m)) for m in (0, 10, 20)]
+    rows += [("new", t0 + datetime.timedelta(minutes=20, seconds=s)) for s in range(5)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    default = {r.k for r in spike_detect(df, ["k"], "ts", bin_seconds=600).collect()}
+    assert default == {"old"}
+    got = {r.k: r for r in spike_detect(
+        df, ["k"], "ts", bin_seconds=600, include_new=True
+    ).collect()}
+    assert set(got) == {"old", "new"}
+    assert got["new"].spike_ratio is None and bool(got["new"].is_spike) is True
+    # the with-history row is unchanged by include_new
+    assert got["old"].spike_ratio is not None
+
+
+def test_grouped_percentiles_exact_null_semantics(spark):
+    """r9 review fix: exact grouped percentiles IGNORE null values
+    (matching percentile()/quantile_cont), keep groups whose values
+    are all NULL (NULL outputs), and treat a NULL group key as a real
+    group — all pinned against Spark's own percentile aggregate."""
+    from real_timetransactionaldatalakehouse_spark.operators.relational import (
+        grouped_percentiles_exact,
+    )
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", 1.0), ("a", 2.0), ("a", 3.0),
+         ("b", None), ("b", None),
+         (None, 5.0), (None, 7.0)],
+        "g string, x double",
+    )
+    got = {r.g: (r.p50,) for r in grouped_percentiles_exact(
+        df, "g", "x", {"p50": 0.5}
+    ).collect()}
+    ref = {r.g: (r.p50,) for r in df.groupBy("g").agg(
+        F.expr("percentile(x, 0.5)").alias("p50")
+    ).collect()}
+    assert got == ref, (got, ref)
+    assert got["a"] == (2.0,)       # null value ignored, not rank 1
+    assert got["b"] == (None,)      # all-null group kept with NULL
+    assert got[None] == (6.0,)      # NULL group key is a real group
