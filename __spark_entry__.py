@@ -5269,8 +5269,10 @@ def q_split_leakage(spark, sf_dir):
 # q_corpus_pipeline q_neardup_free_corpus q_split_leakage
 # q_stratified_sample q_chunk_documents q_corpus_mix (r7 greens) and
 # q_sample_weighted q_vocab_coverage q_agg_percentile q_resample_fill
-# (r8 greens — the last two from the text/relational review batch:
-# exact-percentile NULL semantics, resample bounds snapping).
+# q_join_interval q_scd2_history (r8 greens — the last four from the
+# text/relational and joins/merge/stateful review batches:
+# exact-percentile NULL semantics, resample bounds snapping, the
+# null-safe interval anti-join, and the SCD2 first-row guard).
 #
 # r10 window therefore = the 14 remaining r6 greens
 # (q_neardup_cross_corpus q_neardup_minhash q_search_ranked
@@ -5278,8 +5280,8 @@ def q_split_leakage(spark, sf_dir):
 # q_sessionize_lag q_shard_layout q_simhash_neardup q_spike_detect
 # q_text_fingerprint q_text_redact q_text_repetition q_text_winnow
 # q_trend_slope — four of which are themselves in the changed set's
-# blast radius and re-certify the new code) + the 12 changed-in-r9
-# queries above + the 24 OLDEST unchanged r7 greens.  That leaves 8
+# blast radius and re-certify the new code) + the 14 changed-in-r9
+# queries above + the 22 OLDEST unchanged r7 greens.  That leaves 10
 # unchanged r7 greens slipping to a 4-round age in r11 — the
 # documented backstop is the per-round sf0.001+sf0.01 pytest parity
 # sweep, which re-verifies every oracle-backed query each round.

@@ -127,10 +127,19 @@ def asof_join(
     unioned = t.unionByName(fct)
     extra = []
     if tolerance_s is not None:
-        extra.append(
+        # staleness is PER VALUE COLUMN, clocked from the last row
+        # whose value was NON-NULL: ``last(value, ignorenulls)`` skips
+        # null-valued timeline rows, so clocking from the last row of
+        # ANY kind let a null-valued row refresh the clock while the
+        # emitted value stayed arbitrarily stale (r9 review fix).
+        # Same frame, one extra window column per value column.
+        extra.extend(
             F.last(
-                F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
-            ).over(w).alias("__m_ts")
+                F.when((F.col("__side") == 0) & F.col(c).isNotNull(),
+                       F.col("__ts")),
+                ignorenulls=True,
+            ).over(w).alias(f"__m_ts_{c}")
+            for c in value_cols
         )
     filled = unioned.select(
         "*",
@@ -138,11 +147,13 @@ def asof_join(
         *extra,
     )
     if tolerance_s is not None:
-        fresh = (
-            F.col("__ts").cast("double") - F.col("__m_ts").cast("double")
-        ) <= float(tolerance_s)
         vals = [
-            F.when(fresh, F.col(f"__v_{c}")).alias(c) for c in value_cols
+            F.when(
+                (F.col("__ts").cast("double")
+                 - F.col(f"__m_ts_{c}").cast("double")) <= float(tolerance_s),
+                F.col(f"__v_{c}"),
+            ).alias(c)
+            for c in value_cols
         ]
     else:
         vals = [F.col(f"__v_{c}").alias(c) for c in value_cols]
@@ -203,11 +214,19 @@ def interval_join(
     # phantom NULL rows, so re-aggregate to point granularity
     matched = pts.join(ivs, "__bucket").filter(in_range).drop("__bucket")
     iv_cols = [c for c in intervals.columns]
-    missing = pts.join(
-        matched.select(*points.columns).distinct(),
-        on=points.columns,
-        how="left_anti",
-    ).drop("__bucket")
+    # null-safe anti-join (r9 review fix): a matched point row carrying
+    # a NULL column compared NULL = NULL -> NULL under plain equality,
+    # so it ALSO survived the anti-join and resurfaced as a phantom
+    # NULL-extended duplicate, violating left-join cardinality.
+    # alias both sides: mkeys derives from pts, so bare df[c] refs
+    # resolve to the SAME attribute (trivially-true predicates)
+    p_a = pts.alias("__ij_p")
+    m_a = matched.select(*points.columns).distinct().alias("__ij_m")
+    anti_cond = None
+    for c in points.columns:
+        e = F.col(f"__ij_p.`{c}`").eqNullSafe(F.col(f"__ij_m.`{c}`"))
+        anti_cond = e if anti_cond is None else anti_cond & e
+    missing = p_a.join(m_a, anti_cond, "left_anti").drop("__bucket")
     for c in iv_cols:
         missing = missing.withColumn(c, F.lit(None).cast(intervals.schema[c].dataType))
     return matched.unionByName(missing)
@@ -238,9 +257,13 @@ def salted_join(
     The salt is ``xxhash64(salt_by or all left columns) % salt`` —
     deterministic, so task retries re-salt a row identically
     (``rand()`` salting breaks exactly-once sinks the same way it
-    breaks split assignment).  Only inner/left joins: right rows
-    replicate, so right-preserving joins would duplicate unmatched
-    right rows.
+    breaks split assignment).  Consequence: EXACT-duplicate left rows
+    all land on one salt value, so skew caused by replayed identical
+    rows is NOT spread (while the right side still pays salt-x
+    replication) — dedup replays first, or pass ``salt_by`` columns
+    that distinguish the copies (an offset/ingest column).  Only
+    inner/left joins: right rows replicate, so right-preserving joins
+    would duplicate unmatched right rows.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
@@ -298,23 +321,32 @@ def asof_join_nearest(
     base = Window.partitionBy(key).orderBy(*order)
     wb = base.rowsBetween(Window.unboundedPreceding, 0)
     wf = base.rowsBetween(0, Window.unboundedFollowing)
-    tl_ts = F.when(F.col("__side") == 0, F.col("__ts"))
+    # carry each timeline ROW as one struct (ts + all values): the
+    # running last/first then yields the nearest ROW VERBATIM, nulls
+    # included.  Per-column ignorenulls window fills could source a
+    # value from a row OTHER than the one that won the distance
+    # contest — and with several value_cols even mix rows within one
+    # output row (r9 review fix).  Bonus: 2 window columns instead of
+    # 2 * (len(value_cols) + 1).
+    vstruct = F.when(
+        F.col("__side") == 0,
+        F.struct(F.col("__ts").alias("__vts"),
+                 *[F.col(c) for c in value_cols]),
+    )
     unioned = t.unionByName(fct)
     filled = unioned.select(
         "*",
-        F.last(tl_ts, ignorenulls=True).over(wb).alias("__b_ts"),
-        F.first(tl_ts, ignorenulls=True).over(wf).alias("__n_ts"),
-        *[F.last(F.col(c), ignorenulls=True).over(wb).alias(f"__b_{c}") for c in value_cols],
-        *[F.first(F.col(c), ignorenulls=True).over(wf).alias(f"__n_{c}") for c in value_cols],
+        F.last(vstruct, ignorenulls=True).over(wb).alias("__b"),
+        F.first(vstruct, ignorenulls=True).over(wf).alias("__n"),
     )
     ts_d = F.col("__ts").cast("double")
-    b_gap = ts_d - F.col("__b_ts").cast("double")
-    f_gap = F.col("__n_ts").cast("double") - ts_d
-    use_fwd = F.col("__b_ts").isNull() | (
-        F.col("__n_ts").isNotNull() & (f_gap < b_gap)
+    b_gap = ts_d - F.col("__b.__vts").cast("double")
+    f_gap = F.col("__n.__vts").cast("double") - ts_d
+    use_fwd = F.col("__b").isNull() | (
+        F.col("__n").isNotNull() & (f_gap < b_gap)
     )
     vals = [
-        F.when(use_fwd, F.col(f"__n_{c}")).otherwise(F.col(f"__b_{c}")).alias(c)
+        F.when(use_fwd, F.col(f"__n.{c}")).otherwise(F.col(f"__b.{c}")).alias(c)
         for c in value_cols
     ]
     return filled.filter(F.col("__side") == 1).select(

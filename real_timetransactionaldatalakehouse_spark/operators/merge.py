@@ -65,7 +65,6 @@ def merge_upsert(
     u = updates.select(
         *key_cols,
         *[F.col(c).alias(f"__u_{c}") for c in data_cols if c in updates.columns],
-        F.lit(1).alias("__has_update"),
     )
     joined = t.join(u, on=key_cols, how="full_outer")
     is_insert = F.col("__has_target").isNull()
@@ -184,10 +183,16 @@ def scd2_from_changes(
     w = Window.partitionBy(*key_cols).orderBy(*order)
     out = changes
     if drop_unchanged:
-        same = F.lit(True)
+        # a key's FIRST row has no predecessor, and eqNullSafe never
+        # returns NULL — so when every drop_unchanged column is NULL,
+        # first-row lag comparisons were all TRUE and the initial
+        # version was silently dropped (no version covering
+        # [t1, next)).  Guard on predecessor EXISTENCE explicitly; the
+        # old coalesce(same, False) could never fire (r9 review fix).
+        same = F.lag(F.lit(1)).over(w).isNotNull()
         for c in drop_unchanged:
             same = same & F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
-        out = out.withColumn("__dup", F.coalesce(same, F.lit(False))).filter(
+        out = out.withColumn("__dup", same).filter(
             ~F.col("__dup")
         ).drop("__dup")
     return (

@@ -41,7 +41,9 @@ def ewma_by_key(
     Emits one row per key per micro-batch the key appears in:
     ``(key, n_events, ewma, last_ts_s)`` — monotonically increasing
     ``n_events`` makes "latest emission per key" well-defined for
-    readers.  Within a batch, rows are sorted by (ts, tiebreak) before
+    readers.  Within a batch, rows are sorted by (ts, tiebreak, value)
+    — value last, matching the batch oracle's ``array_sort`` struct
+    order on tied timestamps — before
     folding so the result is independent of Arrow batch boundaries;
     across batches the source must deliver time-ordered chunks (true
     for the bronze replay and any log-ordered source) for the fold to
@@ -57,7 +59,9 @@ def ewma_by_key(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = StructType([
-        StructField(key_col, LongType()),
+        # key type derives from the stream schema — hardcoding LongType
+        # broke every non-long key at the Arrow boundary (r9 review fix)
+        StructField(key_col, stream_df.schema[key_col].dataType),
         StructField("n_events", LongType()),
         StructField("ewma", DoubleType()),
         StructField("last_ts_s", LongType()),
@@ -67,7 +71,11 @@ def ewma_by_key(
         StructField("ew", DoubleType()),
         StructField("last_s", LongType()),
     ])
-    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    # value joins the sort keys so tied (ts, tiebreak) rows fold in the
+    # SAME order as the oracle's array_sort over struct(ts, tiebreak, v)
+    # — pandas' stable sort otherwise kept arrival order on ties and
+    # broke the bit-exact replay contract (r9 review fix)
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else []) + [value_col]
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
@@ -80,11 +88,22 @@ def ewma_by_key(
         (k,) = key
         n, ew, last_s = state.get if state.exists else (0, None, 0)
         batch = pd.concat(list(pdfs)).sort_values(order)
-        for _, row in batch.iterrows():
-            v = float(row[value_col])
-            ew = v if ew is None else alpha * v + (1.0 - alpha) * ew
+        # columnar extraction instead of iterrows (r9 review fix:
+        # iterrows builds a Series per row, ~10-100x slower)
+        vs = batch[value_col].astype("float64").to_numpy()
+        ts_s = (batch[ts_col].astype("datetime64[ns]").to_numpy()
+                .astype("int64") // 1_000_000_000)
+        for v, t_s in zip(vs.tolist(), ts_s.tolist()):
+            # NULL value arrives as NaN; the batch oracle's fold turns
+            # the accumulator NULL there (alpha*NULL + ... = NULL) and
+            # restarts at the next non-null — mirror that exactly
+            # instead of NaN-poisoning the state forever (r9 review fix)
+            if v != v:  # NaN
+                ew = None
+            else:
+                ew = v if ew is None else alpha * v + (1.0 - alpha) * ew
             n += 1
-            last_s = int(pd.Timestamp(row[ts_col]).value // 1_000_000_000)
+            last_s = int(t_s)
         state.update((n, ew, last_s))
         if watermark is not None:
             # Expire once the event-time watermark passes the last event.
@@ -195,7 +214,8 @@ def ewma_anomaly_by_key(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = StructType([
-        StructField(key_col, LongType()),
+        # key type derives from the stream schema (r9 review fix)
+        StructField(key_col, stream_df.schema[key_col].dataType),
         StructField("n_events", LongType()),
         StructField("ewma", DoubleType()),
         StructField("ew_var", DoubleType()),
@@ -209,7 +229,8 @@ def ewma_anomaly_by_key(
         StructField("anom", LongType()),
         StructField("last_s", LongType()),
     ])
-    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    # value in the sort keys — same oracle-order argument as ewma_by_key
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else []) + [value_col]
     one_minus, z2 = 1.0 - alpha, z * z
 
     def update(key, pdfs, state: GroupState):
@@ -225,18 +246,30 @@ def ewma_anomaly_by_key(
             state.get if state.exists else (0, 0.0, 0.0, 0, 0)
         )
         batch = pd.concat(list(pdfs)).sort_values(order)
-        for _, row in batch.iterrows():
-            v = float(row[value_col])
+        vs = batch[value_col].astype("float64").to_numpy()
+        ts_s = (batch[ts_col].astype("datetime64[ns]").to_numpy()
+                .astype("int64") // 1_000_000_000)
+        for v, t_s in zip(vs.tolist(), ts_s.tolist()):
+            # NULL value: the oracle's struct fold carries NULL through
+            # the ew/vr recurrence permanently (d = v - NULL = NULL;
+            # `first` never re-fires because n keeps counting) while
+            # the anomaly counter freezes (NULL comparisons never flag)
+            # — mirror with None instead of NaN-poisoning (r9 review
+            # fix; NaN would render as NaN where the oracle says NULL)
+            if v != v:  # NaN
+                v = None
             if n == 0:
                 ew, vr, n = v, 0.0, 1
             else:
-                d = v - ew
-                if n >= min_n and d * d > z2 * vr:
+                d = None if (v is None or ew is None) else v - ew
+                if (d is not None and vr is not None
+                        and n >= min_n and d * d > z2 * vr):
                     anom += 1
-                ew = ew + alpha * d
-                vr = one_minus * (vr + alpha * d * d)
+                ew = None if d is None else ew + alpha * d
+                vr = (None if (d is None or vr is None)
+                      else one_minus * (vr + alpha * d * d))
                 n += 1
-            last_s = int(pd.Timestamp(row[ts_col]).value // 1_000_000_000)
+            last_s = int(t_s)
         state.update((n, ew, vr, anom, last_s))
         if watermark is not None:
             wm_ms = state.getCurrentWatermarkMs()

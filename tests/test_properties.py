@@ -1541,3 +1541,98 @@ def test_grouped_percentiles_exact_null_semantics(spark):
     assert got["a"] == (2.0,)       # null value ignored, not rank 1
     assert got["b"] == (None,)      # all-null group kept with NULL
     assert got[None] == (6.0,)      # NULL group key is a real group
+
+
+def test_scd2_keeps_first_version_with_all_null_attrs(spark):
+    """r9 review fix: eqNullSafe never returns NULL, so a key's FIRST
+    change row with all-NULL drop_unchanged columns compared 'equal' to
+    its nonexistent predecessor and was silently dropped — leaving no
+    version covering [t1, next)."""
+    import datetime
+
+    from real_timetransactionaldatalakehouse_spark.operators.merge import (
+        scd2_from_changes,
+    )
+
+    t = datetime.datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [(1, t, None), (1, t + datetime.timedelta(days=1), "x")],
+        "k long, ts timestamp, attr string",
+    )
+    hist = scd2_from_changes(df, ["k"], "ts", drop_unchanged=["attr"]).collect()
+    assert len(hist) == 2, hist
+    first = min(hist, key=lambda r: r.effective_from)
+    assert first.attr is None and first.effective_to is not None
+
+
+def test_interval_join_left_null_point_column_no_phantom(spark):
+    """r9 review fix: the left-mode anti-join is null-safe, so a
+    MATCHED point row carrying a NULL column no longer also resurfaces
+    as a NULL-extended duplicate."""
+    from real_timetransactionaldatalakehouse_spark.operators.joins import (
+        interval_join,
+    )
+
+    points = spark.createDataFrame(
+        [(None, 5.0), (7, 9999.0)], "device long, ts double"
+    )
+    intervals = spark.createDataFrame(
+        [(100, 0.0, 10.0)], "iv_id long, s double, e double"
+    )
+    out = interval_join(points, intervals, "ts", "s", "e",
+                        bucket_s=10, how="left").collect()
+    assert len(out) == 2, out   # one match + one unmatched, no phantom
+    by_ts = {r.ts: r for r in out}
+    assert by_ts[5.0].iv_id == 100
+    assert by_ts[9999.0].iv_id is None
+
+
+def test_asof_tolerance_clock_ignores_null_valued_rows(spark):
+    """r9 review fix: freshness clocks from the last NON-NULL value,
+    so a null-valued timeline row cannot refresh the staleness clock
+    for a value that actually came from much earlier."""
+    import datetime
+
+    from real_timetransactionaldatalakehouse_spark.operators.joins import asof_join
+
+    t = datetime.datetime(2024, 3, 1)
+
+    def ts(sec):
+        return t + datetime.timedelta(seconds=sec)
+
+    timeline = spark.createDataFrame(
+        [(1, ts(0), 5.0), (1, ts(100), None)], "k long, ts timestamp, v double"
+    )
+    fact = spark.createDataFrame([(1, ts(101))], "k long, fts timestamp")
+    out = asof_join(fact, timeline, "k", "fts", "ts", ["v"],
+                    tolerance_s=10).collect()
+    assert out[0].v is None, "101s-stale value must be NULLed by a 10s tolerance"
+    out2 = asof_join(fact, timeline, "k", "fts", "ts", ["v"],
+                     tolerance_s=200).collect()
+    assert out2[0].v == 5.0
+
+
+def test_asof_nearest_values_come_from_winning_row(spark):
+    """r9 review fix: the nearest ROW wins and its values are taken
+    verbatim (NULLs included) — per-column ignorenulls fills could
+    source values from a farther row than the distance winner."""
+    import datetime
+
+    from real_timetransactionaldatalakehouse_spark.operators.joins import (
+        asof_join_nearest,
+    )
+
+    t = datetime.datetime(2024, 3, 1)
+
+    def ts(sec):
+        return t + datetime.timedelta(seconds=sec)
+
+    timeline = spark.createDataFrame(
+        [(1, ts(1), 7.0), (1, ts(10), None), (1, ts(12), 9.0)],
+        "k long, ts timestamp, v double",
+    )
+    fact = spark.createDataFrame([(1, ts(11))], "k long, fts timestamp")
+    out = asof_join_nearest(fact, timeline, "k", "fts", "ts", ["v"]).collect()
+    # ties (gap 1 backward to ts=10, gap 1 forward to ts=12) resolve
+    # backward; the winning row at ts=10 carries v=NULL — verbatim
+    assert out[0].v is None, out

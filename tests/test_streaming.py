@@ -702,3 +702,56 @@ def test_neardup_ingest_stream_drops_cross_batch_dups(spark, tmp_path):
     )
     neardup_ingest_stream(stream2, corpus, index, ckpt, jaccard_threshold=0.5)
     assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == kept
+
+
+def test_ewma_string_key_and_null_values_match_oracle(spark, tmp_path):
+    """r9 review fixes: (1) the output key type derives from the
+    stream schema (a hardcoded LongType killed every non-long key at
+    the Arrow boundary); (2) a NULL value turns the running EWMA NULL
+    and the next non-null restarts it — exactly the batch oracle's
+    fold — instead of NaN-poisoning the state forever."""
+    from real_timetransactionaldatalakehouse_spark.streaming.stateful import (
+        ewma_batch_oracle,
+        ewma_by_key,
+    )
+
+    rows = [
+        ("u1", "2024-01-01 00:00:01.000", 10.0, 1),
+        ("u1", "2024-01-01 00:00:02.000", None, 2),   # NULL resets
+        ("u1", "2024-01-01 00:00:03.000", 20.0, 3),
+        ("u2", "2024-01-01 00:00:03.500", 4.0, 4),
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "user_id string, ts_s string, value double, event_id long"
+        )
+        .select("user_id", F.to_timestamp("ts_s").alias("ts"), "value", "event_id")
+    )
+    src = str(tmp_path / "in")
+    _write_chunks(df, src, 2, ["ts", "event_id"])
+
+    emissions = []
+    stream = file_stream(spark, src, df.schema)
+    out = ewma_by_key(stream, "user_id", "ts", "value",
+                      alpha=0.3, tiebreak_col="event_id")
+    q = (
+        out.writeStream.foreachBatch(
+            lambda b, e: emissions.extend(b.collect())
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.exception() is None
+    latest = {}
+    for r in emissions:
+        if r.user_id not in latest or r.n_events > latest[r.user_id].n_events:
+            latest[r.user_id] = r
+    oracle = {r[0]: r for r in ewma_batch_oracle(
+        df, "user_id", "ts", "value", alpha=0.3, tiebreak_col="event_id"
+    ).collect()}
+    assert latest["u1"].ewma == oracle["u1"].ewma == 20.0  # restarted
+    assert latest["u2"].ewma == oracle["u2"].ewma == 4.0
+    assert latest["u1"].n_events == 3
