@@ -204,9 +204,13 @@ def _minhash_sig_udf(num_hashes: int, shingle_n: int):
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig(th: pd.Series) -> pd.Series:
-        # NULL text reaches the kernel as None (Arrow null array slot);
-        # treat it as zero tokens — the same degenerate path as empty
-        # text — instead of crashing the whole stage (r9 review fix)
+        # Defensive backstop only: minhash_banded filters NULL text
+        # before the kernel (r9 ADVICE — NULL docs must emit no band
+        # rows, not cluster together on a shared zero-gram signature),
+        # so a None slot here means a caller bypassed the front end;
+        # degrade to zero tokens instead of crashing the stage.  Note
+        # this is NOT the empty-text path: '' tokenizes to one
+        # ''-token and hashes normally.
         arrs = [np.asarray(a if a is not None else [], dtype="int64") for a in th]
         lens = np.array([max(len(a) - (shingle_n - 1), 1) for a in arrs])
         flat = np.concatenate(arrs).view(np.uint64) if arrs else np.empty(0, np.uint64)
@@ -283,7 +287,17 @@ def minhash_banded(
             f"bands={bands}"
         )
     rows_per_band = num_hashes // bands
-    spread = df
+    # NULL text emits NO rows (filtered before the spread, so NULL rows
+    # never shuffle): a NULL doc has no shingle set, and the exact
+    # word-shingle Jaccard the verified paths share propagates NULL and
+    # drops NULL pairs anyway — leaving NULLs in gave every NULL doc the
+    # IDENTICAL zero-gram signature, so the estimate-only paths
+    # (minhash_neardup_pairs, the streaming band index) reported
+    # NULL-NULL pairs as ~1.0 near-duplicates while the verified paths
+    # dropped them: divergent degenerate semantics (r9 ADVICE).  Same
+    # emit-nothing rule as the winnow/chunk operators.
+    nonnull = df.filter(F.col(text_col).isNotNull())
+    spread = nonnull
     if repartition:
         spark = df.sparkSession
         target = max(
@@ -295,7 +309,7 @@ def minhash_banded(
         # fractional gain measured slower (3.66 s vs 3.46 s at the 10x
         # replica's 10 -> 37 case)
         if df.rdd.getNumPartitions() * 2 <= target:
-            spread = df.repartition(target)
+            spread = nonnull.repartition(target)
     fp_cols = [F.xxhash64(F.col(text_col)).alias("fp")] if include_fp else []
     hashed = spread.select(
         F.col(id_col).alias("id"),

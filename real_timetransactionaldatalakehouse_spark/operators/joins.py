@@ -18,6 +18,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _gen(name: str):
+    """Reference an engine-GENERATED column by its literal name.
+
+    Generated names embed caller column names (``__f_{c}``,
+    ``__v_{c}``...), so a user column containing a dot would make a
+    bare ``F.col`` parse the reference as nested-field access and fail
+    resolution.  Backticks pin the literal name; caller-supplied
+    references stay bare ``F.col(c)`` so intentional nested paths keep
+    working (r9 ADVICE: asof_join_nearest broke on dotted value
+    columns)."""
+    return F.col("`" + name + "`")
+
+
 def enrich_left(fact: DataFrame, dim: DataFrame, on: list[str] | str,
                 broadcast_dim: bool = True) -> DataFrame:
     """J3/J4: read-time LEFT JOIN enrichment (reference Dashboard.md:48)
@@ -92,6 +105,10 @@ def asof_join(
     an arbitrarily old state — the matched timestamp rides the same
     running-last frame, so the bound costs one extra window column,
     not a second join.
+
+    ``value_cols`` are LITERAL timeline column names (dots allowed —
+    resolved via backticks/getField, never re-parsed as nested paths);
+    select/alias a nested field first if that is what you mean.
     """
     if dedup_keep_max and len(value_cols) != 1:
         raise ValueError(
@@ -104,7 +121,7 @@ def asof_join(
         F.col(key),
         F.col(timeline_ts).alias("__ts"),
         F.lit(0).alias("__side"),  # timeline first at ties (<=)
-        *[F.col(c) for c in value_cols],
+        *[_gen(c).alias(c) for c in value_cols],
         *[F.lit(None).cast(fact.schema[c].dataType).alias(f"__f_{c}") for c in f_cols],
     )
     fct = fact.select(
@@ -112,12 +129,12 @@ def asof_join(
         F.col(fact_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.lit(None).cast(timeline.schema[c].dataType).alias(c) for c in value_cols],
-        *[F.col(c).alias(f"__f_{c}") for c in f_cols],
+        *[_gen(c).alias(f"__f_{c}") for c in f_cols],
     )
     order = (
         [F.col("__ts").asc(), F.col("__side").asc()]
-        + ([F.col(value_cols[0]).asc()] if dedup_keep_max else [])
-        + [F.col(f"__f_{c}").asc_nulls_first() for c in (fact_tiebreaks or [])]
+        + ([_gen(value_cols[0]).asc()] if dedup_keep_max else [])
+        + [_gen(f"__f_{c}").asc_nulls_first() for c in (fact_tiebreaks or [])]
     )
     w = (
         Window.partitionBy(key)
@@ -135,7 +152,7 @@ def asof_join(
         # Same frame, one extra window column per value column.
         extra.extend(
             F.last(
-                F.when((F.col("__side") == 0) & F.col(c).isNotNull(),
+                F.when((F.col("__side") == 0) & _gen(c).isNotNull(),
                        F.col("__ts")),
                 ignorenulls=True,
             ).over(w).alias(f"__m_ts_{c}")
@@ -143,22 +160,22 @@ def asof_join(
         )
     filled = unioned.select(
         "*",
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(f"__v_{c}") for c in value_cols],
+        *[F.last(_gen(c), ignorenulls=True).over(w).alias(f"__v_{c}") for c in value_cols],
         *extra,
     )
     if tolerance_s is not None:
         vals = [
             F.when(
                 (F.col("__ts").cast("double")
-                 - F.col(f"__m_ts_{c}").cast("double")) <= float(tolerance_s),
-                F.col(f"__v_{c}"),
+                 - _gen(f"__m_ts_{c}").cast("double")) <= float(tolerance_s),
+                _gen(f"__v_{c}"),
             ).alias(c)
             for c in value_cols
         ]
     else:
-        vals = [F.col(f"__v_{c}").alias(c) for c in value_cols]
+        vals = [_gen(f"__v_{c}").alias(c) for c in value_cols]
     out = filled.filter(F.col("__side") == 1).select(
-        *[F.col(f"__f_{c}").alias(c) for c in f_cols], *vals
+        *[_gen(f"__f_{c}").alias(c) for c in f_cols], *vals
     )
     return out
 
@@ -305,7 +322,7 @@ def asof_join_nearest(
         F.col(key),
         F.col(timeline_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c) for c in value_cols],
+        *[_gen(c).alias(c) for c in value_cols],
         *[F.lit(None).cast(fact.schema[c].dataType).alias(f"__f_{c}") for c in f_cols],
     )
     fct = fact.select(
@@ -313,10 +330,10 @@ def asof_join_nearest(
         F.col(fact_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.lit(None).cast(timeline.schema[c].dataType).alias(c) for c in value_cols],
-        *[F.col(c).alias(f"__f_{c}") for c in f_cols],
+        *[_gen(c).alias(f"__f_{c}") for c in f_cols],
     )
     order = [F.col("__ts").asc(), F.col("__side").asc()] + [
-        F.col(f"__f_{c}").asc_nulls_first() for c in (fact_tiebreaks or [])
+        _gen(f"__f_{c}").asc_nulls_first() for c in (fact_tiebreaks or [])
     ]
     base = Window.partitionBy(key).orderBy(*order)
     wb = base.rowsBetween(Window.unboundedPreceding, 0)
@@ -331,7 +348,7 @@ def asof_join_nearest(
     vstruct = F.when(
         F.col("__side") == 0,
         F.struct(F.col("__ts").alias("__vts"),
-                 *[F.col(c) for c in value_cols]),
+                 *[_gen(c).alias(c) for c in value_cols]),
     )
     unioned = t.unionByName(fct)
     filled = unioned.select(
@@ -340,15 +357,18 @@ def asof_join_nearest(
         F.first(vstruct, ignorenulls=True).over(wf).alias("__n"),
     )
     ts_d = F.col("__ts").cast("double")
-    b_gap = ts_d - F.col("__b.__vts").cast("double")
-    f_gap = F.col("__n.__vts").cast("double") - ts_d
+    b_gap = ts_d - F.col("__b").getField("__vts").cast("double")
+    f_gap = F.col("__n").getField("__vts").cast("double") - ts_d
     use_fwd = F.col("__b").isNull() | (
         F.col("__n").isNotNull() & (f_gap < b_gap)
     )
+    # getField, not a dotted F.col path: a value column named "px.usd"
+    # must read the struct FIELD of that literal name (r9 ADVICE)
     vals = [
-        F.when(use_fwd, F.col(f"__n.{c}")).otherwise(F.col(f"__b.{c}")).alias(c)
+        F.when(use_fwd, F.col("__n").getField(c))
+        .otherwise(F.col("__b").getField(c)).alias(c)
         for c in value_cols
     ]
     return filled.filter(F.col("__side") == 1).select(
-        *[F.col(f"__f_{c}").alias(c) for c in f_cols], *vals
+        *[_gen(f"__f_{c}").alias(c) for c in f_cols], *vals
     )

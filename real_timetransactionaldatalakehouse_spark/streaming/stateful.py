@@ -42,8 +42,10 @@ def ewma_by_key(
     ``(key, n_events, ewma, last_ts_s)`` — monotonically increasing
     ``n_events`` makes "latest emission per key" well-defined for
     readers.  Within a batch, rows are sorted by (ts, tiebreak, value)
-    — value last, matching the batch oracle's ``array_sort`` struct
-    order on tied timestamps — before
+    — value last and NULLs FIRST, matching the batch oracle's
+    ``array_sort`` struct order on tied timestamps (Spark compares a
+    NULL struct field before any value; genuine NaN doubles are the
+    one residual gap — supply a unique tiebreak there) — before
     folding so the result is independent of Arrow batch boundaries;
     across batches the source must deliver time-ordered chunks (true
     for the bronze replay and any log-ordered source) for the fold to
@@ -74,7 +76,15 @@ def ewma_by_key(
     # value joins the sort keys so tied (ts, tiebreak) rows fold in the
     # SAME order as the oracle's array_sort over struct(ts, tiebreak, v)
     # — pandas' stable sort otherwise kept arrival order on ties and
-    # broke the bit-exact replay contract (r9 review fix)
+    # broke the bit-exact replay contract (r9 review fix).
+    # na_position="first": Spark's struct comparison orders a NULL
+    # field FIRST ascending, pandas puts NaN LAST by default — a NULL
+    # value (or tiebreak) tied on the remaining keys would otherwise
+    # fold in a different order than the oracle (r9 ADVICE).  A
+    # genuine (non-null) NaN double is the one residual divergence:
+    # Arrow hands pandas the same NaN for both, while Spark sorts NaN
+    # greater-than-everything — use a unique tiebreak if the stream
+    # can carry real NaNs.
     order = [ts_col] + ([tiebreak_col] if tiebreak_col else []) + [value_col]
 
     def update(key, pdfs, state: GroupState):
@@ -87,7 +97,7 @@ def ewma_by_key(
 
         (k,) = key
         n, ew, last_s = state.get if state.exists else (0, None, 0)
-        batch = pd.concat(list(pdfs)).sort_values(order)
+        batch = pd.concat(list(pdfs)).sort_values(order, na_position="first")
         # columnar extraction instead of iterrows (r9 review fix:
         # iterrows builds a Series per row, ~10-100x slower)
         vs = batch[value_col].astype("float64").to_numpy()
@@ -229,7 +239,8 @@ def ewma_anomaly_by_key(
         StructField("anom", LongType()),
         StructField("last_s", LongType()),
     ])
-    # value in the sort keys — same oracle-order argument as ewma_by_key
+    # value in the sort keys + NaN-first — same oracle-order argument
+    # and NULL-placement alignment as ewma_by_key (r9 ADVICE)
     order = [ts_col] + ([tiebreak_col] if tiebreak_col else []) + [value_col]
     one_minus, z2 = 1.0 - alpha, z * z
 
@@ -245,7 +256,7 @@ def ewma_anomaly_by_key(
         n, ew, vr, anom, last_s = (
             state.get if state.exists else (0, 0.0, 0.0, 0, 0)
         )
-        batch = pd.concat(list(pdfs)).sort_values(order)
+        batch = pd.concat(list(pdfs)).sort_values(order, na_position="first")
         vs = batch[value_col].astype("float64").to_numpy()
         ts_s = (batch[ts_col].astype("datetime64[ns]").to_numpy()
                 .astype("int64") // 1_000_000_000)

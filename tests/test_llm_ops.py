@@ -1690,3 +1690,21 @@ def test_search_ranked_releases_postings_cache(docs):
     assert out.count() >= 0
     D.release_cached(out)
     assert not any(d.is_cached for d in deps)
+
+
+def test_minhash_null_text_emits_no_rows(spark):
+    """r9 ADVICE: NULL-text docs must produce NO band rows and NO
+    pairs on the estimate-only path — before the fix every NULL doc
+    shared the constant zero-gram signature, so two NULL docs paired
+    at jaccard_est ~1.0 while the exact-verify path dropped them."""
+    rows = [(1, None), (2, None), (3, "alpha beta gamma delta"),
+            (4, "alpha beta gamma delta")]  # identical: co-buckets in EVERY band
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    banded = D.minhash_banded(df, num_hashes=8, bands=4)
+    assert banded.filter(F.col("id").isin(1, 2)).count() == 0
+    pairs = D.minhash_neardup_pairs(df, num_hashes=8, bands=4,
+                                    jaccard_threshold=0.1)
+    ids = {x for r in pairs.collect() for x in (r.id_a, r.id_b)}
+    assert 1 not in ids and 2 not in ids
+    # the real near-dup pair still surfaces
+    assert (3, 4) in {(r.id_a, r.id_b) for r in pairs.collect()}

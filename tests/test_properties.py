@@ -1636,3 +1636,40 @@ def test_asof_nearest_values_come_from_winning_row(spark):
     # ties (gap 1 backward to ts=10, gap 1 forward to ts=12) resolve
     # backward; the winning row at ts=10 carries v=NULL — verbatim
     assert out[0].v is None, out
+
+
+def test_asof_joins_tolerate_dotted_column_names(spark):
+    """r9 ADVICE: generated-name access must not re-parse literal
+    column names containing dots as nested-field paths — both asof
+    directions, value and fact columns, with tolerance and tiebreaks."""
+    import datetime
+
+    from real_timetransactionaldatalakehouse_spark.operators.joins import (
+        asof_join,
+        asof_join_nearest,
+    )
+
+    t = datetime.datetime(2024, 3, 1)
+
+    def ts(sec):
+        return t + datetime.timedelta(seconds=sec)
+
+    timeline = spark.createDataFrame(
+        [(1, ts(0), 5.0), (1, ts(20), 8.0)], "k long, ts timestamp, v double"
+    ).withColumnRenamed("v", "px.usd")
+    fact = spark.createDataFrame(
+        [(1, ts(10), "a"), (1, ts(19), "b")],
+        "k long, fts timestamp, tag string",
+    ).withColumnRenamed("tag", "meta.tag")
+
+    back = asof_join(fact, timeline, "k", "fts", "ts", ["px.usd"],
+                     fact_tiebreaks=["meta.tag"], tolerance_s=15)
+    rows = {r["meta.tag"]: r for r in back.collect()}
+    assert rows["a"]["px.usd"] == 5.0
+    assert rows["b"]["px.usd"] is None  # 19s stale > 15s tolerance
+
+    near = asof_join_nearest(fact, timeline, "k", "fts", "ts", ["px.usd"],
+                             fact_tiebreaks=["meta.tag"])
+    rows = {r["meta.tag"]: r for r in near.collect()}
+    assert rows["a"]["px.usd"] == 5.0   # backward gap 10 < forward 10? ties resolve backward
+    assert rows["b"]["px.usd"] == 8.0   # forward gap 1 < backward 19

@@ -755,3 +755,48 @@ def test_ewma_string_key_and_null_values_match_oracle(spark, tmp_path):
     assert latest["u1"].ewma == oracle["u1"].ewma == 20.0  # restarted
     assert latest["u2"].ewma == oracle["u2"].ewma == 4.0
     assert latest["u1"].n_events == 3
+
+
+def test_ewma_null_value_tied_ts_orders_like_oracle(spark, tmp_path):
+    """r9 ADVICE: rows tied on ts with no tiebreak sort on the value
+    column, and a NULL value must order FIRST — Spark's struct
+    comparison puts the NULL field before any value, while pandas'
+    default sort put NaN last, folding the tie in the opposite order
+    (NULL-last would END the fold NULL here instead of restarting)."""
+    from real_timetransactionaldatalakehouse_spark.streaming.stateful import (
+        ewma_batch_oracle,
+        ewma_by_key,
+    )
+
+    rows = [
+        ("u1", "2024-01-01 00:00:01.000", 10.0),
+        ("u1", "2024-01-01 00:00:02.000", None),  # tied with the next row
+        ("u1", "2024-01-01 00:00:02.000", 20.0),
+    ]
+    df = (
+        spark.createDataFrame(rows, "user_id string, ts_s string, value double")
+        .select("user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    )
+    src = str(tmp_path / "in")
+    _write_chunks(df, src, 1, ["ts"])
+
+    emissions = []
+    stream = file_stream(spark, src, df.schema)
+    out = ewma_by_key(stream, "user_id", "ts", "value", alpha=0.3)
+    q = (
+        out.writeStream.foreachBatch(
+            lambda b, e: emissions.extend(b.collect())
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.exception() is None
+    latest = max(emissions, key=lambda r: r.n_events)
+    oracle = ewma_batch_oracle(df, "user_id", "ts", "value", alpha=0.3).collect()[0]
+    # NULL orders first at the tie: ... -> NULL (restart) -> 20.0
+    assert oracle.ewma == 20.0
+    assert latest.ewma == oracle.ewma
+    assert latest.n_events == 3
