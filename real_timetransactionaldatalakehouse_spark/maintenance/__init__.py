@@ -128,13 +128,24 @@ def compact(
     hot = df.filter(~cold_pred) if cold_pred is not None else None
 
     total_bytes = sum(b for _f, b in _list_parquet_files(spark, path))
-    n_files = max(1, round(total_bytes / target_file_bytes))
+    # Size the rewrite off the COLD subset's bytes, not the whole
+    # table's: only the cold rows land in these files, so sizing off
+    # total_bytes made a half-cold table's rewritten files ~half the
+    # 128 MB target — the small-file symptom compaction exists to cure
+    # (r9 VERDICT #3).  Cold bytes are estimated from the row fraction
+    # (uniform-row-size assumption — fine for a cold/hot split of one
+    # schema; a table whose old rows are systematically wider still
+    # lands within ~2x of target).
+    n_cold = cold.count() if cold_pred is not None else n_before
+    cold_bytes = total_bytes * (n_cold / n_before) if n_before else 0
+    n_files = max(1, round(cold_bytes / target_file_bytes))
 
     packed = cold.repartition(n_files)
     out = packed.unionByName(hot) if hot is not None else packed
     _safe_swap_rewrite(spark, path, out, n_before, ".compact-tmp")
     n_after = _read_target(spark, path).count()
-    return {"rows_before": n_before, "rows_after": n_after, "files_target": n_files}
+    return {"rows_before": n_before, "rows_after": n_after,
+            "cold_rows": n_cold, "files_target": n_files}
 
 
 def expire_snapshots(

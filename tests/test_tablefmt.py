@@ -698,3 +698,38 @@ def test_reader_snapshot_isolation_across_maintenance(spark, tmp_path):
     # row count preserved by the compaction guard)
     now = {(r.id, r.v) for r in TF.read_table(spark, tbl).collect()}
     assert now == (want_v1 - {(7, 7), (8, 8)}) | {(7, 700), (8, 800)}
+
+
+def test_compact_sizes_files_off_cold_subset(spark, tmp_path):
+    """r9 VERDICT #3: the bin-packing target-file count must derive
+    from the COLD subset's bytes, not the whole table's — on a
+    half-cold table the old sizing doubled the file count, landing
+    rewritten files at ~half the target size (the small-file symptom
+    M1 exists to cure)."""
+    import os as _os
+
+    path = str(tmp_path / "t")
+    df = spark.range(20000).select(
+        F.col("id"),
+        (F.col("id") % 2 == 0).alias("is_cold"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    )
+    df.write.parquet(path)
+    total = sum(
+        _os.path.getsize(_os.path.join(r, n))
+        for r, _d, ns in _os.walk(path) for n in ns if n.endswith(".parquet")
+    )
+    # target = the cold half's bytes: correct sizing packs cold rows
+    # into ONE file; whole-table sizing would ask for two half-sized ones
+    target = total // 2
+    res = MT.compact(spark, path, where=F.col("is_cold"),
+                     target_file_bytes=target)
+    assert res["rows_before"] == res["rows_after"] == 20000
+    assert res["cold_rows"] == 10000
+    assert res["files_target"] == 1
+    # the one cold file really lands near the target (>= half of it)
+    sizes = sorted(
+        _os.path.getsize(_os.path.join(r, n))
+        for r, _d, ns in _os.walk(path) for n in ns if n.endswith(".parquet")
+    )
+    assert sizes[-1] >= target * 0.5
