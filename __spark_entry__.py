@@ -865,11 +865,44 @@ def q_agg_sketches(spark, sf_dir):
     HyperLogLog++ approx distinct and t-digest approx percentile.  Both
     are deterministic within Spark (stable partial/final merge), so the
     rows-only check is reproducible; cross-engine value parity is
-    impossible by construction (sketch state is engine-specific)."""
+    impossible by construction (sketch state is engine-specific).
+
+    Live rows-only signal (r9 VERDICT #4): one row per (returnflag,
+    metric) that passes its error bound against the EXACT aggregate
+    computed in the same pass — 3 flags x 2 metrics = 6 rows when the
+    sketches are healthy; a silent accuracy regression (rsd/accuracy
+    parameter drift, merge bug) DROPS rows, moving the driver's
+    spark_rows.  Bounds: HLL++ at rsd=0.01 held to 5% (5 sigma);
+    percentile_approx at accuracy=10000 held to 1% of the exact
+    median."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    per_flag = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_med_price"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_med_price"),
+    )
+    rel = lambda a, e: F.abs(a.cast("double") - e) / e  # noqa: E731
+    metrics = per_flag.select(
+        "l_returnflag",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("count_distinct_hll").alias("metric"),
+                    rel(F.col("approx_orders"), F.col("exact_orders")).alias("rel_err"),
+                    F.lit(0.05).alias("bound"),
+                ),
+                F.struct(
+                    F.lit("median_tdigest").alias("metric"),
+                    rel(F.col("approx_med_price"), F.col("exact_med_price")).alias("rel_err"),
+                    F.lit(0.01).alias("bound"),
+                ),
+            )
+        ).alias("m"),
+    ).select("l_returnflag", "m.metric", "m.rel_err", "m.bound")
+    return metrics.filter(F.col("rel_err") <= F.col("bound")).select(
+        "l_returnflag", "metric",
+        F.round("rel_err", 6).alias("rel_err"),
     )
 
 
@@ -1139,17 +1172,53 @@ def q_array_explode(spark, sf_dir):
 @_q("q_table_stats")  # rows-only: file-level stats are env-dependent
 def q_table_stats(spark, sf_dir):
     """A10: engine-maintained table stats — the reference's tbl$files
-    metadata dashboards (lakehouse_monitor.json:117,314)."""
+    metadata dashboards (lakehouse_monitor.json:117,314).
+
+    Live rows-only signal (r9 VERDICT #4): one row PER FILE (its row
+    count via input_file_name) plus summary rows cross-checking
+    maintenance.table_stats against the scan — n_files from the stats
+    listing must equal the distinct-file count of the scan, and the
+    per-file rows must sum to the table's rows.  A listing/versioned-
+    path regression changes the row count; a stats/scan disagreement
+    drops the agreement rows."""
     from real_timetransactionaldatalakehouse_spark.maintenance import table_stats
 
-    return table_stats(spark, f"{sf_dir}/lineitem.parquet")
+    path = f"{sf_dir}/lineitem.parquet"
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("__f"))
+        .agg(F.count(F.lit(1)).alias("metric"))
+        .select(F.lit("file_rows").alias("kind"), "metric")
+    )
+    stats = table_stats(spark, path)
+    scan_files = per_file.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("metric").alias("rows")
+    ).first()
+    st = stats.first()
+    summary = spark.createDataFrame(
+        [
+            ("n_files", int(st["n_files"])),
+            ("scan_files_agree", int(int(st["n_files"]) == int(scan_files["n"]))),
+            ("total_rows", int(scan_files["rows"])),
+        ],
+        "kind string, metric long",
+    )
+    return per_file.unionByName(summary).orderBy("kind", "metric")
 
 
 @_q("q_sorted_write")  # rows-only: exercises the write path
 def q_sorted_write(spark, sf_dir):
     """A5: cluster-by-partition-key sorted write (reference
     stream_content.py:51,64) — write events sorted within partitions by
-    ts, read back and prove count + per-file ordering survive."""
+    ts, read back and prove count + per-file ordering survive.
+
+    Live rows-only signal (r9 VERDICT #4): one row PER WRITTEN FILE
+    with its row count, distinct-key count, and a read-back
+    sort-violation count (lag(ts) > ts over the file's physical row
+    order via monotonically_increasing_id — ids increase within a scan
+    task, and these small files each read as one contiguous run).  A
+    partitioning or sort regression moves the file count or flips
+    sorted_ok, dropping/adding rows."""
     import tempfile
 
     ev = _t(spark, sf_dir, "events")
@@ -1157,10 +1226,25 @@ def q_sorted_write(spark, sf_dir):
     ev.repartition(4, "user_id").sortWithinPartitions("ts").write.mode(
         "overwrite"
     ).parquet(out)
-    back = spark.read.parquet(out)
-    return back.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("event_id").alias("n_ids"),
+    back = spark.read.parquet(out).select(
+        "user_id", "event_id", "ts",
+        F.input_file_name().alias("__f"),
+        F.monotonically_increasing_id().alias("__i"),
+    )
+    w = Window.partitionBy("__f").orderBy("__i")
+    flagged = back.select(
+        "__f", "user_id", "event_id",
+        (F.lag("ts").over(w) > F.col("ts")).cast("int").alias("__bad"),
+    )
+    return (
+        flagged.groupBy("__f")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("event_id").alias("n_ids"),
+            (F.coalesce(F.sum("__bad"), F.lit(0)) == 0).alias("sorted_ok"),
+        )
+        .select("n_rows", "n_ids", "sorted_ok")
+        .orderBy(F.desc("n_rows"), F.desc("n_ids"))
     )
 
 
@@ -1190,19 +1274,30 @@ def q_snapshot_lifecycle(spark, sf_dir):
     orphans = len(TF.remove_orphans(tbl)["removed"])
     expired = TF.expire_snapshots(tbl, keep_last=2)
     v1_gone = not _os.path.isdir(TF.version_path(tbl, 1))
-    return spark.createDataFrame(
-        [(
+    # Live rows-only signal (r9 VERDICT #4): one row PER SURVIVING
+    # VERSION (version id, its row count, is-current) instead of a
+    # single summary row — an expiry/retention regression changes the
+    # surviving-version list and with it the driver's spark_rows.
+    cur = TF.current_version(tbl)
+    survivors = [
+        (
+            int(v),
+            TF.read_table(spark, tbl, version=v).count(),
+            int(v) == int(cur),
             n_all,
             v1_rows_pre_expiry,
-            TF.read_table(spark, tbl).count(),
-            TF.current_version(tbl),
             len(expired["removed"]),
             orphans,
             v1_gone,
-        )],
-        "n_rows_v1 long, v1_readable_rows long, current_rows long, "
-        "current_version long, n_expired long, n_orphans long, v1_expired boolean",
-    )
+        )
+        for v in TF.list_versions(tbl)
+    ]
+    return spark.createDataFrame(
+        survivors,
+        "version long, version_rows long, is_current boolean, "
+        "n_rows_v1 long, v1_readable_rows long, n_expired long, "
+        "n_orphans long, v1_expired boolean",
+    ).orderBy("version")
 
 
 # Version 1 pre-dates the ADD COLUMN, so reading it through the
@@ -1268,20 +1363,37 @@ def q_bucket_pruned_lookup(spark, sf_dir):
         .write.mode("overwrite").partitionBy("p_bucket").parquet(out)
     )
     back = spark.read.parquet(out)
-    key = ev.agg(F.min("user_id")).first()[0]
-    looked = bucket_pruned_lookup(back, "user_id", key, n_buckets=n_buckets)
-    rows = looked.collect()
-    scan = looked._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
-    num_files = int(scan.metrics().apply("numFiles").value())
     total_files = sum(
         1 for _r, _d, ns in _os.walk(out) for f in ns if f.endswith(".parquet")
     )
-    expected = ev.filter(F.col("user_id") == key).count()
-    return spark.createDataFrame(
-        [(len(rows), expected, num_files, total_files, num_files < total_files)],
-        "lookup_rows long, expected_rows long, files_scanned long, "
-        "files_total long, pruned boolean",
+    # Live rows-only signal (r9 VERDICT #4): three data-derived probe
+    # keys (min, median, max) — one output row per distinct key, each
+    # proving BOTH correctness (rows_agree: the bucketed lookup equals
+    # the unbucketed filter) and pruning (numFiles below total).  A
+    # bucketing regression that loses rows or stops pruning flips a
+    # boolean; a probe-derivation regression changes spark_rows.
+    keys = list(
+        ev.agg(
+            F.min("user_id"), F.expr("percentile(user_id, 0.5)").cast("long"),
+            F.max("user_id"),
+        ).first()
     )
+    rows_out = []
+    for ordinal, key in enumerate(sorted(set(int(k) for k in keys))):
+        looked = bucket_pruned_lookup(back, "user_id", key, n_buckets=n_buckets)
+        rows = looked.collect()
+        scan = looked._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        num_files = int(scan.metrics().apply("numFiles").value())
+        expected = ev.filter(F.col("user_id") == key).count()
+        rows_out.append(
+            (ordinal, len(rows), expected, len(rows) == expected,
+             num_files, total_files, num_files < total_files)
+        )
+    return spark.createDataFrame(
+        rows_out,
+        "key_ord long, lookup_rows long, expected_rows long, rows_agree boolean, "
+        "files_scanned long, files_total long, pruned boolean",
+    ).orderBy("key_ord")
 
 
 _FRESHNESS_ORACLE = """
