@@ -5350,116 +5350,102 @@ def q_split_leakage(spark, sf_dir):
 # Every name rotating out must already hold a hash-green driver row from a
 # past round AND pass the sf0.001+sf0.01 pytest parity sweep.
 #
-# Round-9 window (VERDICT r8 #1): the 21 queries whose last driver
-# certification is r5 (3 rounds old — the freshness bound binds again)
-# HEAD the window, then the 4 whose implementation changed this round
-# (semdedup duplicate-ratio-gated collapse; the three LSH operators
-# gained tables="auto" derivation — their certified calls pin tables
-# explicitly so results are unchanged, but the rule is implementation
-# CHANGE, not result change), then the oldest r6 greens fill the
-# remaining 25 slots.  Round 8's window came back 50/50 hash-green
-# (CORRECTNESS_r08), so no rotation debt carried in.
+# Round-10 window (VERDICT r9 #1, executed with this round's own
+# changes displacing youngest-first as the rule prescribes).  Head:
+# the 10 queries whose implementation changed IN r10 —
+#   q_join_asof / q_join_asof_nearest / q_join_asof_tolerance /
+#   q_scd2_pointlookup (joins.py generated-name resolution now
+#   backticks/getField, r9 ADVICE #3 — q_scd2_pointlookup consumes
+#   asof_join too);
+#   q_lm_score (ngram_lm_score persist default flipped OFF, measured);
+#   q_sorted_write / q_table_stats / q_snapshot_lifecycle /
+#   q_bucket_pruned_lookup / q_agg_sketches (the five no_oracle
+#   queries now return multi-row invariant summaries, VERDICT r9 #4).
+# NOT in head despite r10 code changes: q_ewma_state / q_ewma_anomaly
+# certify the BATCH oracles, which did not change (the r9 ADVICE #2
+# NaN-ordering fix touched only the streaming kernels — covered by the
+# replay pytests); funnel_stages and the minhash kernel comment edits
+# are docstring-only.  The r9 ADVICE #1 minhash NULL filter changes
+# every minhash-family query, and ALL of them were already owed slots
+# below (the r6 remainder + the changed-in-r9 set).
 #
-# SLOT BUDGET for r10 (VERDICT r8 #1 asks this written down):
-# 150 queries / 50 slots = a zero-slack 3-round cycle.  After this
-# round the freshness ledger reads: 14 r6 greens left over (below),
-# 40 r7 greens, 46 r8 greens (50 certified in r8 minus the 4
-# implementation-changed queries re-certified at the head of THIS
-# window — they count once, in the r9 bucket), 50 r9 greens;
-# 14 + 40 + 46 + 50 = 150.
+# Then the 14 remaining r6 greens (freshness bound), then the 14
+# queries changed by r9's late hardening batches (certified only
+# against pre-change code until now — the reason this window exists),
+# then the 12 OLDEST unchanged r7 greens that fit.
 #
-# r9's late self-review fixed defects in shared dedup/sampling
-# operators (NULL-text MinHash kernel guard, bands divisibility
-# validation, word_shingles dead-branch removal, stratified-sample
-# key-length validation, _global_cumsum NULL-sum guard, cluster
-# build-frame persistence, split_bucket/_md5_60 dedup, decontaminate
-# anti-join left to AQE).  The changed queries INSIDE the r9 window
-# (q_decontaminate q_decontaminate_ngram q_contamination_report
-# q_dedup_passage, plus the four already at its head) re-certify this
-# round.  The changed queries OUTSIDE it MUST head r10 per the
-# rotation rule: q_neardup_verified q_neardup_clusters
-# q_corpus_pipeline q_neardup_free_corpus q_split_leakage
-# q_stratified_sample q_chunk_documents q_corpus_mix (r7 greens) and
-# q_sample_weighted q_vocab_coverage q_agg_percentile q_resample_fill
-# q_join_interval q_scd2_history (r8 greens — the last four from the
-# text/relational and joins/merge/stateful review batches:
-# exact-percentile NULL semantics, resample bounds snapping, the
-# null-safe interval anti-join, and the SCD2 first-row guard).
-#
-# r10 window therefore = the 14 remaining r6 greens
-# (q_neardup_cross_corpus q_neardup_minhash q_search_ranked
-# q_semantic_decontaminate q_semantic_topk_contaminants
-# q_sessionize_lag q_shard_layout q_simhash_neardup q_spike_detect
-# q_text_fingerprint q_text_redact q_text_repetition q_text_winnow
-# q_trend_slope — four of which are themselves in the changed set's
-# blast radius and re-certify the new code) + the 14 changed-in-r9
-# queries above + the 22 OLDEST unchanged r7 greens.  That leaves 10
-# unchanged r7 greens slipping to a 4-round age in r11 — the
-# documented backstop is the per-round sf0.001+sf0.01 pytest parity
-# sweep, which re-verifies every oracle-backed query each round.
-# r10 then tolerates ZERO further implementation changes without
-# pushing more r7 greens out.
+# SLOT BUDGET after r10: freshness ledger reads 15 r7 (the unchanged
+# r7 greens squeezed out by this round's 10-query head — they hit the
+# 4-round bound and MUST head r11), 39 r8, 46 r9, 50 r10 = 150.
+# r11 window therefore = those 15 r7 greens + the 35 oldest r8
+# greens; the per-round sf0.001+sf0.01 pytest parity sweep remains
+# the documented backstop for everything outside the window.
 _CHECK_FIRST: list[str] = [
-    # -- the 21 r5-stale greens (freshness rule, VERDICT r8 #1)
+    # -- changed in r10 (rotation rule head)
+    "q_join_asof",
     "q_join_asof_nearest",
     "q_join_asof_tolerance",
-    "q_minmax_scale",
-    "q_moving_avg",
-    "q_ratio_to_total",
-    "q_robust_scale",
-    "q_running_total",
-    "q_sample_exact_n",
-    "q_scan_limit",
     "q_scd2_pointlookup",
-    "q_session_window_agg",
-    "q_silver_view",
-    "q_sql_text",
-    "q_string_funcs",
-    "q_text_entropy",
-    "q_union_evolve",
-    "q_unpivot",
-    "q_window_lead",
-    "q_window_range_frame",
-    "q_window_rank_stats",
-    "q_zscore_norm",
-    # -- implementation changed in r9
-    "q_semdedup",               # collapse_exact now gated on a build-
-                                # time duplicate-ratio probe (work-
-                                # proportional, VERDICT r8 #2)
-    "q_knn_lsh",                # tables="auto" derivation added beside
-    "q_embed_neardup_lsh",      # planes="auto" (VERDICT r8 #3); the
-    "q_semantic_decontaminate_lsh",  # certified calls pin planes AND
-                                # tables so the oracles are unchanged
-    # -- oldest r6 greens rotate back in (first 25 alphabetically)
-    "q_agg_count_distinct",
-    "q_agg_pct_threshold",
-    "q_agg_ratio_velocity",
-    "q_bm25_search",
-    "q_collect_set",
-    "q_column_profile",
-    "q_contamination_report",
-    "q_decontaminate",
-    "q_decontaminate_ngram",
-    "q_dedup_latest",
-    "q_dedup_passage",
-    "q_embed_neardup",
-    "q_embed_quantize",
-    "q_ewma_anomaly",
-    "q_ewma_state",
-    "q_first_value_ignore_nulls",
-    "q_freshness_view",
-    "q_join_asof",
-    "q_json_parse_struct",
-    "q_keywords_per_doc",
-    "q_knn_ivf",
-    "q_knn_topk",
     "q_lm_score",
-    "q_max_over_partition",
-    "q_merge_upsert",
+    "q_sorted_write",
+    "q_table_stats",
+    "q_snapshot_lifecycle",
+    "q_bucket_pruned_lookup",
+    "q_agg_sketches",
+    # -- the 14 remaining r6 greens (freshness bound; four of these are
+    #    also in the minhash NULL-filter blast radius)
+    "q_neardup_cross_corpus",
+    "q_neardup_minhash",
+    "q_search_ranked",
+    "q_semantic_decontaminate",
+    "q_semantic_topk_contaminants",
+    "q_sessionize_lag",
+    "q_shard_layout",
+    "q_simhash_neardup",
+    "q_spike_detect",
+    "q_text_fingerprint",
+    "q_text_redact",
+    "q_text_repetition",
+    "q_text_winnow",
+    "q_trend_slope",
+    # -- changed by r9's late hardening batches (certified only against
+    #    pre-change code until this round; several also carry the r10
+    #    minhash NULL filter)
+    "q_neardup_verified",
+    "q_neardup_clusters",
+    "q_corpus_pipeline",
+    "q_neardup_free_corpus",
+    "q_split_leakage",
+    "q_stratified_sample",
+    "q_chunk_documents",
+    "q_corpus_mix",
+    "q_sample_weighted",
+    "q_vocab_coverage",
+    "q_agg_percentile",
+    "q_resample_fill",
+    "q_join_interval",
+    "q_scd2_history",
+    # -- the 12 oldest unchanged r7 greens that fit the remaining slots
+    "q_agg_binned_heatmap",
+    "q_agg_conditional_counts",
+    "q_agg_count_by_key",
+    "q_agg_global",
+    "q_agg_max_ts",
+    "q_array_explode",
+    "q_balance_cap",
+    "q_coalesce",
+    "q_cohort_retention",
+    "q_cube",
+    "q_embed_project",
+    "q_filter_eq",
 ]
-# r10 rotation queue: the 14 remaining r6 greens (q_neardup_cross_corpus
-# .. q_trend_slope, listed in the slot budget above), then 36 of the 40
-# r7 greens (displace youngest-first if r10 changes implementations).
+# r11 rotation queue (zero-slack, MUST head r11): the 15 r7 greens
+# displaced by this round's head — q_filter_in q_filter_range
+# q_having_count q_jaccard_pairs q_join_anti q_join_semi q_split_assign
+# q_text_langid q_text_quality q_text_stats q_text_tokens
+# q_topk_per_group q_vocab_topn q_window_sliding q_window_tumbling_1min
+# — then the 35 oldest r8 greens.  r11 tolerates at most ZERO further
+# implementation changes without pushing r8 greens past the bound.
 
 
 def _ranked(names: dict[str, object]) -> list[str]:
