@@ -722,8 +722,13 @@ def simhash_neardup_pairs(
     is uninformative for near-dup detection yet contributes O(m^2)
     candidate pairs — the unbounded version is exactly the query that
     falls over at corpus scale (one hot bucket = one quadratic
-    executor-killing partition).  Pairs whose every common chunk is hot
-    are the accepted recall cost; window the cap up for small corpora.
+    executor-killing partition; measured at the 50x replica the
+    uncapped run DIES at ~98 s where this default finishes in 2.8 s —
+    SCALING.md r10).  Pairs whose every common chunk is hot are the
+    accepted recall cost; the measured discipline is: exact-dedup
+    FIRST (duplicate-choked buckets cost ALL the non-identical
+    recall), then window the cap up for small/homogeneous corpora
+    (cap 1024 restored recall 1.0 on the deduped replica at +0.35 s).
 
     ``token_hash``: "xxhash64" (default, fastest) or "md5_60" — the
     md5-prefix hash is reproducible in ANSI SQL, which gives the whole
