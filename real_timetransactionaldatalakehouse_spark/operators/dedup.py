@@ -1068,16 +1068,27 @@ def drop_near_duplicates(
     -> verified MinHash pairs over distinct texts -> connected
     components -> expand -> anti-join the losers (see
     :func:`verified_neardup_clusters` for why the collapse is load-
-    bearing on duplicate-heavy corpora)."""
+    bearing on duplicate-heavy corpora).
+
+    The clusters' persisted build frames ride along as
+    ``_cached_deps`` on the RETURNED frame (r10 review fix: they were
+    attached to the intermediate clusters frame and dropped here, so
+    no caller could ever free them — a per-micro-batch leak in the
+    streaming ingest tier).  Long-lived callers release via
+    :func:`release_cached` once the output has executed."""
+    clusters = verified_neardup_clusters(
+        df, text_col, id_col, jaccard_threshold=jaccard_threshold,
+        **minhash_kwargs,
+    )
     losers = (
-        verified_neardup_clusters(
-            df, text_col, id_col, jaccard_threshold=jaccard_threshold,
-            **minhash_kwargs,
-        )
+        clusters
         .filter(F.col("id") != F.col("cluster_id"))
         .select(F.col("id").alias(id_col))
     )
-    return df.join(losers, id_col, "left_anti")
+    return _attach_cached(
+        df.join(losers, id_col, "left_anti"),
+        getattr(clusters, "_cached_deps", []),
+    )
 
 
 def passage_repetition(

@@ -455,12 +455,21 @@ def neardup_ingest_stream(
     ``dropDuplicates``); a batch replayed after BOTH writes finds its
     own band rows in the index, so its documents drop and neither
     table double-ingests.
+
+    NULL-text documents are dropped EXPLICITLY at the head of each
+    batch (r10): they cannot be near-dup-verified (``minhash_banded``
+    emits no band rows for them since the r9-ADVICE NULL fix), so
+    without the explicit filter they would vanish silently between
+    the banding and the keep-join — a curation decision should be
+    visible, not an artifact of join shape.
     """
     from ..operators import dedup as D
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        survivors = batch.dropDuplicates([text_col])
+        survivors = batch.filter(
+            F.col(text_col).isNotNull()
+        ).dropDuplicates([text_col])
         survivors = D.drop_near_duplicates(
             survivors, text_col, id_col,
             jaccard_threshold=jaccard_threshold,
@@ -470,6 +479,21 @@ def neardup_ingest_stream(
             survivors.select(id_col, text_col), text_col, id_col,
             num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         ).persist()
+        try:
+            _ingest_batch(
+                spark, survivors, banded, corpus_path, index_path,
+                id_col, num_hashes, jaccard_threshold,
+            )
+        finally:
+            # T8 discipline: a failed write must not leak the persisted
+            # band rows — nor the in-batch dedup's cached build frames,
+            # which accumulate per micro-batch on a long-lived stream
+            # (r10 review fix)
+            banded.unpersist()
+            D.release_cached(survivors)
+
+    def _ingest_batch(spark, survivors, banded, corpus_path, index_path,
+                      id_col, num_hashes, jaccard_threshold):
         try:
             idx = spark.read.parquet(index_path)
         except Exception:
@@ -509,7 +533,6 @@ def neardup_ingest_stream(
         kept_banded.select(
             F.col("id").alias(id_col), "band", "bhash", "sig"
         ).write.mode("append").parquet(index_path)
-        banded.unpersist()
 
     return _run_stream(
         stream_df.writeStream.foreachBatch(write_batch).outputMode("append"),

@@ -800,3 +800,36 @@ def test_ewma_null_value_tied_ts_orders_like_oracle(spark, tmp_path):
     assert oracle.ewma == 20.0
     assert latest.ewma == oracle.ewma
     assert latest.n_events == 3
+
+
+def test_neardup_ingest_drops_null_text_explicitly(spark, tmp_path):
+    """r10: NULL-text docs are dropped at the head of each ingest
+    batch (they cannot be near-dup-verified once minhash_banded emits
+    no band rows for them) — the corpus must not receive them, and
+    non-null docs must still ingest and cross-batch-dedupe."""
+    import os as _os
+
+    from real_timetransactionaldatalakehouse_spark.streaming.jobs import (
+        neardup_ingest_stream,
+    )
+
+    rows = [
+        (1, None, "2024-01-01 00:00:01"),
+        (2, "alpha beta gamma delta epsilon", "2024-01-01 00:00:02"),
+        (3, None, "2024-01-01 00:00:03"),
+    ]
+    df = (
+        spark.createDataFrame(rows, "doc_id long, text string, ts_s string")
+        .select("doc_id", "text", F.to_timestamp("ts_s").alias("ts"))
+    )
+    src = str(tmp_path / "in")
+    _write_chunks(df, src, 1, ["doc_id"])
+    corpus, index, ckpt = (str(tmp_path / d) for d in ("corpus", "index", "ckpt"))
+    neardup_ingest_stream(
+        file_stream(spark, src, df.schema), corpus, index, ckpt
+    )
+    got = spark.read.parquet(corpus).collect()
+    assert [r.doc_id for r in got] == [2]
+    assert _os.path.isdir(index)
+    idx = spark.read.parquet(index)
+    assert idx.select("doc_id").distinct().collect()[0][0] == 2
