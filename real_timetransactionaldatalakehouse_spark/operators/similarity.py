@@ -48,12 +48,42 @@ def cosine(a: Column, b: Column) -> Column:
     twin.  INPUT CONTRACT: nonzero-norm vectors.  Under Spark 4's
     default ANSI mode a zero divisor is a DIVIDE_BY_ZERO *error*, not
     NaN, so every cosine consumer in this module assumes embeddings
-    were filtered/validated upstream.  ``semantic_dedup`` filters
+    were filtered/validated upstream — :func:`valid_embeddings` is
+    that upstream filter (r10).  ``semantic_dedup`` filters
     ``norm > 0`` itself (a zero-vector test corpus surfaced the
     error there); the other consumers document the assumption here —
     a zero vector carries no direction and has no place in a cosine
     index."""
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def valid_embeddings(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
+    """The cosine input contract as a reusable FILTER: keep rows whose
+    vector is non-NULL, (optionally) exactly ``dim`` wide, all-finite,
+    and of nonzero norm.  Every cosine consumer in this module states
+    "embeddings filtered/validated upstream" — this is that upstream
+    step, so pipelines ingesting real-world embedding tables (dead
+    docs, padding rows, NaN-poisoned encoder output — all common at
+    corpus scale) have a named, tested gate instead of re-deriving the
+    predicate per call site.
+
+    Wholly codegen (exists + aggregate over the array; no Python), one
+    narrow filter — prune-friendly wherever it lands in the plan.  A
+    zero-norm check via ``exists(x != 0)`` rather than computing the
+    norm: no sqrt, early-exits on the first nonzero element, and
+    avoids the (x*x) overflow corner entirely."""
+    v = F.col(vec_col)
+    ok = v.isNotNull()
+    if dim is not None:
+        ok = ok & (F.size(v) == dim)
+    finite = ~F.exists(
+        v, lambda x: x.cast("double").isNull() | F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == float("inf"))
+    )
+    nonzero = F.exists(v, lambda x: x.cast("double") != 0.0)
+    return df.filter(ok & finite & nonzero)
 
 
 def knn_bruteforce(

@@ -1708,3 +1708,27 @@ def test_minhash_null_text_emits_no_rows(spark):
     assert 1 not in ids and 2 not in ids
     # the real near-dup pair still surfaces
     assert (3, 4) in {(r.id_a, r.id_b) for r in pairs.collect()}
+
+
+def test_valid_embeddings_enforces_cosine_contract(spark):
+    """r10: the module-wide 'nonzero-norm, validated upstream' cosine
+    contract has a named filter — NULL, wrong-dim, NaN/inf-poisoned,
+    and zero vectors drop; healthy rows pass; and the filtered frame
+    goes through knn_bruteforce without ANSI DIVIDE_BY_ZERO."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, None),
+        (4, [0.0, 0.0, 0.0, 0.0]),
+        (5, [1.0, float("nan"), 0.0, 0.0]),
+        (6, [1.0, float("inf"), 0.0, 0.0]),
+        (7, [1.0, 0.0, 0.0]),  # wrong dim
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    kept = S.valid_embeddings(df, "emb", dim=4)
+    assert sorted(r.vec_id for r in kept.collect()) == [1, 2]
+    out = S.knn_bruteforce(kept, kept, k=1, id_col="vec_id", vec_col="emb").collect()
+    assert {(r.query_id, r.neighbor_id) for r in out} == {(1, 2), (2, 1)}
+    # without the dim check, the wrong-dim row passes (zip_with would
+    # NULL-pad downstream — caller's choice to allow ragged dims)
+    assert 7 in {r.vec_id for r in S.valid_embeddings(df, "emb").collect()}
