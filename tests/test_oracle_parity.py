@@ -18,16 +18,32 @@ _ORACLES = entrymod.oracle_sql()
 _QUERIES = entrymod.queries()
 
 
+@pytest.fixture(
+    scope="module",
+    params=["/root/testdata/sf0.001", "/root/testdata/sf0.01"],
+    ids=["sf0.001", "sf0.01"],
+)
+def sf_swept(request):
+    """Both driver-relevant scale factors: sf0.01 is the driver's
+    correctness SF; sf0.001 exercises the degenerate tails the bigger
+    file hides (empty groups, single-row frames, empty join sides).
+    Running the full sweep at BOTH makes the rotation ledger's
+    'sf0.001+sf0.01 pytest parity sweep' backstop literally true —
+    before r10 the sweep ran sf0.01 only, despite this module's own
+    docstring (measured cost of the second SF: ~230 s)."""
+    return request.param
+
+
 @pytest.fixture(scope="module")
-def duck(sf_medium):
-    con = duckdb_connection(sf_medium)
+def duck(sf_swept):
+    con = duckdb_connection(sf_swept)
     yield con
     con.close()
 
 
 @pytest.mark.parametrize("name", sorted(_ORACLES))
-def test_oracle_parity(name, spark, sf_medium, duck):
-    res = compare_query(name, _QUERIES[name](spark, sf_medium), duck, _ORACLES[name])
+def test_oracle_parity(name, spark, sf_swept, duck):
+    res = compare_query(name, _QUERIES[name](spark, sf_swept), duck, _ORACLES[name])
     assert res.ok, f"{name}: {res.detail}"
 
 
