@@ -5379,7 +5379,12 @@ def q_split_leakage(spark, sf_dir):
 # 4-round bound and MUST head r11), 39 r8, 46 r9, 50 r10 = 150.
 # r11 window therefore = those 15 r7 greens + the 35 oldest r8
 # greens; the per-round sf0.001+sf0.01 pytest parity sweep remains
-# the documented backstop for everything outside the window.
+# the documented backstop for everything outside the window, and —
+# new in r10 — tools/parity_sweep.py commits a FULL-registry driver-
+# style artifact each round (PARITY_r10.json: 145/145 oracle-hash
+# green + 5 no_oracle at sf0.01 on the final tree), so every query
+# carries a current-round reproducible record regardless of the
+# 50-slot budget.
 _CHECK_FIRST: list[str] = [
     # -- changed in r10 (rotation rule head)
     "q_join_asof",
