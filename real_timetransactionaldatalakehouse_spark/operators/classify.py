@@ -1,0 +1,151 @@
+"""Classifier-based corpus quality filtering (EXT, X4-adjacent): the
+CCNet / GPT-3-style stage where a small supervised model — trained on
+a seed of known-good vs known-bad documents — scores every document,
+and the pipeline keeps (or importance-samples) the high-probability
+tail.  The heuristic gates in :mod:`.text` (``quality_score``,
+``gopher_rules``) are the rule-based tier; this is the learned tier
+that catches what fixed thresholds miss.
+
+Spark-first shape:
+
+- **Featurization is a map-only projection** (:func:`featurize`): all
+  signals are per-row higher-order-function expressions over the token
+  array — no shuffle, no Python, whole-stage codegen.  At 100 TB this
+  is a pure scan stage.
+- **Training** (:func:`train_quality_classifier`) is
+  ``pyspark.ml.classification.LogisticRegression`` over the seed set:
+  each L-BFGS iteration is one distributed gradient ``treeAggregate``
+  — the seed can be millions of rows; the MODEL is a handful of
+  doubles.  Deterministic for fixed input and params (L-BFGS has no
+  sampling; no seed needed).
+- **Scoring** (:func:`score_quality`) is ``model.transform`` — a
+  broadcast of the tiny coefficient vector and a map-only projection;
+  the corpus never shuffles.
+
+Reference scope note: the reference has no ML surface at all — this
+module exists for the LLM-data-pipeline tier the engine targets
+(SURVEY.md section 2 L); it is pytest-certified (iterative training is
+not DuckDB-expressible, the same declared gap as the streaming T-ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import EN_STOPWORDS, tokens
+
+#: Feature names in vector order — training and scoring must agree, so
+#: both go through :func:`featurize`.
+FEATURE_NAMES = (
+    "n_chars",
+    "n_tok",
+    "mean_tok_len",
+    "ttr",
+    "stopword_ratio",
+    "punct_ratio",
+    "digit_ratio",
+    "caps_ratio",
+)
+
+
+def _feature_exprs(text_col: str) -> list[Column]:
+    c = F.col(text_col)
+    t = tokens(text_col)
+    n_chars = F.length(c).cast("double")
+    n_tok = F.size(t).cast("double")
+    safe_chars = F.greatest(n_chars, F.lit(1.0))
+    safe_tok = F.greatest(n_tok, F.lit(1.0))
+    chr_class = lambda pat: (  # noqa: E731
+        F.length(F.regexp_replace(c, pat, "")).cast("double")
+    )
+    return [
+        F.log1p(n_chars).alias("n_chars"),        # log-scaled lengths: LR is
+        F.log1p(n_tok).alias("n_tok"),            # linear, raw lengths would
+        (n_chars / safe_tok).alias("mean_tok_len"),  # dominate the margin
+        (F.size(F.array_distinct(t)).cast("double") / safe_tok).alias("ttr"),
+        (
+            F.size(
+                F.filter(t, lambda x: x.isin(*[F.lit(s) for s in EN_STOPWORDS]))
+            ).cast("double")
+            / safe_tok
+        ).alias("stopword_ratio"),
+        ((n_chars - chr_class(r"[\p{Punct}]")) / safe_chars).alias("punct_ratio"),
+        ((n_chars - chr_class(r"[0-9]")) / safe_chars).alias("digit_ratio"),
+        ((n_chars - chr_class(r"[A-Z]")) / safe_chars).alias("caps_ratio"),
+    ]
+
+
+def featurize(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(id, features array<double>)`` — the shared feature projection
+    for training and scoring.  NULL text yields no row (the emit-
+    nothing rule every text operator here follows): an unscorable
+    document must be an explicit upstream decision, not a zero-vector
+    that the model scores confidently."""
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.array(*_feature_exprs(text_col)).alias("features"),
+    )
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    reg_param: float = 0.01,
+    max_iter: int = 50,
+):
+    """Fit the quality classifier on a labeled seed
+    (``label`` 1 = keep-worthy, 0 = reject-worthy; typical seeds:
+    a trusted reference corpus vs raw crawl, or human/LLM judgments).
+
+    Returns the fitted ``LogisticRegressionModel``; pass it to
+    :func:`score_quality`.  L2-regularized so a linearly-separable
+    seed cannot drive weights to infinity, with ``standardization``
+    left ON (per-feature scaling differences — log-lengths vs ratios —
+    are normalized inside the solver)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    seed = featurize(labeled, text_col, id_col).join(
+        labeled.select(
+            F.col(id_col).alias("id"), F.col(label_col).cast("double").alias("label")
+        ),
+        "id",
+    )
+    lr = LogisticRegression(
+        featuresCol="fvec",
+        labelCol="label",
+        regParam=reg_param,
+        maxIter=max_iter,
+    )
+    return lr.fit(seed.withColumn("fvec", array_to_vector("features")))
+
+
+def score_quality(
+    df: DataFrame,
+    model,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id, prob_keep)`` for every non-NULL-text document:
+    probability of the keep class under the trained model.  Map-only —
+    featurize projection, broadcast coefficients, one vector dot per
+    row; the standard downstream is ``filter(prob_keep > tau)`` or
+    PPS sampling with ``prob_keep`` as the weight
+    (``operators.sampling.sample_weighted``)."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = featurize(df, text_col, id_col).withColumn(
+        "fvec", array_to_vector("features")
+    )
+    return (
+        model.transform(feat)
+        .select(
+            "id",
+            vector_to_array("probability").getItem(1).alias("prob_keep"),
+        )
+    )

@@ -1732,3 +1732,51 @@ def test_valid_embeddings_enforces_cosine_contract(spark):
     # without the dim check, the wrong-dim row passes (zip_with would
     # NULL-pad downstream — caller's choice to allow ragged dims)
     assert 7 in {r.vec_id for r in S.valid_embeddings(df, "emb").collect()}
+
+
+def test_quality_classifier_separates_and_is_deterministic(spark):
+    """r10 EXT: classifier-based quality filtering (the learned tier
+    above the heuristic gates).  A seed of fluent sentences vs token
+    spam must train a model that (a) ranks every held-out fluent doc
+    above every held-out spam doc, (b) drops NULL text from scoring,
+    and (c) scores identically across two transforms."""
+    from real_timetransactionaldatalakehouse_spark.operators import classify as C
+
+    good = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "she walked to the market in the morning and bought fresh bread",
+        "a long journey begins with a single step taken in the right spirit",
+        "the committee agreed that the proposal would be reviewed next week",
+        "he read the letter twice before answering with a careful reply",
+        "many travelers have described the valley as quiet and beautiful",
+    ]
+    bad = [
+        "zzz zzz zzz zzz zzz zzz zzz zzz",
+        "4543 9921 3321 0983 1123 5567 8893",
+        "BUY BUY BUY CLICK CLICK CLICK WIN WIN",
+        "asdf asdf asdf asdf asdf asdf asdf asdf",
+        "%%% ### @@@ &&& *** !!! ??? $$$",
+        "11111 22222 33333 44444 55555 66666",
+    ]
+    rows = (
+        [(i, t, 1) for i, t in enumerate(good[:4])]
+        + [(100 + i, t, 0) for i, t in enumerate(bad[:4])]
+    )
+    labeled = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    model = C.train_quality_classifier(labeled)
+
+    held = spark.createDataFrame(
+        [(200, good[4]), (201, good[5]), (300, bad[4]), (301, bad[5]),
+         (400, None)],
+        "doc_id long, text string",
+    )
+    scored = {r.id: r.prob_keep for r in C.score_quality(held, model).collect()}
+    assert 400 not in scored  # NULL text: emit-nothing rule
+    assert set(scored) == {200, 201, 300, 301}
+    assert min(scored[200], scored[201]) > max(scored[300], scored[301]), scored
+    assert all(0.0 <= p <= 1.0 for p in scored.values())
+    again = {r.id: r.prob_keep for r in C.score_quality(held, model).collect()}
+    assert scored == again
+    # featurize is the shared projection: width must match the declared names
+    feat = C.featurize(held).first()["features"]
+    assert len(feat) == len(C.FEATURE_NAMES)
