@@ -1780,3 +1780,54 @@ def test_quality_classifier_separates_and_is_deterministic(spark):
     # featurize is the shared projection: width must match the declared names
     feat = C.featurize(held).first()["features"]
     assert len(feat) == len(C.FEATURE_NAMES)
+
+
+def test_curation_pipeline_with_learned_gate(spark, docs):
+    """r10 composition: the full curation stack with the NEW learned
+    tier in the middle — exact+near dedup -> classifier gate ->
+    PPS subsample weighted by the classifier's own probability.
+    Exercises that the stages compose on one frame without schema or
+    cache-contract friction, and that the gate actually removes the
+    injected spam the dedup tiers cannot."""
+    from real_timetransactionaldatalakehouse_spark.operators import classify as C
+    from real_timetransactionaldatalakehouse_spark.operators import sampling as Smp
+
+    spam = spark.createDataFrame(
+        [(500_000 + i, ("spamtok%d " % (i % 3)) * 25) for i in range(30)],
+        "doc_id long, text string",
+    )
+    corpus = docs.unionByName(spam)
+
+    # tier 1: dedup (keep-one; the 3 distinct spam texts survive here)
+    deduped = D.drop_near_duplicates(corpus, jaccard_threshold=0.5)
+    n_dedup = deduped.count()
+    assert deduped.filter(F.col("doc_id") >= 500_000).count() == 3
+
+    # tier 2: learned gate (seed: real docs vs spam)
+    labeled = (
+        docs.limit(60).withColumn("label", F.lit(1))
+        .unionByName(spam.limit(15).withColumn("label", F.lit(0)))
+    )
+    model = C.train_quality_classifier(labeled)
+    scored = C.score_quality(deduped, model)
+    gated = deduped.join(
+        scored.filter(F.col("prob_keep") > 0.5)
+        .select(F.col("id").alias("doc_id")),
+        "doc_id", "left_semi",
+    )
+    assert gated.filter(F.col("doc_id") >= 500_000).count() == 0
+    n_gated = gated.count()
+    assert 0 < n_gated <= n_dedup
+
+    # tier 3: PPS subsample sized by the classifier probability
+    weighted = gated.join(
+        scored.select(
+            F.col("id").alias("doc_id"),
+            (F.col("prob_keep") * 1000).cast("long").alias("w"),
+        ),
+        "doc_id",
+    )
+    sampled = Smp.sample_systematic(weighted, k=25, weight_col="w")
+    n_sampled = sampled.count()
+    assert n_sampled == 25 or n_sampled == sampled.select("doc_id").distinct().count()
+    D.release_cached(deduped)
