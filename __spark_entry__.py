@@ -5376,7 +5376,10 @@ def q_split_leakage(spark, sf_dir):
 #
 # SLOT BUDGET after r10: freshness ledger reads 15 r7 (the unchanged
 # r7 greens squeezed out by this round's 10-query head — they hit the
-# 4-round bound and MUST head r11), 39 r8, 46 r9, 50 r10 = 150.
+# 4-round bound and MUST head r11), 40 r8, 45 r9, 50 r10 = 150
+# (window members by pre-round age: 14 r6 + 25 r7 + 6 r8 + 5 r9 —
+# q_scd2_pointlookup counts in the r9 bucket, it re-certified in r9's
+# window).
 # r11 window therefore = those 15 r7 greens + the 35 oldest r8
 # greens; the per-round sf0.001+sf0.01 pytest parity sweep remains
 # the documented backstop for everything outside the window, and —
