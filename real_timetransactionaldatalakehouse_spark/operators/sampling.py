@@ -722,6 +722,64 @@ def split_leakage(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    jaccard_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: str = "split-v1",
+    out_col: str = "split",
+    **neardup_kwargs,
+) -> DataFrame:
+    """The CONSTRUCTIVE counterpart of :func:`split_leakage` (r10):
+    assign splits so near-duplicate leakage cannot occur BY
+    CONSTRUCTION — every verified near-dup CLUSTER is split-atomic
+    (all members inherit one split), so no pair at or above the
+    audited threshold can straddle train/eval.  The audit finds
+    leakage after the fact; this prevents it up front — publish both
+    (the audit over this function's output is empty by construction
+    at the same threshold/parameters, and pytest pins that).
+
+    Plan: :func:`dedup.verified_neardup_clusters` labels the documents
+    that participate in any near-dup cluster (banded candidates ->
+    exact Jaccard -> hash-min components; never the pair space); the
+    split bucket is computed from the CLUSTER id for members and from
+    the document id for the un-clustered majority — both map-only hash
+    expressions over :func:`split_bucket`, so the only join is the
+    cluster-label attach (cluster table is |near-dup docs|-sized, tiny
+    relative to the corpus).  Determinism: a pure function of
+    (text-derived cluster structure, id, seed) — stable under
+    reprocessing; appending NEW near-dups of an eval doc later lands
+    them in the eval cluster's split, never in train.
+
+    Caveat the docstring owes the caller: cluster-atomic assignment
+    biases split SIZES when clusters are huge (a 1M-doc boilerplate
+    clique lands whole in one split) — run the dedup keep-one tier
+    first (the corpus-prep composition does), after which clusters are
+    near-singletons and the weights hold to within hash noise.
+    """
+    from .dedup import _attach_cached, verified_neardup_clusters
+
+    weights = weights or {"train": 0.90, "eval": 0.10}
+    vnc = verified_neardup_clusters(
+        df, text_col, id_col, jaccard_threshold=jaccard_threshold,
+        **neardup_kwargs,
+    )
+    clusters = vnc.select(F.col("id").alias(id_col), "cluster_id")
+    keyed = df.join(clusters, id_col, "left").withColumn(
+        "__split_key",
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("string"),
+    )
+    out = hash_split(
+        keyed, id_col="__split_key", weights=weights, seed=seed,
+        out_col=out_col,
+    ).drop("cluster_id", "__split_key")
+    # deps ride the RETURNED frame, not the intermediate (the same
+    # propagate-don't-drop rule drop_near_duplicates gained this round)
+    return _attach_cached(out, getattr(vnc, "_cached_deps", []))
+
+
 def training_shard_layout(
     df: DataFrame,
     shards: int,

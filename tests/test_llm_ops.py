@@ -1831,3 +1831,45 @@ def test_curation_pipeline_with_learned_gate(spark, docs):
     n_sampled = sampled.count()
     assert n_sampled == 25 or n_sampled == sampled.select("doc_id").distinct().count()
     D.release_cached(deduped)
+
+
+def test_leakage_safe_split_is_leakage_free_by_construction(spark, docs):
+    """r10: cluster-atomic split assignment — the constructive
+    counterpart of the split_leakage audit.  With injected near-dup
+    mutants, (a) every cluster lands whole in one split, (b) the
+    audit's own pair check over the assignment finds ZERO straddling
+    pairs at the same threshold, (c) plain hash_split on the same
+    corpus DOES leak (the control proving the test can fail), and
+    (d) the assignment is deterministic and total."""
+    from real_timetransactionaldatalakehouse_spark.operators import sampling as Smp
+
+    corpus = _with_mutants(docs)  # doc i and i+200000 are near-dups
+    out = Smp.leakage_safe_split(
+        corpus, jaccard_threshold=0.5,
+        weights={"train": 0.5, "eval": 0.5}, seed="split-v9",
+    )
+    got = {r.doc_id: r.split for r in out.collect()}
+    assert len(got) == corpus.count()
+    # verified near-dup pairs must not straddle
+    pairs = D.minhash_verified_neardup_pairs(corpus, jaccard_threshold=0.5)
+    straddle = [
+        (r.id_a, r.id_b) for r in pairs.collect()
+        if got[r.id_a] != got[r.id_b]
+    ]
+    assert straddle == [], straddle[:5]
+    # control: id-hash splitting leaks on this corpus at 50/50
+    plain = {
+        r.doc_id: r.split
+        for r in Smp.hash_split(
+            corpus, weights={"train": 0.5, "eval": 0.5}, seed="split-v9"
+        ).collect()
+    }
+    assert any(plain[a] != plain[b] for a, b in
+               ((r.id_a, r.id_b) for r in pairs.collect()))
+    # deterministic across recomputation
+    again = {r.doc_id: r.split for r in Smp.leakage_safe_split(
+        corpus, jaccard_threshold=0.5,
+        weights={"train": 0.5, "eval": 0.5}, seed="split-v9",
+    ).collect()}
+    assert got == again
+    D.release_cached(out)
