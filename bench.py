@@ -392,6 +392,34 @@ def main() -> None:
     if con is not None:
         con.close()
 
+    # Interleaved A/B vs the previous round's tree (VERDICT r10 #2):
+    # the round-over-round r3common comparison had become host-drift-
+    # dominated (r10: 15 "regressions" with zero code changes, floor
+    # 0.028->0.040 s between runs).  tools/bench_ab.py alternates
+    # prev-tree / curr-tree / oracle passes inside THIS session, so
+    # ambient drift lands on every term symmetrically: the paired
+    # curr-vs-prev ratio is the plan-change signal, the paired
+    # vs-oracle ratio is the gate number with numerator and
+    # denominator sharing one host window, and both trees' floors are
+    # recorded from the same session (if they disagree, the session
+    # itself was unstable and the file says so).  Guarded: bench must
+    # still print its line if git history or the archive is missing.
+    ab = None
+    try:
+        import importlib.util as _ilu
+
+        _root = os.path.dirname(os.path.abspath(__file__))
+        _spec = _ilu.spec_from_file_location(
+            "bench_ab", os.path.join(_root, "tools", "bench_ab.py"))
+        _mod = _ilu.module_from_spec(_spec)
+        _spec.loader.exec_module(_mod)
+        ab = _mod.interleaved_ab(
+            spark, SF_DIR, _root, list(R3_COMMON), set(ORACLE_SKIP),
+            passes=3, runs_per_query=2,
+        )
+    except Exception as e:  # noqa: BLE001 — bench line must survive
+        ab = {"error": str(e)[:300]}
+
     # the measured per-query floor of this harness: a one-stage noop
     # write of a 1-row in-memory plan — pure scheduling + sink cost,
     # no data.  Reported so the aggregate ratio can be read for what
@@ -478,6 +506,9 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         "host_start": host_start,
         "host_end": _host_control(),
+        # full per-query A/B record (floors by pass, prev/curr/oracle
+        # mins, per-query curr-vs-prev ratios)
+        "ab_interleaved": ab,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
@@ -527,10 +558,21 @@ def main() -> None:
             3,
         ),
         "worst5_vs_oracle": worst5,
+        # the interleaved A/B summary (VERDICT r10 #2): paired ratios
+        # and BOTH trees' same-session floors on the driver's line
+        "r3common_paired_curr_vs_prev": (ab or {}).get("paired_curr_vs_prev"),
+        "r3common_paired_vs_oracle": (ab or {}).get("paired_ratio_vs_oracle"),
+        "r3common_paired_vs_oracle_prev": (
+            (ab or {}).get("paired_ratio_vs_oracle_prev")),
+        "ab_floor_prev": (ab or {}).get("floor_prev"),
+        "ab_floor_curr": (ab or {}).get("floor_curr"),
+        "ab_error": (ab or {}).get("error"),
         "host_loadavg_1m": detail["host_end"]["loadavg_1m"],
         "sf": detail["sf"],
         "detail": "BENCH_DETAIL.json",
     }
+    if out.get("ab_error") is None:
+        out.pop("ab_error")
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1800:
         out.pop("queries")
