@@ -125,6 +125,91 @@ def train_quality_classifier(
     return lr.fit(seed.withColumn("fvec", array_to_vector("features")))
 
 
+def select_threshold(
+    scored: DataFrame,
+    target_keep_rate: float | None = None,
+    target_precision: float | None = None,
+    labeled_holdout: DataFrame | None = None,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    prob_col: str = "prob_keep",
+    bins: int = 1000,
+) -> float:
+    """Calibrate the gate: pick ``tau`` for ``filter(prob_keep >= tau)``
+    from a stated operating target instead of a guessed constant
+    (VERDICT r10 #5 — the evaluation story for the learned gate).
+
+    Exactly one of two targets:
+
+    - ``target_keep_rate=r``: tau is the (1-r) quantile of the score
+      distribution, so ``prob_keep >= tau`` keeps ~r of the corpus.
+      One ``percentile_approx`` aggregate — a single distributed
+      sketch ``treeAggregate``, no shuffle of the corpus; the 100 TB
+      shape (exact ``percentile`` would sort; the sketch error is a
+      rounding term on a corpus-sized denominator).
+    - ``target_precision=p`` with a ``labeled_holdout`` (``id, label``,
+      1 = keep-worthy): tau is the SMALLEST score (max recall) whose
+      keep-set precision on the holdout is >= p.  Shape: join scores
+      onto the holdout (|holdout|-sized), bucket scores onto a fixed
+      ``bins``-cell grid, ONE groupBy down to <= bins rows, then a
+      cumulative precision scan over that bounded grid on the driver —
+      a metadata-sized collect (the boundary-sample convention), never
+      a corpus-wide window.  Raises ``ValueError`` if no threshold
+      attains the target (an unattainable gate must fail loudly, not
+      silently keep everything).
+
+    Returns tau as a float; compose downstream as
+    ``scored.filter(F.col("prob_keep") >= tau)`` or feed ``prob_keep``
+    into PPS sampling (``operators.sampling.sample_systematic``).
+    """
+    if (target_keep_rate is None) == (target_precision is None):
+        raise ValueError(
+            "pass exactly one of target_keep_rate / target_precision")
+    if target_keep_rate is not None:
+        if not 0.0 < target_keep_rate <= 1.0:
+            raise ValueError("target_keep_rate must be in (0, 1]")
+        row = scored.agg(
+            F.percentile_approx(
+                prob_col, 1.0 - target_keep_rate, 10_000
+            ).alias("tau")
+        ).first()
+        return float(row["tau"])
+    if labeled_holdout is None:
+        raise ValueError("target_precision requires a labeled_holdout")
+    joined = scored.select("id", prob_col).join(
+        labeled_holdout.select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).cast("double").alias("__y"),
+        ),
+        "id",
+    )
+    grid = (
+        joined.withColumn(
+            "__b",
+            F.least(
+                F.floor(F.col(prob_col) * bins).cast("int"), F.lit(bins - 1)
+            ),
+        )
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__y").alias("pos"))
+        .collect()  # <= bins rows: bounded grid, not data-sized
+    )
+    cells = {int(r["__b"]): (int(r["n"]), float(r["pos"])) for r in grid}
+    kept = pos = 0.0
+    best: float | None = None
+    for b in range(bins - 1, -1, -1):  # sweep tau downward: max recall
+        if b in cells:
+            kept += cells[b][0]
+            pos += cells[b][1]
+        if kept > 0 and pos / kept >= target_precision:
+            best = b / bins
+    if best is None:
+        raise ValueError(
+            f"no threshold reaches precision {target_precision} on the "
+            "holdout — the gate target is unattainable with this model")
+    return best
+
+
 def score_quality(
     df: DataFrame,
     model,
@@ -134,9 +219,10 @@ def score_quality(
     """``(id, prob_keep)`` for every non-NULL-text document:
     probability of the keep class under the trained model.  Map-only —
     featurize projection, broadcast coefficients, one vector dot per
-    row; the standard downstream is ``filter(prob_keep > tau)`` or
-    PPS sampling with ``prob_keep`` as the weight
-    (``operators.sampling.sample_weighted``)."""
+    row; the standard downstream is ``filter(prob_keep >= tau)`` with
+    :func:`select_threshold`'s calibrated tau, or PPS sampling with
+    ``prob_keep`` as the weight
+    (``operators.sampling.sample_systematic``)."""
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     feat = featurize(df, text_col, id_col).withColumn(

@@ -766,15 +766,23 @@ def leakage_safe_split(
         df, text_col, id_col, jaccard_threshold=jaccard_threshold,
         **neardup_kwargs,
     )
-    clusters = vnc.select(F.col("id").alias(id_col), "cluster_id")
+    # reserved-name alias (r10 ADVICE #3): a caller's frame may already
+    # carry a ``cluster_id`` column (plausible straight out of the
+    # dedup/cluster stages) — joining an identically-named label column
+    # would make the coalesce/drop ambiguous, so the label rides the
+    # same dunder convention as ``__split_key``
+    clusters = vnc.select(
+        F.col("id").alias(id_col),
+        F.col("cluster_id").alias("__lss_cluster_id"),
+    )
     keyed = df.join(clusters, id_col, "left").withColumn(
         "__split_key",
-        F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("string"),
+        F.coalesce(F.col("__lss_cluster_id"), F.col(id_col)).cast("string"),
     )
     out = hash_split(
         keyed, id_col="__split_key", weights=weights, seed=seed,
         out_col=out_col,
-    ).drop("cluster_id", "__split_key")
+    ).drop("__lss_cluster_id", "__split_key")
     # deps ride the RETURNED frame, not the intermediate (the same
     # propagate-don't-drop rule drop_near_duplicates gained this round)
     return _attach_cached(out, getattr(vnc, "_cached_deps", []))

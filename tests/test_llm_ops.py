@@ -1833,6 +1833,130 @@ def test_curation_pipeline_with_learned_gate(spark, docs):
     D.release_cached(deduped)
 
 
+def _toy_quality_model(spark):
+    from real_timetransactionaldatalakehouse_spark.operators import classify as C
+
+    good = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "she walked to the market in the morning and bought fresh bread",
+        "a long journey begins with a single step taken in the right spirit",
+        "the committee agreed that the proposal would be reviewed next week",
+    ]
+    bad = [
+        "zzz zzz zzz zzz zzz zzz zzz zzz",
+        "4543 9921 3321 0983 1123 5567 8893",
+        "BUY BUY BUY CLICK CLICK CLICK WIN WIN",
+        "asdf asdf asdf asdf asdf asdf asdf asdf",
+    ]
+    labeled = spark.createDataFrame(
+        [(i, t, 1) for i, t in enumerate(good)]
+        + [(100 + i, t, 0) for i, t in enumerate(bad)],
+        "doc_id long, text string, label int",
+    )
+    return C.train_quality_classifier(labeled)
+
+
+def test_select_threshold_keep_rate_mode(spark, docs):
+    """r11 (VERDICT r10 #5): tau from a target keep-rate must actually
+    keep ~that fraction of the scored corpus, and be monotone (a
+    larger target keep-rate never yields a larger tau)."""
+    from real_timetransactionaldatalakehouse_spark.operators import classify as C
+
+    model = _toy_quality_model(spark)
+    scored = C.score_quality(docs, model)
+    n = scored.count()
+    tau30 = C.select_threshold(scored, target_keep_rate=0.3)
+    kept = scored.filter(F.col("prob_keep") >= tau30).count()
+    assert abs(kept / n - 0.3) < 0.05, (kept, n, tau30)
+    tau80 = C.select_threshold(scored, target_keep_rate=0.8)
+    assert tau80 <= tau30
+    kept80 = scored.filter(F.col("prob_keep") >= tau80).count()
+    assert abs(kept80 / n - 0.8) < 0.05, (kept80, n, tau80)
+
+
+def test_select_threshold_precision_mode(spark):
+    """r11 (VERDICT r10 #5): precision-target tau on a labeled holdout
+    — (a) the keep-set at tau meets the target precision, (b) tau is
+    minimal on the bin grid (max recall: one grid step lower breaks
+    the target), (c) an unattainable target raises instead of
+    silently keeping everything."""
+    import pytest as _pytest
+
+    from real_timetransactionaldatalakehouse_spark.operators import classify as C
+
+    model = _toy_quality_model(spark)
+    held = spark.createDataFrame(
+        [(200, "he read the letter twice before answering with a careful reply"),
+         (201, "many travelers have described the valley as quiet and beautiful"),
+         (202, "the harvest was gathered before the first frost settled in"),
+         (300, "%%% ### @@@ &&& *** !!! ??? $$$"),
+         (301, "11111 22222 33333 44444 55555 66666"),
+         (302, "qwer qwer qwer qwer qwer qwer qwer")],
+        "doc_id long, text string",
+    )
+    labels = spark.createDataFrame(
+        [(200, 1), (201, 1), (202, 1), (300, 0), (301, 0), (302, 0)],
+        "doc_id long, label int",
+    )
+    scored = C.score_quality(held, model)
+    bins = 1000
+    tau = C.select_threshold(
+        scored, target_precision=1.0, labeled_holdout=labels, bins=bins)
+    got = {r.id: r.prob_keep for r in scored.collect()}
+    y = {200: 1, 201: 1, 202: 1, 300: 0, 301: 0, 302: 0}
+
+    def precision(at):
+        keep = [i for i, p in got.items() if p >= at]
+        return sum(y[i] for i in keep) / len(keep) if keep else None
+
+    assert precision(tau) == 1.0
+    # minimal on the grid: one step lower must break the target (or
+    # tau is already the grid floor)
+    assert tau == 0.0 or precision(tau - 1.0 / bins) is None \
+        or precision(tau - 1.0 / bins) < 1.0
+    # unattainable: every holdout label is 0 -> no tau can reach p=0.9
+    all_bad = labels.withColumn("label", F.lit(0))
+    with _pytest.raises(ValueError):
+        C.select_threshold(
+            scored, target_precision=0.9, labeled_holdout=all_bad)
+    # argument discipline: exactly one target
+    with _pytest.raises(ValueError):
+        C.select_threshold(scored)
+    with _pytest.raises(ValueError):
+        C.select_threshold(
+            scored, target_keep_rate=0.5, target_precision=0.9,
+            labeled_holdout=labels)
+
+
+def test_calibrated_gate_feeds_pps_sampling(spark, docs):
+    """r11 (VERDICT r10 #5): the docstring's own recommended downstream
+    — calibrate tau, gate, then PPS-subsample with prob_keep as the
+    weight (sample_systematic needs positive integer weights, so the
+    probability is fixed-point scaled).  Deterministic end-to-end."""
+    from real_timetransactionaldatalakehouse_spark.operators import classify as C
+    from real_timetransactionaldatalakehouse_spark.operators import sampling as Smp
+
+    model = _toy_quality_model(spark)
+    scored = C.score_quality(docs, model)
+    tau = C.select_threshold(scored, target_keep_rate=0.5)
+    gated = scored.filter(F.col("prob_keep") >= tau)
+    weighted = gated.select(
+        F.col("id").alias("doc_id"),
+        (F.col("prob_keep") * 10_000).cast("long").alias("w"),
+    ).filter(F.col("w") > 0)
+    k = 20
+    sampled = Smp.sample_systematic(weighted, k=k, weight_col="w")
+    rows = sampled.collect()
+    assert sum(r.n_tickets for r in rows) == k
+    ids = {r.doc_id for r in rows}
+    assert len(ids) == len(rows)  # unique docs
+    gate_ids = {r.id for r in gated.collect()}
+    assert ids <= gate_ids  # sampler only sees gated docs
+    again = {r.doc_id for r in
+             Smp.sample_systematic(weighted, k=k, weight_col="w").collect()}
+    assert ids == again
+
+
 def test_leakage_safe_split_is_leakage_free_by_construction(spark, docs):
     """r10: cluster-atomic split assignment — the constructive
     counterpart of the split_leakage audit.  With injected near-dup
@@ -1872,4 +1996,30 @@ def test_leakage_safe_split_is_leakage_free_by_construction(spark, docs):
         weights={"train": 0.5, "eval": 0.5}, seed="split-v9",
     ).collect()}
     assert got == again
+    D.release_cached(out)
+
+
+def test_leakage_safe_split_tolerates_caller_cluster_id(spark, docs):
+    """r10 ADVICE #3: a frame arriving straight out of the dedup tier
+    can already carry a ``cluster_id`` column; the split's internal
+    cluster label must not collide with it (it joins under the
+    reserved ``__lss_cluster_id`` name).  The caller's column must
+    survive untouched and the assignment must equal the clean-frame
+    run — an ambiguous-column error or a coalesce against the wrong
+    cluster_id fails both."""
+    from real_timetransactionaldatalakehouse_spark.operators import sampling as Smp
+
+    corpus = _with_mutants(docs)
+    kw = dict(jaccard_threshold=0.5,
+              weights={"train": 0.5, "eval": 0.5}, seed="split-v9")
+    noisy = corpus.withColumn("cluster_id", F.lit("caller-owned"))
+    out = Smp.leakage_safe_split(noisy, **kw)
+    assert "cluster_id" in out.columns
+    rows = out.collect()
+    assert rows and all(r.cluster_id == "caller-owned" for r in rows)
+    clean = {
+        r.doc_id: r.split
+        for r in Smp.leakage_safe_split(corpus, **kw).collect()
+    }
+    assert {r.doc_id: r.split for r in rows} == clean
     D.release_cached(out)
