@@ -92,6 +92,7 @@ def knn_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    validate: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (self-match excluded).
 
@@ -99,7 +100,19 @@ def knn_bruteforce(
     partition-local, no shuffle of candidates; the only shuffle is the
     per-query top-k window (|Q| x |C| -> |Q| x k after partial
     TakeOrdered in each partition... the window partitions by query).
+
+    ``validate=True`` (r11, VERDICT r10 #6) applies
+    :func:`valid_embeddings` to BOTH sides at the gate, so a
+    NaN-poisoned or zero-norm table fails into a clean filtered set
+    here instead of a mid-job ANSI DIVIDE_BY_ZERO.  Opt-in rather than
+    default because the gate silently DROPS offending rows — for a
+    pipeline that already validated upstream that's a redundant pass,
+    and for one that didn't, dropping must be an explicit decision
+    (the emit-nothing discipline every gate in this repo follows).
     """
+    if validate:
+        queries = valid_embeddings(queries, vec_col)
+        candidates = valid_embeddings(candidates, vec_col)
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -834,6 +847,7 @@ def embedding_neardup_pairs_lsh(
     collapse_exact: bool = False,
     max_bucket: int | None = None,
     target_recall: float = 0.9,
+    validate: bool = False,
 ) -> DataFrame:
     """Scale path for embedding near-dup: candidate pairs come from
     multi-table sign-LSH co-bucketing instead of the all-pairs cross
@@ -920,9 +934,15 @@ def embedding_neardup_pairs_lsh(
     the fold), while the fold reads the joined vectors in place.
     Arrow kernels win where the batch REDUCES data (signatures,
     bucket ids), not where it would round-trip full vectors per pair.
+
+    ``validate=True`` (r11, VERDICT r10 #6) applies
+    :func:`valid_embeddings` at the gate — opt-in because the gate
+    silently drops offending rows (see :func:`knn_bruteforce`).
     """
     from .dedup import _attach_cached
 
+    if validate:
+        df = valid_embeddings(df, vec_col)
     planes = _resolve_planes(planes, df, corpus_count)
     tables = _resolve_tables(tables, threshold, planes, target_recall)
     if collapse_exact:
@@ -1458,6 +1478,7 @@ def semantic_contamination(
     vec_col: str = "embedding",
     eval_id_col: str = "vec_id",
     eval_vec_col: str = "embedding",
+    validate: bool = False,
 ) -> DataFrame:
     """Embedding-space decontamination: flag corpus members whose
     cosine to ANY held-out eval vector clears ``threshold`` — the
@@ -1482,7 +1503,15 @@ def semantic_contamination(
     (score desc, eval id asc); anti-join the corpus against it to
     ship the clean split, or review the report sorted by
     ``top_score``.
+
+    ``validate=True`` (r11, VERDICT r10 #6) applies
+    :func:`valid_embeddings` to BOTH sides at the gate — opt-in
+    because the gate silently drops offending rows (see
+    :func:`knn_bruteforce`).
     """
+    if validate:
+        corpus = valid_embeddings(corpus, vec_col)
+        evalset = valid_embeddings(evalset, eval_vec_col)
     # guarded fan before the per-pair fold work (r6): a single-split
     # corpus scan (the single-row-group bench file; small ingest
     # batches) otherwise streams EVERY |corpus| x |eval| interpreted
@@ -1534,6 +1563,7 @@ def semantic_contamination_lsh(
     eval_vec_col: str = "embedding",
     corpus_count: int | None = None,
     target_recall: float = 0.9,
+    validate: bool = False,
 ) -> DataFrame:
     """Scale path for :func:`semantic_contamination`: candidate
     (corpus, eval) pairs come from multi-table sign-LSH co-bucketing
@@ -1579,7 +1609,15 @@ def semantic_contamination_lsh(
     achievable recall; decontamination runs that need high recall at
     loose thresholds should lower ``planes`` (paying denser verify
     work) or treat the exact operator as the authority.
+
+    ``validate=True`` (r11, VERDICT r10 #6) applies
+    :func:`valid_embeddings` to BOTH sides at the gate — opt-in
+    because the gate silently drops offending rows (see
+    :func:`knn_bruteforce`).
     """
+    if validate:
+        corpus = valid_embeddings(corpus, vec_col)
+        evalset = valid_embeddings(evalset, eval_vec_col)
     planes = _resolve_planes(planes, corpus, corpus_count)
     tables = _resolve_tables(tables, threshold, planes, target_recall)
     cb = _lsh_banded_narrow(corpus, "id", id_col, vec_col, planes, dim, tables)

@@ -1734,6 +1734,67 @@ def test_valid_embeddings_enforces_cosine_contract(spark):
     assert 7 in {r.vec_id for r in S.valid_embeddings(df, "emb").collect()}
 
 
+def test_validate_gate_on_cosine_entry_points(spark):
+    """r11 (VERDICT r10 #6): the cosine input contract is now an
+    opt-in ``validate`` parameter on the entry-points most exposed to
+    raw corpus tables.  A NULL/zero/NaN/inf-poisoned table must pass
+    through each entry-point with ``validate=True`` and yield exactly
+    the result of running on the manually pre-filtered clean subset —
+    no mid-job ANSI DIVIDE_BY_ZERO, no poisoned row surviving."""
+    healthy = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.95, 0.05, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    poison = [
+        (10, None),
+        (11, [0.0, 0.0, 0.0, 0.0]),
+        (12, [1.0, float("nan"), 0.0, 0.0]),
+        (13, [float("inf"), 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(healthy + poison,
+                               "vec_id long, emb array<double>")
+    clean = S.valid_embeddings(df, "emb")
+
+    def pairs(frame):
+        return {(r.id_a, r.id_b, round(r.score, 9)) for r in frame.collect()}
+
+    # knn_bruteforce (both sides gated)
+    got = {(r.query_id, r.neighbor_id)
+           for r in S.knn_bruteforce(df, df, k=1, vec_col="emb",
+                                     validate=True).collect()}
+    want = {(r.query_id, r.neighbor_id)
+            for r in S.knn_bruteforce(clean, clean, k=1,
+                                      vec_col="emb").collect()}
+    assert got == want and not ({10, 11, 12, 13} & {q for q, _ in got})
+
+    # LSH banding
+    got = pairs(S.embedding_neardup_pairs_lsh(
+        df, threshold=0.9, dim=4, vec_col="emb", validate=True))
+    want = pairs(S.embedding_neardup_pairs_lsh(
+        clean, threshold=0.9, dim=4, vec_col="emb"))
+    assert got == want and (1, 2) in {(a, b) for a, b, _ in got}
+
+    # exact + LSH semantic decontamination (corpus AND eval gated)
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.01, 0.0, 0.0]), (101, [0.0, 0.0, 0.0, 0.0]),
+         (102, [float("nan"), 1.0, 0.0, 0.0])],
+        "vec_id long, emb array<double>")
+    ev_clean = S.valid_embeddings(ev, "emb")
+    for fn, kw in (
+        (S.semantic_contamination, {}),
+        (S.semantic_contamination_lsh, {"dim": 4}),
+    ):
+        got = {(r.id, r.n_eval_hits, r.top_eval_id, round(r.top_score, 9))
+               for r in fn(df, ev, threshold=0.9, vec_col="emb",
+                           eval_vec_col="emb", validate=True, **kw).collect()}
+        want = {(r.id, r.n_eval_hits, r.top_eval_id, round(r.top_score, 9))
+                for r in fn(clean, ev_clean, threshold=0.9, vec_col="emb",
+                            eval_vec_col="emb", **kw).collect()}
+        assert got == want, (fn.__name__, got, want)
+        assert got and all(eid == 100 for _, _, eid, _ in got)
+
+
 def test_quality_classifier_separates_and_is_deterministic(spark):
     """r10 EXT: classifier-based quality filtering (the learned tier
     above the heuristic gates).  A seed of fluent sentences vs token
