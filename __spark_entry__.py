@@ -5347,6 +5347,89 @@ def q_split_leakage(spark, sf_dir):
 
 
 # =====================================================================
+# STAGED FOR r12 (VERDICT r10 #4) — q_split_assign_safe
+# =====================================================================
+# Written and pytest-certified in r11; NOT yet in _QUERIES/_ORACLES
+# because the rotation rule requires a new query to head the next
+# window and r11's 50 slots are fully owed to the freshness bound
+# (see _CHECK_FIRST).  r12 registration is mechanical: decorate
+# _staged_q_split_assign_safe with
+# @_q("q_split_assign_safe", _SPLIT_ASSIGN_SAFE_ORACLE) and place the
+# name at _CHECK_FIRST[0].  Until then tests/test_oracle_parity.py
+# drives this pair through the same three-way compare as registered
+# queries at sf0.001 and sf0.01.
+
+_SPLIT_ASSIGN_SAFE_ORACLE = f"""
+WITH RECURSIVE {_MUTATED_CORPUS_CTE}, {_SHINGLES_CTE},
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.id AS id_a, b.id AS id_b, {_SHINGLE_JACCARD} AS jaccard
+    FROM sh a JOIN sh b ON a.id < b.id
+  ) WHERE jaccard >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+clusters AS (SELECT src AS id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+keyed AS (
+  SELECT d.doc_id,
+         CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR) AS key
+  FROM all_docs d LEFT JOIN clusters c ON d.doc_id = c.id
+)
+SELECT doc_id,
+       CASE WHEN ('0x' || substr(md5(key || ':split-v1'), 1, 15))::BIGINT
+                 % 1000 < 900
+            THEN 'train' ELSE 'eval' END AS split
+FROM keyed
+"""
+
+
+def _staged_q_split_assign_safe(spark, sf_dir):
+    """X6aj promotion (staged): leakage-safe split assignment —
+    verified near-dup clusters (the q_neardup_clusters reachability
+    semantics) made split-ATOMIC: every member hash-buckets on its
+    cluster id, the un-clustered majority on its own doc id, so no
+    verified near-dup pair can straddle train/eval by construction
+    (operators/sampling.leakage_safe_split).  Same mutated corpus and
+    90/10 weights as q_split_leakage, whose audit over this
+    assignment is empty (pytest-pinned)."""
+    from real_timetransactionaldatalakehouse_spark.operators import sampling as Smp
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.catalog.clearCache()
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    mutated = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))
+        ).alias("text"),
+    )
+    return Smp.leakage_safe_split(
+        docs.unionByName(mutated),
+        jaccard_threshold=0.5,
+        weights={"train": 0.90, "eval": 0.10},
+        seed="split-v1",
+    ).select("doc_id", "split")
+
+
+#: r12 registration queue: name -> (query fn, oracle SQL)
+_STAGED_R12 = {
+    "q_split_assign_safe": (
+        _staged_q_split_assign_safe, _SPLIT_ASSIGN_SAFE_ORACLE
+    ),
+}
+
+
+# =====================================================================
 # Driver contract surface
 # =====================================================================
 

@@ -51,6 +51,19 @@ def test_every_query_has_callable():
     assert set(_ORACLES) <= set(_QUERIES)
 
 
+@pytest.mark.parametrize("name", sorted(entrymod._STAGED_R12))
+def test_staged_r12_query_parity(name, spark, sf_swept, duck):
+    """r11 (VERDICT r10 #4): a query written this round but registered
+    NEXT round (the rotation window had zero free slots) gets the same
+    three-way compare as registered queries at both SFs, so its r12
+    head slot starts from a certified baseline — and it must NOT be
+    registered yet (the r11 window's ordering is frozen)."""
+    fn, sql = entrymod._STAGED_R12[name]
+    assert name not in _QUERIES and name not in _ORACLES
+    res = compare_query(name, fn(spark, sf_swept), duck, sql)
+    assert res.ok, f"{name}: {res.detail}"
+
+
 def test_oracle_outputs_are_driver_certifiable(sf_small):
     """No oracle may produce a column the DRIVER's pandas-based
     canonicalizer mangles or crashes on — the repo's fetchall-based
