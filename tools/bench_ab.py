@@ -148,7 +148,16 @@ def interleaved_ab(
     missing_prev: list[str] = []
 
     for p in range(passes):
-        for label, root in (("prev", prev_root), ("curr", curr_root)):
+        # alternate which tree leads each round: with a fixed order the
+        # leader pays the session's cold phase every round (measured:
+        # prev-first gave prev floors 0.179/0.095/0.037 DESCENDING
+        # while curr sat warm at ~0.03 — a systematic bias toward
+        # whichever tree runs second).  Alternation makes the cold
+        # phase land on both trees equally across rounds.
+        pair = [("prev", prev_root), ("curr", curr_root)]
+        if p % 2:
+            pair.reverse()
+        for label, root in pair:
             ent = _load_entry(root)
             try:
                 qs = ent.queries()
