@@ -5421,10 +5421,72 @@ def _staged_q_split_assign_safe(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+_DEDUP_SUBSTRING_ORACLE = f"""
+WITH {_MUTATED_CORPUS_CTE},
+tk AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS t
+  FROM all_docs WHERE text IS NOT NULL
+),
+g AS (
+  SELECT id, i AS start,
+         ('0x' || substr(md5(array_to_string(list_slice(t, i, i + 7), ' ')),
+          1, 15))::BIGINT AS fp
+  FROM tk, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+  WHERE len(t) >= 8
+),
+dup AS (SELECT fp FROM g GROUP BY fp HAVING COUNT(*) > 1),
+hits AS (SELECT g.id, g.start, g.start + 7 AS e FROM g JOIN dup USING (fp)),
+m AS (
+  SELECT id, start, e,
+         MAX(e) OVER (PARTITION BY id ORDER BY start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM hits
+),
+isl AS (
+  SELECT id, start, e,
+         SUM(CASE WHEN pmax IS NULL OR start > pmax + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY id ORDER BY start) AS island
+  FROM m
+)
+SELECT id, MIN(start) AS span_start, MAX(e) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY id, island
+"""
+
+
+def _staged_q_dedup_substring(spark, sf_dir):
+    """X6ak (staged): exact duplicated-substring spans — the
+    ExactSubstr dedup class (Lee et al. ACL'22) as sliding 8-gram
+    banding + per-doc gaps-and-islands merge
+    (operators/dedup.substring_dup_spans, md5_60 hashes for the exact
+    SQL twin).  The drop-last-2-words mutants share long prefixes
+    with their originals at shifted-by-nothing offsets AND the
+    synthetic corpus carries natural cross-document repeats, so the
+    oracle checks both planted and organic spans."""
+    from real_timetransactionaldatalakehouse_spark.operators import dedup as D
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.catalog.clearCache()
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    mutated = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))
+        ).alias("text"),
+    )
+    return D.substring_dup_spans(
+        docs.unionByName(mutated), min_gram=8, hash_fn="md5_60"
+    )
+
+
 #: r12 registration queue: name -> (query fn, oracle SQL)
 _STAGED_R12 = {
     "q_split_assign_safe": (
         _staged_q_split_assign_safe, _SPLIT_ASSIGN_SAFE_ORACLE
+    ),
+    "q_dedup_substring": (
+        _staged_q_dedup_substring, _DEDUP_SUBSTRING_ORACLE
     ),
 }
 
@@ -5465,12 +5527,14 @@ _STAGED_R12 = {
 # SLOT BUDGET after r11: freshness ledger reads 5 r8 (the alphabetical
 # remainder — q_snapshot_diff q_text_tokens_bpe q_trending_velocity
 # q_ts_diff q_union_all — they hit the 4-round bound and MUST head
-# r12), 45 r9 (bound r13), 50 r10 (bound r14), 50 r11 = 150.
-# r12 window therefore = q_split_assign_safe (the staged new query,
-# rotation-rule head slot reserved below) + the 5 r8 greens + the 44
-# oldest r9 greens; the 1+ displaced r9 greens slide to r13 (legal:
-# r9's bound is r13).  The cascade stays within bounds through r15:
-# r13 = displaced r9 + oldest r10, r14 = remaining r10 + oldest r11.
+# r12), 45 r9 (bound r13), 50 r10 (bound r14), 50 r11 = 150 (+2
+# staged, registered in r12 -> 152).
+# r12 window therefore = the 2 staged new queries
+# (q_split_assign_safe, q_dedup_substring — rotation-rule head slots
+# reserved below) + the 5 r8 greens + the 43 oldest r9 greens; the 2
+# displaced r9 greens slide to r13 (legal: r9's bound is r13).  The
+# cascade stays within bounds through r15: r13 = displaced r9 +
+# oldest r10, r14 = remaining r10 + oldest r11.
 # The per-round sf0.001+sf0.01 pytest parity sweep remains the
 # documented backstop for everything outside the window, and
 # tools/parity_sweep.py commits a FULL-registry driver-style artifact
@@ -5530,12 +5594,13 @@ _CHECK_FIRST: list[str] = [
     "q_scan_project",
     "q_schema_evolution",
 ]
-# r12 rotation queue (reserved now, VERDICT r10 #4): head slot 1 =
-# q_split_assign_safe (the staged leakage-safe-split oracle query —
-# written and pytest-certified in r11, registered in r12 per the
-# rotation rule), then the 5 r8 greens at the bound (q_snapshot_diff
-# q_text_tokens_bpe q_trending_velocity q_ts_diff q_union_all), then
-# the 44 oldest r9 greens; the youngest r9 green slides to r13.
+# r12 rotation queue (reserved now, VERDICT r10 #4): head slots 1-2 =
+# q_split_assign_safe and q_dedup_substring (the staged queries in
+# _STAGED_R12 — written and pytest-certified in r11 at both SFs,
+# registered in r12 per the rotation rule), then the 5 r8 greens at
+# the bound (q_snapshot_diff q_text_tokens_bpe q_trending_velocity
+# q_ts_diff q_union_all), then the 43 oldest r9 greens; the 2
+# youngest r9 greens slide to r13.
 
 
 def _ranked(names: dict[str, object]) -> list[str]:

@@ -1247,3 +1247,93 @@ def passage_repetition(
             .cast("long").alias("dup_chunks"),
         )
     )
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    min_gram: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5_60",
+) -> DataFrame:
+    """Exact duplicated-SUBSTRING spans — the ExactSubstr dedup class
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL'22, which builds a corpus suffix array) re-expressed
+    Spark-first as sliding-gram banding: every ``min_gram``-token
+    window of every document is fingerprinted; a window whose
+    fingerprint occurs more than once ANYWHERE in the corpus
+    (cross-document or within one) marks its token range duplicated;
+    per document the marked ranges merge (overlapping or adjacent)
+    into maximal spans.
+
+    Output: ``(id, span_start, span_end, n_grams)``, one row per
+    merged span, token positions 1-based inclusive.  This is the
+    REPORT side of the report/act split every gate here follows:
+    trimming is a downstream slice of the token array around the
+    spans, and dropping is a threshold on
+    ``sum(span lengths) / doc length``.
+
+    vs :func:`passage_repetition`: stride-``chunk`` passages only see
+    duplication ALIGNED to chunk boundaries — a duplicated paragraph
+    starting mid-chunk contributes nothing — while the sliding window
+    here detects duplicated regions of >= ``min_gram`` tokens at ANY
+    offset (the ExactSubstr property), at ~``chunk``x the gram rows.
+    Both are linear in corpus tokens; this one is the thorough pass,
+    the passage profile is the cheap screen.
+
+    Scale shape: gram fingerprints build map-side from each row's
+    token array (one HOF ``transform`` + ``posexplode``; the text
+    never re-tokenizes per position), so the one data-sized shuffle
+    carries ``(fp, id, start)`` rows — never text.  Occurrence
+    marking is the same single-consumer COUNT window as
+    :func:`passage_repetition` (same hot-fingerprint caveat: corpus-
+    universal boilerplate should be dropped by top-occurrence first);
+    the span merge is a per-document prefix window (partition by id,
+    order by start — classic gaps-and-islands), linear and
+    skew-bounded by document length.  ``hash_fn="md5_60"`` keeps the
+    exact DuckDB twin; production runs use ``"xxhash64"`` (~10x
+    cheaper, the standard collision argument at 60+ bits).
+    """
+    from pyspark.sql import Window
+
+    hasher = TOKEN_HASHES[hash_fn]
+    L = int(min_gram)
+    if L < 2:
+        raise ValueError("min_gram must be >= 2")
+    t = tokens(text_col)
+    base = df.select(F.col(id_col).alias("id"), t.alias("__t")).filter(
+        F.size("__t") >= L
+    )
+    grams = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - L + 1),
+                lambda i: hasher(F.concat_ws(" ", F.slice("__t", i, L))),
+            )
+        ).alias("__pos0", "__fp"),
+    ).select("id", (F.col("__pos0") + 1).alias("start"), "__fp")
+    occ = F.count(F.lit(1)).over(Window.partitionBy("__fp"))
+    hits = (
+        grams.withColumn("__occ", occ)
+        .filter(F.col("__occ") > 1)
+        .select("id", "start", (F.col("start") + L - 1).alias("end"))
+    )
+    w = Window.partitionBy("id").orderBy("start")
+    prev_max = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "__new",
+        F.when(prev_max.isNull() | (F.col("start") > prev_max + 1), 1)
+        .otherwise(0),
+    ).withColumn("__isl", F.sum("__new").over(w))
+    return (
+        islands.groupBy("id", "__isl")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .select("id", "span_start", "span_end", "n_grams")
+    )

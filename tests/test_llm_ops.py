@@ -2137,3 +2137,35 @@ def test_leakage_safe_split_tolerates_caller_cluster_id(spark, docs):
     }
     assert {r.doc_id: r.split for r in rows} == clean
     D.release_cached(out)
+
+
+def test_substring_dup_spans_exactsubstr_semantics(spark):
+    """r11 EXT: duplicated-substring spans (the ExactSubstr dedup
+    class).  Planted: a 10-token run shared by two docs at DIFFERENT
+    offsets (stride-aligned passage profiling cannot see this) must
+    produce exactly one merged span per doc covering the run; a
+    clean doc emits nothing; an intra-doc repeat flags both copies as
+    separate spans when split by unique tokens; deterministic."""
+    shared = " ".join(f"dup{i}" for i in range(10))
+    d1 = "a1 a2 a3 " + shared + " a4 a5"      # run at tokens 4..13
+    d2 = "b1 " + shared + " b2 b3 b4 b5 b6"   # run at tokens 2..11
+    d3 = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"     # no duplication
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string")
+    out = D.substring_dup_spans(df, min_gram=8)
+    rows = {r.id: (r.span_start, r.span_end, r.n_grams)
+            for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1] == (4, 13, 3)   # starts 4,5,6 merged; ends at 6+7
+    assert rows[2] == (2, 11, 3)
+    # intra-doc repetition: two spans, split by the unique gap tokens
+    d4 = shared + " x1 x2 " + shared
+    out2 = D.substring_dup_spans(
+        spark.createDataFrame([(9, d4)], "doc_id long, text string"),
+        min_gram=8)
+    assert sorted((r.span_start, r.span_end) for r in out2.collect()) \
+        == [(1, 10), (13, 22)]
+    # deterministic across recomputation
+    again = {r.id: (r.span_start, r.span_end, r.n_grams)
+             for r in D.substring_dup_spans(df, min_gram=8).collect()}
+    assert rows == again
