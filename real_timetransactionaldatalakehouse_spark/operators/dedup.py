@@ -1337,3 +1337,69 @@ def substring_dup_spans(
         )
         .select("id", "span_start", "span_end", "n_grams")
     )
+
+
+def trim_duplicated_spans(
+    df: DataFrame,
+    spans: DataFrame | None = None,
+    min_gram: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5_60",
+) -> DataFrame:
+    """ACT side of :func:`substring_dup_spans`: rebuild each document
+    with every duplicated span's tokens removed.  Output: the input
+    columns with ``text_col`` replaced by the trimmed text plus
+    ``n_trimmed`` (tokens removed; 0 for untouched docs).
+
+    Semantics note, stated honestly: this removes EVERY marked
+    occurrence — more aggressive than Lee et al.'s keep-one-copy
+    ExactSubstr (which needs a global occurrence ordering to elect
+    the survivor); the aggressive form is what boilerplate/chrome
+    trimming wants (all copies are noise), while keep-one dedup of
+    whole documents stays the X1/X2 operators' job.  A document that
+    is one big duplicated span trims to the empty string — gate on
+    ``n_trimmed`` / original length downstream if empties must drop.
+
+    Scale shape: the span table is duplicated-region-sized (tiny
+    against the corpus); it aggregates to one array per affected doc
+    (collect_list over few spans) and joins back by id — one narrow
+    key shuffle.  The trim itself is a per-row HOF (position-filter
+    over the token array), map-only, codegen.
+    """
+    if spans is None:
+        spans = substring_dup_spans(df, min_gram, text_col, id_col, hash_fn)
+    sp = spans.groupBy("id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    ).withColumnRenamed("id", "__sid")
+    joined = df.join(
+        sp, F.col(id_col) == F.col("__sid"), "left"
+    ).drop("__sid")
+    t = tokens(text_col)
+    pos = F.transform(
+        t, lambda x, i: F.struct(x.alias("tok"), (i + 1).alias("p"))
+    )
+    kept = F.transform(
+        F.filter(
+            pos,
+            lambda s: ~F.exists(
+                F.col("__spans"),
+                lambda sv: (s["p"] >= sv["span_start"])
+                & (s["p"] <= sv["span_end"]),
+            ),
+        ),
+        lambda s: s["tok"],
+    )
+    out_text = F.when(
+        F.col("__spans").isNull() | F.col(text_col).isNull(),
+        F.col(text_col),
+    ).otherwise(F.concat_ws(" ", kept))
+    n_trimmed = F.when(
+        F.col("__spans").isNull() | F.col(text_col).isNull(), F.lit(0)
+    ).otherwise(F.size(t) - F.size(kept)).cast("long")
+    # n_trimmed FIRST: both expressions read text_col, and withColumn
+    # rebinds later expressions to the REPLACED column (the trimmed
+    # text would make n_trimmed re-trim its own output)
+    return joined.withColumn("n_trimmed", n_trimmed).withColumn(
+        text_col, out_text
+    ).drop("__spans")

@@ -2169,3 +2169,30 @@ def test_substring_dup_spans_exactsubstr_semantics(spark):
     again = {r.id: (r.span_start, r.span_end, r.n_grams)
              for r in D.substring_dup_spans(df, min_gram=8).collect()}
     assert rows == again
+
+
+def test_trim_duplicated_spans_removes_planted_runs(spark):
+    """r11 EXT: the act side of substring_dup_spans — planted shared
+    runs are removed from every carrier, untouched docs pass through
+    byte-identical with n_trimmed 0, and an all-duplicate doc trims
+    to empty rather than erroring."""
+    shared = " ".join(f"dup{i}" for i in range(10))
+    rows = [
+        (1, "a1 a2 a3 " + shared + " a4 a5"),
+        (2, "b1 " + shared + " b2 b3 b4 b5 b6"),
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.text, r.n_trimmed)
+           for r in D.trim_duplicated_spans(df, min_gram=8).collect()}
+    assert out[1] == ("a1 a2 a3 a4 a5", 10)
+    assert out[2] == ("b1 b2 b3 b4 b5 b6", 10)
+    assert out[3] == (rows[2][1], 0)
+    assert out[4] == (None, 0)
+    # a doc that IS a duplicated span trims to empty
+    two = spark.createDataFrame(
+        [(7, shared), (8, shared)], "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.n_trimmed)
+           for r in D.trim_duplicated_spans(two, min_gram=8).collect()}
+    assert got == {7: ("", 10), 8: ("", 10)}
