@@ -153,16 +153,26 @@ def select_threshold(
       sketch ``treeAggregate``, no shuffle of the corpus; the 100 TB
       shape (exact ``percentile`` would sort; the sketch error is a
       rounding term on a corpus-sized denominator).
-    - ``target_precision=p`` with a ``labeled_holdout`` (``id, label``,
-      1 = keep-worthy): tau is the SMALLEST score (max recall) whose
-      keep-set precision on the holdout is >= p.  Shape: join scores
-      onto the holdout (|holdout|-sized), bucket scores onto a fixed
-      ``bins``-cell grid, ONE groupBy down to <= bins rows, then a
-      cumulative precision scan over that bounded grid on the driver —
-      a metadata-sized collect (the boundary-sample convention), never
-      a corpus-wide window.  Raises ``ValueError`` if no threshold
-      attains the target (an unattainable gate must fail loudly, not
-      silently keep everything).
+    - ``target_precision=p`` with a ``labeled_holdout``
+      (``id_col, label_col``, 1 = keep-worthy): tau is the SMALLEST
+      score (max recall) whose keep-set precision on the holdout is
+      >= p.  Shape: join scores onto the holdout (|holdout|-sized),
+      bucket scores onto a fixed ``bins``-cell grid, ONE groupBy down
+      to <= bins rows, then a cumulative precision scan over that
+      bounded grid on the driver — a metadata-sized collect (the
+      boundary-sample convention), never a corpus-wide window.
+      Raises ``ValueError`` if no threshold attains the target (an
+      unattainable gate must fail loudly, not silently keep
+      everything).
+
+    Column contract: ``scored`` is :func:`score_quality` output —
+    its id column is named ``id`` (``prob_col`` names the score);
+    ``id_col``/``label_col`` name the HOLDOUT's columns.  Holdout
+    rows with no score (NULL-text documents never reach ``scored``
+    — the emit-nothing rule) are EXCLUDED from the calibration: the
+    precision target is met on the scored part of the holdout, which
+    is the only part the gate can ever act on; an unscorable holdout
+    member says nothing about where tau should sit.
 
     Returns tau as a float; compose downstream as
     ``scored.filter(F.col("prob_keep") >= tau)`` or feed ``prob_keep``
@@ -179,6 +189,10 @@ def select_threshold(
                 prob_col, 1.0 - target_keep_rate, 10_000
             ).alias("tau")
         ).first()
+        if row["tau"] is None:  # empty frame / all-NULL scores
+            raise ValueError(
+                "cannot calibrate a keep-rate threshold: the scored "
+                "frame has no non-NULL scores")
         return float(row["tau"])
     if labeled_holdout is None:
         raise ValueError("target_precision requires a labeled_holdout")
@@ -200,6 +214,10 @@ def select_threshold(
         .agg(F.count(F.lit(1)).alias("n"), F.sum("__y").alias("pos"))
         .collect()  # <= bins rows: bounded grid, not data-sized
     )
+    if not grid:
+        raise ValueError(
+            "the labeled holdout shares no ids with the scored frame — "
+            "nothing to calibrate on")
     cells = {int(r["__b"]): (int(r["n"]), float(r["pos"])) for r in grid}
     kept = pos = 0.0
     best: float | None = None

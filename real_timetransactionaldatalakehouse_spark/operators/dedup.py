@@ -775,8 +775,8 @@ def simhash_neardup_pairs(
     Recall bound (pigeonhole): with chunk widths ``w_1..w_c`` banded
     on all m-combinations, two signatures at hamming distance
     d <= c - m ALWAYS share an untouched combination and are
-    guaranteed candidates (both auto tiers: d <= 3).  For
-    c - m < d <= max_hamming a pair is found unless its differing
+    guaranteed candidates (tier 0: d <= 3; the growth tiers: d <= 4).
+    For c - m < d <= max_hamming a pair is found unless its differing
     bits spread across too many chunks — a known, documented recall
     gap of chunk banding; the standard fix when it matters is more
     chunks / larger m at higher candidate volume.

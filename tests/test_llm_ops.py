@@ -2040,6 +2040,24 @@ def test_select_threshold_precision_mode(spark):
         C.select_threshold(
             scored, target_keep_rate=0.5, target_precision=0.9,
             labeled_holdout=labels)
+    # degenerate inputs fail loudly, not with an opaque TypeError
+    # (review finding): empty scored frame in keep-rate mode, and a
+    # holdout sharing no ids with the scored frame in precision mode
+    empty = scored.filter(F.lit(False))
+    with _pytest.raises(ValueError, match="no non-NULL scores"):
+        C.select_threshold(empty, target_keep_rate=0.5)
+    disjoint = labels.withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000))
+    with _pytest.raises(ValueError, match="shares no ids"):
+        C.select_threshold(
+            scored, target_precision=0.9, labeled_holdout=disjoint)
+    # holdout rows absent from scored (e.g. NULL text) are excluded
+    # from calibration, per the documented column contract: adding
+    # unscorable rows must not move tau
+    padded = labels.unionByName(spark.createDataFrame(
+        [(900, 1), (901, 0)], "doc_id long, label int"))
+    assert C.select_threshold(
+        scored, target_precision=1.0, labeled_holdout=padded) == tau
 
 
 def test_calibrated_gate_feeds_pps_sampling(spark, docs):

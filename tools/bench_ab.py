@@ -74,14 +74,31 @@ def prev_round_tree(repo_root: str) -> tuple[str, str, str]:
     Returns (tree_root, sha, subject).  Round boundaries are the
     driver's own commits (subject ``round N: ...``), so "previous
     tree" is exactly the code the previous round's bench measured.
+    Two guards (review findings): the SUBJECT must match (``git log
+    --grep`` also matches body lines, which would mistake any commit
+    quoting a round line for a boundary), and the match must not be
+    HEAD itself — when bench is re-run right after a round commit
+    lands, comparing HEAD to HEAD would read paired ~1.0 and report
+    "no plan regression" without ever measuring the previous round.
     """
-    rev = subprocess.run(
-        ["git", "log", "--grep=^round [0-9]*:", "-n1", "--format=%H %s"],
-        cwd=repo_root, capture_output=True, text=True, check=True,
+    import re
+
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=repo_root,
+        capture_output=True, text=True, check=True,
     ).stdout.strip()
-    if not rev:
-        raise RuntimeError("no 'round N:' commit found on HEAD history")
-    sha, subject = rev.split(" ", 1)
+    log = subprocess.run(
+        ["git", "log", "--format=%H%x00%s", "-n", "2000"],
+        cwd=repo_root, capture_output=True, text=True, check=True,
+    ).stdout
+    sha = subject = None
+    for line in log.splitlines():
+        h, _, s = line.partition("\x00")
+        if re.match(r"^round [0-9]+:", s) and h != head:
+            sha, subject = h, s
+            break
+    if sha is None:
+        raise RuntimeError("no prior 'round N:' commit found on HEAD history")
     dest = os.path.join(repo_root, ".bench_ab", "prev")
     shutil.rmtree(dest, ignore_errors=True)
     os.makedirs(dest)
@@ -130,6 +147,8 @@ def interleaved_ab(
                 f"read_parquet('{sf_dir}/{t}.parquet')"
             )
     except Exception:
+        if con is not None:  # close a half-set-up connection, don't leak it
+            con.close()
         con = None
     finally:
         _unload(curr_root)
