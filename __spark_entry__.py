@@ -5601,6 +5601,12 @@ _CHECK_FIRST: list[str] = [
 # the bound (q_snapshot_diff q_text_tokens_bpe q_trending_velocity
 # q_ts_diff q_union_all), then the 43 oldest r9 greens; the 2
 # youngest r9 greens slide to r13.
+# r12 refactor note (r11 review finding, frozen by this rule until
+# the affected queries hold head slots): the drop-last-2-words
+# mutant-corpus block is duplicated verbatim at 8 call sites — when
+# registering the staged queries, extract a _mutated_corpus(docs)
+# helper and migrate sites only as their queries rotate through the
+# window head.
 
 
 def _ranked(names: dict[str, object]) -> list[str]:
