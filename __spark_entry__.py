@@ -2620,6 +2620,27 @@ all_docs AS (
   FROM documents WHERE doc_id < 20
 )"""
 
+
+def _mutated_corpus(docs: DataFrame) -> DataFrame:
+    """Spark twin of _MUTATED_CORPUS_CTE: the documents corpus plus
+    drop-last-2-words near-copies of docs 0-19 at doc_id+200000.
+
+    Extracted in r12 (the r11 review flagged 8 verbatim copies of this
+    block as a silent-divergence hazard — an edit to one site would
+    unsync its 7 siblings' oracles).  Per the rotation rule, call
+    sites migrate here only in the round their query holds a window
+    head slot; the remaining literal sites are byte-identical to this
+    body and rotate in as their heads come up (r13+).
+    """
+    toks = F.split(F.col("text"), " ")
+    mutated = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))
+        ).alias("text"),
+    )
+    return docs.unionByName(mutated)
+
 # distinct word-3-gram shingle sets per doc (twin of dedup.word_shingles)
 _SHINGLES_CTE = """
 sh AS (
@@ -5256,14 +5277,7 @@ def q_dedup_passage(spark, sf_dir):
     from real_timetransactionaldatalakehouse_spark.operators import dedup as D
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split(F.col("text"), " ")
-    mutated = docs.filter(F.col("doc_id") < 20).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
-        F.concat_ws(
-            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))
-        ).alias("text"),
-    )
-    return D.passage_repetition(docs.unionByName(mutated), chunk=8)
+    return D.passage_repetition(_mutated_corpus(docs), chunk=8)
 
 
 @_q("q_shard_layout", """
@@ -5347,17 +5361,10 @@ def q_split_leakage(spark, sf_dir):
 
 
 # =====================================================================
-# STAGED FOR r12 (VERDICT r10 #4) — q_split_assign_safe
+# Registered in r12 as the reserved window heads (VERDICT r10 #4,
+# r11 #1) — written and both-SF parity-certified in r11 while the
+# r11 window had zero free slots; see _CHECK_FIRST.
 # =====================================================================
-# Written and pytest-certified in r11; NOT yet in _QUERIES/_ORACLES
-# because the rotation rule requires a new query to head the next
-# window and r11's 50 slots are fully owed to the freshness bound
-# (see _CHECK_FIRST).  r12 registration is mechanical: decorate
-# _staged_q_split_assign_safe with
-# @_q("q_split_assign_safe", _SPLIT_ASSIGN_SAFE_ORACLE) and place the
-# name at _CHECK_FIRST[0].  Until then tests/test_oracle_parity.py
-# drives this pair through the same three-way compare as registered
-# queries at sf0.001 and sf0.01.
 
 _SPLIT_ASSIGN_SAFE_ORACLE = f"""
 WITH RECURSIVE {_MUTATED_CORPUS_CTE}, {_SHINGLES_CTE},
@@ -5392,8 +5399,9 @@ FROM keyed
 """
 
 
-def _staged_q_split_assign_safe(spark, sf_dir):
-    """X6aj promotion (staged): leakage-safe split assignment —
+@_q("q_split_assign_safe", _SPLIT_ASSIGN_SAFE_ORACLE)
+def q_split_assign_safe(spark, sf_dir):
+    """X6aj promotion (registered r12): leakage-safe split assignment —
     verified near-dup clusters (the q_neardup_clusters reachability
     semantics) made split-ATOMIC: every member hash-buckets on its
     cluster id, the un-clustered majority on its own doc id, so no
@@ -5403,18 +5411,9 @@ def _staged_q_split_assign_safe(spark, sf_dir):
     assignment is empty (pytest-pinned)."""
     from real_timetransactionaldatalakehouse_spark.operators import sampling as Smp
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.catalog.clearCache()
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split(F.col("text"), " ")
-    mutated = docs.filter(F.col("doc_id") < 20).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
-        F.concat_ws(
-            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))
-        ).alias("text"),
-    )
     return Smp.leakage_safe_split(
-        docs.unionByName(mutated),
+        _mutated_corpus(docs),
         jaccard_threshold=0.5,
         weights={"train": 0.90, "eval": 0.10},
         seed="split-v1",
@@ -5454,8 +5453,9 @@ FROM isl GROUP BY id, island
 """
 
 
-def _staged_q_dedup_substring(spark, sf_dir):
-    """X6ak (staged): exact duplicated-substring spans — the
+@_q("q_dedup_substring", _DEDUP_SUBSTRING_ORACLE)
+def q_dedup_substring(spark, sf_dir):
+    """X6ak (registered r12): exact duplicated-substring spans — the
     ExactSubstr dedup class (Lee et al. ACL'22) as sliding 8-gram
     banding + per-doc gaps-and-islands merge
     (operators/dedup.substring_dup_spans, md5_60 hashes for the exact
@@ -5465,30 +5465,14 @@ def _staged_q_dedup_substring(spark, sf_dir):
     oracle checks both planted and organic spans."""
     from real_timetransactionaldatalakehouse_spark.operators import dedup as D
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.catalog.clearCache()
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split(F.col("text"), " ")
-    mutated = docs.filter(F.col("doc_id") < 20).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
-        F.concat_ws(
-            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))
-        ).alias("text"),
-    )
     return D.substring_dup_spans(
-        docs.unionByName(mutated), min_gram=8, hash_fn="md5_60"
+        _mutated_corpus(docs), min_gram=8, hash_fn="md5_60"
     )
 
 
-#: r12 registration queue: name -> (query fn, oracle SQL)
-_STAGED_R12 = {
-    "q_split_assign_safe": (
-        _staged_q_split_assign_safe, _SPLIT_ASSIGN_SAFE_ORACLE
-    ),
-    "q_dedup_substring": (
-        _staged_q_dedup_substring, _DEDUP_SUBSTRING_ORACLE
-    ),
-}
+# (r12: the _STAGED_R12 queue emptied — both staged queries are now
+# registered above and hold the reserved window head slots.)
 
 
 # =====================================================================
@@ -5507,106 +5491,110 @@ _STAGED_R12 = {
 # Every name rotating out must already hold a hash-green driver row from a
 # past round AND pass the sf0.001+sf0.01 pytest parity sweep.
 #
-# Round-11 window (VERDICT r10 #1, the zero-slack round, executed
-# exactly as the r10 ledger queued it).  Head: the 15 r7 greens that
-# hit the 4-round freshness bound this round (they were displaced
-# from the r10 window by r10's changed-query head).  Then the 35
-# OLDEST of the 40 r8-fresh greens (within an equally-aged cohort
-# "oldest" is alphabetical order — the same deterministic tiebreak the
-# r10 window used for its r7 segment).
+# Round-12 window (VERDICT r11 #1, executed exactly as the r11 ledger
+# reserved it).  Head slots 1-2: the two r11-staged queries, newly
+# registered this round (q_split_assign_safe, q_dedup_substring — the
+# rotation rule's new-query head requirement; both were parity-
+# certified at sf0.001+sf0.01 throughout r11 via
+# tests/test_oracle_parity.py).  Then the 5 r8 greens at the 4-round
+# freshness bound (q_snapshot_diff q_text_tokens_bpe
+# q_trending_velocity q_ts_diff q_union_all — they MUST appear this
+# round), then the 43 OLDEST of the 45 r9-fresh greens (within an
+# equally-aged cohort "oldest" is alphabetical order — the standing
+# deterministic tiebreak since the r10 window).
 #
-# r11 carries ZERO implementation changes to certified queries: every
-# r11 code change is either net-new surface (classify threshold
-# helper, staged r12 query), opt-in-only parameters dead by default
-# (valid_embeddings gates), docstring/tooling fixes, or — the one
-# exception — simhash `chunks="auto"`, which is BIT-IDENTICAL to the
-# fixed 4x16 scheme at every corpus size below the derived growth
-# threshold (pytest-pinned; q_simhash_neardup output unchanged at
-# sf0.001/sf0.01, and it additionally holds a current r10 driver row).
+# r12 changes to certified queries, all rotation-legal:
+#   - q_dedup_passage (r9 cohort, IN this window) migrates its
+#     mutant-corpus block to the new _mutated_corpus() helper — a
+#     byte-identical plan (pytest parity re-certifies it here).
+#   - q_table_stats / q_sorted_write / q_bucket_pruned_lookup
+#     (rows-only summaries, r10 cohort) convert from boolean-column
+#     to row-dropping form per VERDICT r11 #6; they take the r13
+#     head slots reserved below.
+#   - Everything else is net-new surface (max_occ cap, keep="first"
+#     trim, semantic_dedup validate=) that is opt-in / default-off,
+#     with certified defaults pytest-pinned unchanged.
 #
-# SLOT BUDGET after r11: freshness ledger reads 5 r8 (the alphabetical
-# remainder — q_snapshot_diff q_text_tokens_bpe q_trending_velocity
-# q_ts_diff q_union_all — they hit the 4-round bound and MUST head
-# r12), 45 r9 (bound r13), 50 r10 (bound r14), 50 r11 = 150 (+2
-# staged, registered in r12 -> 152).
-# r12 window therefore = the 2 staged new queries
-# (q_split_assign_safe, q_dedup_substring — rotation-rule head slots
-# reserved below) + the 5 r8 greens + the 43 oldest r9 greens; the 2
-# displaced r9 greens slide to r13 (legal: r9's bound is r13).  The
-# cascade stays within bounds through r15: r13 = displaced r9 +
-# oldest r10, r14 = remaining r10 + oldest r11.
+# SLOT BUDGET after r12: freshness ledger reads 2 r9 (q_window_rank_stats
+# q_zscore_norm — displaced here, bound r13, MUST head r13), 47 r10
+# (bound r14; 3 of them — the changed rows-only summaries — MUST also
+# head r13 per the rotation rule), 50 r11 (bound r15), 50 r12 + the 3
+# changed r10 summaries certified rows-only this round = 152 total.
+# r13 window therefore = 2 displaced r9 + the 3 changed r10 summaries
+# + the 45 oldest unchanged r10 greens; 2 youngest r10 slide to r14
+# (legal: r10's bound is r14).  The cascade stays within bounds
+# through r15: r14 = remaining r10 + oldest r11, r15 = remaining r11
+# + oldest r12.
 # The per-round sf0.001+sf0.01 pytest parity sweep remains the
 # documented backstop for everything outside the window, and
 # tools/parity_sweep.py commits a FULL-registry driver-style artifact
-# each round (PARITY_r11.json on this tree), so every query carries a
+# each round (PARITY_r12.json on this tree), so every query carries a
 # current-round reproducible record regardless of the 50-slot budget.
 _CHECK_FIRST: list[str] = [
-    # -- the 15 r7 greens at the 4-round freshness bound (MUST head)
-    "q_filter_in",
-    "q_filter_range",
-    "q_having_count",
-    "q_jaccard_pairs",
-    "q_join_anti",
-    "q_join_semi",
-    "q_split_assign",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_stats",
-    "q_text_tokens",
-    "q_topk_per_group",
-    "q_vocab_topn",
-    "q_window_sliding",
-    "q_window_tumbling_1min",
-    # -- the 35 oldest r8-fresh greens (alphabetical within the cohort)
-    "q_agg_bool",
-    "q_agg_corr",
-    "q_agg_geomean",
-    "q_agg_harmonic",
-    "q_agg_mode",
-    "q_agg_skew",
-    "q_agg_variance",
-    "q_array_hof",
-    "q_bpe_pairs",
-    "q_corpus_prep",
-    "q_dedup_exact",
-    "q_embed_centroids",
-    "q_embed_clusters",
-    "q_except",
-    "q_funnel",
-    "q_fuzzy_pairs",
-    "q_gopher_filter",
-    "q_grouping_sets",
-    "q_intersect",
-    "q_join_broadcast",
-    "q_join_inner_equi",
-    "q_join_left_enrich",
-    "q_json_extract",
-    "q_mor_upsert",
-    "q_multimodal_features",
-    "q_orderby",
-    "q_orderby_limit_topk",
-    "q_pack_sequences",
-    "q_pivot",
-    "q_project_cast",
-    "q_quality_gate",
-    "q_retention_filter",
-    "q_rollup",
-    "q_scan_project",
-    "q_schema_evolution",
+    # -- the 2 newly registered queries (rotation-rule head slots)
+    "q_split_assign_safe",
+    "q_dedup_substring",
+    # -- the 5 r8 greens at the 4-round freshness bound (MUST appear)
+    "q_snapshot_diff",
+    "q_text_tokens_bpe",
+    "q_trending_velocity",
+    "q_ts_diff",
+    "q_union_all",
+    # -- the 43 oldest r9-fresh greens (alphabetical within the cohort)
+    "q_agg_count_distinct",
+    "q_agg_pct_threshold",
+    "q_agg_ratio_velocity",
+    "q_bm25_search",
+    "q_collect_set",
+    "q_column_profile",
+    "q_contamination_report",
+    "q_decontaminate",
+    "q_decontaminate_ngram",
+    "q_dedup_latest",
+    "q_dedup_passage",
+    "q_embed_neardup",
+    "q_embed_neardup_lsh",
+    "q_embed_quantize",
+    "q_ewma_anomaly",
+    "q_ewma_state",
+    "q_first_value_ignore_nulls",
+    "q_freshness_view",
+    "q_json_parse_struct",
+    "q_keywords_per_doc",
+    "q_knn_ivf",
+    "q_knn_lsh",
+    "q_knn_topk",
+    "q_max_over_partition",
+    "q_merge_upsert",
+    "q_minmax_scale",
+    "q_moving_avg",
+    "q_ratio_to_total",
+    "q_robust_scale",
+    "q_running_total",
+    "q_sample_exact_n",
+    "q_scan_limit",
+    "q_semantic_decontaminate_lsh",
+    "q_semdedup",
+    "q_session_window_agg",
+    "q_silver_view",
+    "q_sql_text",
+    "q_string_funcs",
+    "q_text_entropy",
+    "q_union_evolve",
+    "q_unpivot",
+    "q_window_lead",
+    "q_window_range_frame",
 ]
-# r12 rotation queue (reserved now, VERDICT r10 #4): head slots 1-2 =
-# q_split_assign_safe and q_dedup_substring (the staged queries in
-# _STAGED_R12 — written and pytest-certified in r11 at both SFs,
-# registered in r12 per the rotation rule), then the 5 r8 greens at
-# the bound (q_snapshot_diff q_text_tokens_bpe q_trending_velocity
-# q_ts_diff q_union_all), then the 43 oldest r9 greens; the 2
-# youngest r9 greens slide to r13.
-# r12 refactor note (r11 review finding, frozen by this rule until
-# the affected queries hold head slots): the drop-last-2-words
-# mutant-corpus block is duplicated verbatim at 8 call sites — when
-# registering the staged queries, extract a _mutated_corpus(docs)
-# helper and migrate sites only as their queries rotate through the
-# window head.
+# r13 rotation queue (reserved now): head slots = the 2 displaced r9
+# greens at the bound (q_window_rank_stats, q_zscore_norm) + the 3
+# r12-changed rows-only summaries (q_table_stats, q_sorted_write,
+# q_bucket_pruned_lookup — row-dropping conversion, VERDICT r11 #6),
+# then the 45 oldest unchanged r10 greens; 2 youngest r10 slide to
+# r14.  Mutant-corpus literal sites still owed migration to
+# _mutated_corpus() as their queries reach a head slot (r11 review
+# note): q_neardup_minhash, q_neardup_cross_corpus,
+# q_neardup_verified, q_simhash_neardup, q_split_leakage (all r10
+# cohort — migrate whichever of these land in the r13/r14 windows).
 
 
 def _ranked(names: dict[str, object]) -> list[str]:
