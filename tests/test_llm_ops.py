@@ -2214,3 +2214,84 @@ def test_trim_duplicated_spans_removes_planted_runs(spark):
     got = {r.doc_id: (r.text, r.n_trimmed)
            for r in D.trim_duplicated_spans(two, min_gram=8).collect()}
     assert got == {7: ("", 10), 8: ("", 10)}
+
+
+def test_max_occ_cap_is_output_preserving(spark):
+    """r12 (VERDICT r11 #3): the hot-fingerprint skew guard.  A
+    corpus-universal boilerplate gram (planted in 30% of docs) makes
+    one COUNT-window partition straggler-sized at scale; max_occ=N
+    routes fingerprints with count > N around the window via a
+    broadcast heavy-list — and because any fingerprint over the cap
+    is duplicated BY CONSTRUCTION, the output must be bit-identical
+    to the uncapped run for every N >= 1."""
+    boiler = " ".join(f"lic{i}" for i in range(8))  # one full chunk/gram
+    rows = [
+        (i, (boiler + " " if i % 10 < 3 else "")
+            + " ".join(f"w{i}_{j}" for j in range(16)))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fn, kw in (
+        (D.passage_repetition, dict(chunk=8)),
+        (D.substring_dup_spans, dict(min_gram=8)),
+    ):
+        base = sorted(map(tuple, fn(df, **kw).collect()))
+        assert base  # the planted boilerplate must actually mark rows
+        for cap in (1, 2, 29, 1000):
+            capped = sorted(map(tuple, fn(df, max_occ=cap, **kw).collect()))
+            assert capped == base, (fn.__name__, cap)
+    with pytest.raises(ValueError, match="max_occ"):
+        D.passage_repetition(df, chunk=8, max_occ=0).collect()
+
+
+def test_keep_first_trim_elects_one_survivor(spark):
+    """r12 (VERDICT r11 #4): Lee et al.'s keep-one-copy ExactSubstr.
+    One cross-doc planted run -> the copy in the LOWEST doc_id
+    survives untouched, every other carrier loses exactly the run;
+    an intra-doc repeat keeps its earliest offset; keep='none' stays
+    the aggressive all-copies default; a precomputed spans frame
+    with keep='first' is rejected (no occurrence info)."""
+    shared = " ".join(f"dup{i}" for i in range(10))
+    rows = [
+        (1, "a1 a2 a3 " + shared + " a4 a5"),
+        (2, "b1 " + shared + " b2 b3 b4 b5 b6"),
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.text, r.n_trimmed)
+           for r in D.trim_duplicated_spans(df, min_gram=8,
+                                            keep="first").collect()}
+    assert out[1] == (rows[0][1], 0)          # survivor: untouched
+    assert out[2] == ("b1 b2 b3 b4 b5 b6", 10)
+    assert out[3] == (rows[2][1], 0)
+    # intra-doc repeat: earliest offset survives
+    d4 = shared + " x1 x2 " + shared
+    one = spark.createDataFrame([(9, d4)], "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.n_trimmed)
+           for r in D.trim_duplicated_spans(one, min_gram=8,
+                                            keep="first").collect()}
+    assert got == {9: (shared + " x1 x2", 10)}
+    # keep="none" on the same corpus removes every copy (unchanged)
+    allgone = {r.doc_id: r.n_trimmed
+               for r in D.trim_duplicated_spans(df, min_gram=8).collect()}
+    assert allgone == {1: 10, 2: 10, 3: 0}
+    with pytest.raises(ValueError, match="spans=None"):
+        D.trim_duplicated_spans(
+            df, spans=D.substring_dup_spans(df), keep="first")
+    with pytest.raises(ValueError, match="keep"):
+        D.trim_duplicated_spans(df, keep="latest")
+
+
+def test_removable_spans_keep_first_determinism(spark):
+    """The survivor election is min (id, start) — a total order — so
+    the removable-span table is identical across recomputation and
+    row-order permutation."""
+    shared = " ".join(f"dup{i}" for i in range(12))
+    rows = [(i, f"p{i} " + shared + f" q{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple,
+                   D.removable_spans_keep_first(df, min_gram=8).collect()))
+    b = sorted(map(tuple, D.removable_spans_keep_first(
+        df.orderBy(F.rand(7)), min_gram=8).collect()))
+    assert a == b
+    assert {t[0] for t in a} == set(range(1, 6))  # doc 0 survives
