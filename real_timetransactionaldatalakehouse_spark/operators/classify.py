@@ -221,7 +221,14 @@ def select_threshold(
     cells = {int(r["__b"]): (int(r["n"]), float(r["pos"])) for r in grid}
     kept = pos = 0.0
     best: float | None = None
-    for b in range(bins - 1, -1, -1):  # sweep tau downward: max recall
+    # Sweep tau downward (max recall) but CLAMP at the lowest
+    # populated holdout bucket (r12, ADVICE r11): buckets below it
+    # hold zero holdout evidence, so continuing to lower `best`
+    # through them calibrates the low-score region from nothing —
+    # when the whole holdout met the target, tau came back 0.0, a
+    # disabled gate.  tau never drops below the lowest score the
+    # holdout actually witnessed.
+    for b in range(bins - 1, min(cells) - 1, -1):
         if b in cells:
             kept += cells[b][0]
             pos += cells[b][1]

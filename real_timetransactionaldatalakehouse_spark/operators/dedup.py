@@ -806,7 +806,22 @@ def simhash_neardup_pairs(
     shuffles and zero Python stages.
     """
     if chunks == "auto":
-        n = corpus_count if corpus_count is not None else df.count()
+        if corpus_count is not None:
+            n = corpus_count
+        else:
+            # eager plan execution at CONSTRUCTION time (ADVICE r11):
+            # the upstream plan runs here for the count and again for
+            # signatures — callers with an expensive lazy upstream
+            # should pass corpus_count (or persist df first); logged
+            # so the extra action is visible, not silent.
+            import logging
+
+            logging.getLogger(__name__).info(
+                "simhash_neardup_pairs(chunks='auto'): no corpus_count "
+                "given — running df.count() eagerly at construction; "
+                "the upstream plan will execute twice"
+            )
+            n = df.count()
         widths, m = derive_simhash_chunks(n, max_bucket)
     else:
         widths, m = chunks

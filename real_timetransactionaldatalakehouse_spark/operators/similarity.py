@@ -1230,6 +1230,7 @@ def semantic_dedup(
     max_id: int | None = None,
     max_cell: int | None = None,
     collapse_exact: bool = False,
+    validate: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, score pairs ONLY
@@ -1298,6 +1299,16 @@ def semantic_dedup(
     joins and runs the plain plan, which produces the identical
     output when no duplicate group exists.
 
+    ``validate=True`` (r12, VERDICT r11 #5 — the one cosine
+    entry-point the r11 pass missed) applies :func:`valid_embeddings`
+    at the gate, matching its three sibling entry-points: a
+    NaN-poisoned or NULL-row table fails into a clean filtered set
+    instead of a mid-job ANSI error.  Opt-in because the gate DROPS
+    rows — same default-off reasoning as :func:`knn_bruteforce`.
+    (Zero-norm vectors were already inert here — they never pair —
+    but the gate removes them before cell assignment ever folds
+    them.)
+
     Output: ``(id, cell, cluster_id, n_members, keep)`` for every
     member of a duplicate group; singletons never enter the pair graph
     and are implicit keeps (``dedup.neardup_clusters`` contract).
@@ -1306,6 +1317,8 @@ def semantic_dedup(
 
     import math
 
+    if validate:
+        df = valid_embeddings(df, vec_col)
     base = df if max_id is None else df.filter(F.col(id_col) < max_id)
     base = base.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),

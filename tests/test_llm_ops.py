@@ -1848,6 +1848,47 @@ def test_validate_gate_on_cosine_entry_points(spark):
         assert got and all(eid == 100 for _, _, eid, _ in got)
 
 
+def test_validate_gate_on_semantic_dedup(spark):
+    """r12 (VERDICT r11 #5): semantic_dedup gets the same opt-in
+    ``validate`` gate as its three sibling cosine entry-points — a
+    poisoned table with validate=True yields exactly the clean
+    subset's result, and the default stays off (NULL rows would
+    otherwise ANSI-error in cell assignment, so defaults are compared
+    on the healthy subset plus the inert zero-norm row)."""
+    healthy = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.999, 0.01, 0.0]),
+    ]
+    poison = [
+        (10, None),
+        (11, [0.0, 0.0, 0.0, 0.0]),
+        (12, [1.0, float("nan"), 0.0, 0.0]),
+        (13, [float("inf"), 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(healthy + poison,
+                               "vec_id long, emb array<double>")
+    clean = S.valid_embeddings(df, "emb")
+
+    def groups(frame):
+        return {(r.id, r.cluster_id, r.n_members, r.keep)
+                for r in frame.collect()}
+
+    kw = dict(k=2, threshold=0.9, vec_col="emb")
+    got = groups(S.semantic_dedup(df, validate=True, **kw))
+    want = groups(S.semantic_dedup(clean, **kw))
+    assert got == want, (got, want)
+    ids = {t[0] for t in got}
+    assert ids and not ({10, 11, 12, 13} & ids)
+    # default-off is unchanged: the zero-norm row is inert by the
+    # pair-path contract even without the gate
+    no_gate = groups(S.semantic_dedup(
+        spark.createDataFrame(healthy + [(11, [0.0, 0.0, 0.0, 0.0])],
+                              "vec_id long, emb array<double>"), **kw))
+    assert no_gate == got
+
+
 def test_quality_classifier_separates_and_is_deterministic(spark):
     """r10 EXT: classifier-based quality filtering (the learned tier
     above the heuristic gates).  A seed of fluent sentences vs token
@@ -2295,3 +2336,26 @@ def test_removable_spans_keep_first_determinism(spark):
         df.orderBy(F.rand(7)), min_gram=8).collect()))
     assert a == b
     assert {t[0] for t in a} == set(range(1, 6))  # doc 0 survives
+
+
+def test_select_threshold_clamps_at_lowest_populated_bucket(spark):
+    """r12 (ADVICE r11): when the ENTIRE holdout meets the precision
+    target the sweep used to keep lowering tau through empty bins all
+    the way to 0.0 — a disabled gate calibrated from zero evidence
+    about the low-score region.  tau must now clamp at the lowest
+    score bucket the holdout actually witnessed."""
+    from real_timetransactionaldatalakehouse_spark.operators import classify as C
+
+    bins = 1000
+    scored = spark.createDataFrame(
+        [(1, 0.91), (2, 0.74), (3, 0.655)], "id long, prob_keep double")
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, label int")
+    tau = C.select_threshold(
+        scored, target_precision=1.0, labeled_holdout=labels, bins=bins)
+    assert tau == 655 / bins  # lowest populated bucket, NOT 0.0
+    # corpus rows below every holdout score are no longer blanket-kept
+    corpus = spark.createDataFrame(
+        [(10, 0.05), (11, 0.64), (12, 0.66)], "id long, prob_keep double")
+    kept = {r.id for r in corpus.filter(F.col("prob_keep") >= tau).collect()}
+    assert kept == {12}
