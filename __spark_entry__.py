@@ -1169,22 +1169,33 @@ def q_array_explode(spark, sf_dir):
 # A/M. Infrastructure (rows-only checks)
 # =====================================================================
 
+def _summary_passing(spark, triples):
+    """Row-dropping no-oracle convention (r12, VERDICT r11 #6 — the
+    q_agg_sketches pattern): emit ONLY ``(kind, metric)`` rows whose
+    invariant HOLDS, so a regression moves the driver's spark_rows
+    instead of flipping a boolean value the rows-only check cannot
+    see."""
+    return spark.createDataFrame(
+        [(k, int(m)) for k, m, ok in triples if ok],
+        "kind string, metric long",
+    )
+
+
 @_q("q_table_stats")  # rows-only: file-level stats are env-dependent
 def q_table_stats(spark, sf_dir):
     """A10: engine-maintained table stats — the reference's tbl$files
     metadata dashboards (lakehouse_monitor.json:117,314).
 
-    Live rows-only signal (r9 VERDICT #4): one row PER FILE (its row
-    count via input_file_name) plus summary rows cross-checking
-    maintenance.table_stats against the scan — n_files from the stats
-    listing must equal the distinct-file count of the scan, and the
-    per-file rows must sum to the table's rows.  What each signal can
-    catch (r10 ADVICE #1, stated honestly): a listing/versioned-path
-    regression changes the ROW COUNT, which the driver's rows-only
-    check sees; a stats/scan disagreement changes the
-    scan_files_agree VALUE (0 vs 1) but not the row count — that
-    regression is pinned by pytest (tests/test_oracle_parity.py),
-    not by the driver."""
+    Live rows-only signal, row-DROPPING form (r12, VERDICT r11 #6;
+    previously the agreement was a 0/1 VALUE invisible to the
+    driver's rows-only check): one row PER FILE (its row count via
+    input_file_name), plus a ``files_agree`` summary row emitted ONLY
+    when maintenance.table_stats' n_files equals the scan's
+    distinct-file count, plus an unconditional ``total_rows`` row.  A
+    listing/versioned-path regression moves the per-file row count; a
+    stats/scan disagreement now DROPS the files_agree row — both move
+    spark_rows (planted-violation pytest in
+    tests/test_oracle_parity.py)."""
     from real_timetransactionaldatalakehouse_spark.maintenance import table_stats
 
     path = f"{sf_dir}/lineitem.parquet"
@@ -1199,13 +1210,13 @@ def q_table_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n"), F.sum("metric").alias("rows")
     ).first()
     st = stats.first()
-    summary = spark.createDataFrame(
+    summary = _summary_passing(
+        spark,
         [
-            ("n_files", int(st["n_files"])),
-            ("scan_files_agree", int(int(st["n_files"]) == int(scan_files["n"]))),
-            ("total_rows", int(scan_files["rows"])),
+            ("files_agree", int(st["n_files"]),
+             int(st["n_files"]) == int(scan_files["n"])),
+            ("total_rows", int(scan_files["rows"]), True),
         ],
-        "kind string, metric long",
     )
     return per_file.unionByName(summary).orderBy("kind", "metric")
 
@@ -1216,16 +1227,18 @@ def q_sorted_write(spark, sf_dir):
     stream_content.py:51,64) — write events sorted within partitions by
     ts, read back and prove count + per-file ordering survive.
 
-    Live rows-only signal (r9 VERDICT #4): one row PER WRITTEN FILE
-    with its row count, distinct-key count, and a read-back
-    sort-violation count (lag(ts) > ts over the file's physical row
-    order via monotonically_increasing_id — ids increase within a scan
-    task, and these small files each read as one contiguous run).
-    What each signal can catch (r10 ADVICE #1, stated honestly): a
-    partitioning regression moves the FILE COUNT, visible to the
-    driver's rows-only check; a sort regression flips the sorted_ok
-    VALUE without changing the row count — that one is pinned by
-    pytest (tests/test_oracle_parity.py), not by the driver."""
+    Live rows-only signal, row-DROPPING form (r12, VERDICT r11 #6;
+    previously a sort regression flipped the sorted_ok VALUE without
+    moving the row count): one row PER WRITTEN FILE with its row
+    count and distinct-key count, emitted ONLY when the file's
+    read-back sort-violation count (lag(ts) > ts over the file's
+    physical row order via monotonically_increasing_id — ids increase
+    within a scan task, and these small files each read as one
+    contiguous run) is zero.  A partitioning regression moves the
+    file count AND a sort regression now drops files — both move
+    spark_rows (planted-violation pytest in
+    tests/test_oracle_parity.py drives _sorted_write_summary on a
+    descending-sorted write)."""
     import tempfile
 
     ev = _t(spark, sf_dir, "events")
@@ -1238,6 +1251,13 @@ def q_sorted_write(spark, sf_dir):
         F.input_file_name().alias("__f"),
         F.monotonically_increasing_id().alias("__i"),
     )
+    return _sorted_write_summary(back)
+
+
+def _sorted_write_summary(back: DataFrame) -> DataFrame:
+    """Per-file summary of a sorted write's read-back, keeping ONLY
+    files whose physical order is non-decreasing in ts (the
+    row-dropping convention — see q_sorted_write)."""
     w = Window.partitionBy("__f").orderBy("__i")
     flagged = back.select(
         "__f", "user_id", "event_id",
@@ -1250,6 +1270,7 @@ def q_sorted_write(spark, sf_dir):
             F.countDistinct("event_id").alias("n_ids"),
             (F.coalesce(F.sum("__bad"), F.lit(0)) == 0).alias("sorted_ok"),
         )
+        .filter(F.col("sorted_ok"))
         .select("n_rows", "n_ids", "sorted_ok")
         .orderBy(F.desc("n_rows"), F.desc("n_ids"))
     )
@@ -1373,17 +1394,16 @@ def q_bucket_pruned_lookup(spark, sf_dir):
     total_files = sum(
         1 for _r, _d, ns in _os.walk(out) for f in ns if f.endswith(".parquet")
     )
-    # Live rows-only signal (r9 VERDICT #4): three data-derived probe
-    # keys (min, median, max) — one output row per distinct key, each
-    # proving BOTH correctness (rows_agree: the bucketed lookup equals
-    # the unbucketed filter) and pruning (numFiles below total).  What
-    # each signal can catch (r10 ADVICE #1, stated honestly): a
-    # probe-derivation regression changes spark_rows, which the
-    # driver's rows-only check sees; a bucketing regression that loses
-    # rows or stops pruning flips a boolean VALUE without changing the
-    # row count — those are pinned by pytest
-    # (tests/test_oracle_parity.py + tests/test_tablefmt.py), not by
-    # the driver.
+    # Live rows-only signal, row-DROPPING form (r12, VERDICT r11 #6;
+    # previously a bucketing regression flipped a boolean VALUE
+    # without moving the row count): three data-derived probe keys
+    # (min, median, max) — one output row per distinct key, emitted
+    # ONLY when the probe proves BOTH correctness (the bucketed
+    # lookup equals the unbucketed filter) and pruning (numFiles
+    # below total).  A probe-derivation regression AND a bucketing/
+    # pruning regression now both move spark_rows (planted-violation
+    # pytest in tests/test_oracle_parity.py drives
+    # _bucket_probe_passing with a failing probe tuple).
     keys = list(
         ev.agg(
             F.min("user_id"), F.expr("percentile(user_id, 0.5)").cast("long"),
@@ -1401,11 +1421,22 @@ def q_bucket_pruned_lookup(spark, sf_dir):
             (ordinal, len(rows), expected, len(rows) == expected,
              num_files, total_files, num_files < total_files)
         )
-    return spark.createDataFrame(
-        rows_out,
-        "key_ord long, lookup_rows long, expected_rows long, rows_agree boolean, "
-        "files_scanned long, files_total long, pruned boolean",
-    ).orderBy("key_ord")
+    return _bucket_probe_passing(spark, rows_out)
+
+
+def _bucket_probe_passing(spark, rows_out):
+    """Keep only probe rows proving rows_agree AND pruned (the
+    row-dropping convention — see q_bucket_pruned_lookup)."""
+    return (
+        spark.createDataFrame(
+            rows_out,
+            "key_ord long, lookup_rows long, expected_rows long, "
+            "rows_agree boolean, files_scanned long, files_total long, "
+            "pruned boolean",
+        )
+        .filter(F.col("rows_agree") & F.col("pruned"))
+        .orderBy("key_ord")
+    )
 
 
 _FRESHNESS_ORACLE = """

@@ -179,13 +179,13 @@ def test_rows_only_queries_emit_live_multirow_summaries(spark, sf_small):
     Pins each summary's shape and internal invariants at sf0.001."""
     from real_timetransactionaldatalakehouse_spark.sources import load_table
 
-    # table stats: one row per file + 3 summary rows, all agreeing
+    # table stats: one row per file + the PASSING summary rows (r12
+    # row-dropping form: files_agree present iff stats == scan)
     rows = _QUERIES["q_table_stats"](spark, sf_small).collect()
     by_kind = {}
     for r in rows:
         by_kind.setdefault(r.kind, []).append(r.metric)
-    assert len(by_kind["file_rows"]) == by_kind["n_files"][0] == 1
-    assert by_kind["scan_files_agree"] == [1]
+    assert len(by_kind["file_rows"]) == by_kind["files_agree"][0] == 1
     assert by_kind["total_rows"] == [sum(by_kind["file_rows"])]
 
     # sorted write: one row per written file, every file sorted,
@@ -211,3 +211,52 @@ def test_rows_only_queries_emit_live_multirow_summaries(spark, sf_small):
     assert len(rows) == 3
     assert all(r.rows_agree and r.pruned for r in rows)
     assert all(r.files_scanned < r.files_total for r in rows)
+
+
+def test_rows_only_summaries_drop_rows_on_planted_violations(spark,
+                                                             sf_small):
+    """r12 (VERDICT r11 #6): the three boolean no-oracle summaries are
+    now row-DROPPING — a planted invariant violation must change the
+    emitted ROW COUNT (what the driver's rows-only check sees), not
+    just flip a value."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from real_timetransactionaldatalakehouse_spark.sources import load_table
+
+    # q_table_stats: a stats/scan file-count disagreement drops the
+    # files_agree row
+    ok = entrymod._summary_passing(
+        spark, [("files_agree", 4, True), ("total_rows", 100, True)])
+    bad = entrymod._summary_passing(
+        spark, [("files_agree", 4, False), ("total_rows", 100, True)])
+    assert ok.count() == 2 and bad.count() == 1
+
+    # q_sorted_write: a DESCENDING (violating) write drops every file
+    # from the summary; the compliant write keeps all 4
+    ev = load_table(spark, sf_small, "events")
+
+    def back_of(writer_sorted):
+        out = tempfile.mkdtemp(prefix="sorted_write_viol_")
+        part = ev.repartition(4, "user_id")
+        part = (part.sortWithinPartitions("ts") if writer_sorted
+                else part.sortWithinPartitions(F.desc("ts")))
+        part.write.mode("overwrite").parquet(out)
+        return spark.read.parquet(out).select(
+            "user_id", "event_id", "ts",
+            F.input_file_name().alias("__f"),
+            F.monotonically_increasing_id().alias("__i"),
+        )
+
+    assert entrymod._sorted_write_summary(back_of(True)).count() == 4
+    assert entrymod._sorted_write_summary(back_of(False)).count() == 0
+
+    # q_bucket_pruned_lookup: a probe failing either invariant drops
+    probes = [
+        (0, 5, 5, True, 2, 16, True),    # passes
+        (1, 5, 4, False, 2, 16, True),   # rows disagree -> dropped
+        (2, 5, 5, True, 16, 16, False),  # unpruned -> dropped
+    ]
+    kept = entrymod._bucket_probe_passing(spark, probes).collect()
+    assert [r.key_ord for r in kept] == [0]
