@@ -33,3 +33,36 @@ def test_prev_round_tree_resolves_prior_round_not_head():
         assert os.path.exists(os.path.join(dest, "bench.py"))
     finally:
         shutil.rmtree(os.path.join(REPO, ".bench_ab"), ignore_errors=True)
+
+
+def test_load_entry_cleans_sys_path_on_import_failure(tmp_path):
+    """r12 (ADVICE r11): a tree that fails to import must not stay at
+    sys.path[0] — bench.py swallows the exception and continues, so a
+    leaked path would make every later package import silently
+    resolve to the broken tree."""
+    import pytest
+
+    from tools.bench_ab import _load_entry
+
+    bad = tmp_path / "badtree"
+    bad.mkdir()
+    (bad / "__spark_entry__.py").write_text("raise RuntimeError('boom')\n")
+    depth_before = len(sys.path)
+    with pytest.raises(RuntimeError, match="boom"):
+        _load_entry(str(bad))
+    assert str(bad) not in sys.path
+    assert len(sys.path) == depth_before
+    # and the half-imported module must not linger
+    assert "__spark_entry__" not in sys.modules
+
+
+def test_ab_leader_alternates_by_round_parity():
+    """r12 (VERDICT r11 #7): which tree leads pass 0 is derived from
+    the round number — even rounds prev-first, odd rounds curr-first —
+    so the session cold phase lands on each tree in alternate rounds.
+    Pins the arithmetic without running a session."""
+    from tools.bench_ab import _round_leader
+
+    assert _round_leader("round 11: verdict/etc") == "prev"   # r12
+    assert _round_leader("round 12: verdict/etc") == "curr"   # r13
+    assert _round_leader("not a round subject") == "prev"     # fallback

@@ -54,10 +54,22 @@ def _purge_modules() -> None:
 
 
 def _load_entry(tree_root: str):
-    """Import __spark_entry__ (and its package) from *tree_root*."""
+    """Import __spark_entry__ (and its package) from *tree_root*.
+
+    On import failure the inserted path and any half-imported modules
+    are removed BEFORE re-raising (ADVICE r11): the exception would
+    otherwise escape before the caller's try/finally is entered,
+    leaving *tree_root* at sys.path[0] for the rest of the process —
+    and since bench.py swallows the exception and continues, every
+    later import of the package would silently resolve to the wrong
+    tree."""
     _purge_modules()
     sys.path.insert(0, tree_root)
-    return importlib.import_module("__spark_entry__")
+    try:
+        return importlib.import_module("__spark_entry__")
+    except BaseException:
+        _unload(tree_root)
+        raise
 
 
 def _unload(tree_root: str) -> None:
@@ -109,6 +121,18 @@ def prev_round_tree(repo_root: str) -> tuple[str, str, str]:
     return dest, sha, subject
 
 
+def _round_leader(prev_subject: str) -> str:
+    """Which tree leads pass 0, derived from the previous round
+    commit's number (this round = prev + 1): even rounds prev-first,
+    odd rounds curr-first — the per-ROUND half of the cold-phase
+    alternation (VERDICT r11 #7)."""
+    import re
+
+    m = re.match(r"^round ([0-9]+):", prev_subject)
+    this_round = int(m.group(1)) + 1 if m else 0
+    return "prev" if this_round % 2 == 0 else "curr"
+
+
 def interleaved_ab(
     spark,
     sf_dir: str,
@@ -121,12 +145,21 @@ def interleaved_ab(
     """Run *query_names* through prev/curr alternating passes.
 
     The DuckDB oracle (current tree's SQL — oracles are certified
-    equivalences, not per-tree code) is timed once per query in EVERY
-    pass, so the paired vs-oracle ratio shares the exact host window
-    with both engines' numerators.
+    equivalences, not per-tree code) is timed once per query per PASS
+    — in the curr-labeled iteration only (r12, ADVICE r11: it
+    previously ran in both iterations, 2x per pass; harmless under
+    min() but the recorded methodology didn't match the code) — so
+    the paired vs-oracle ratio shares the exact host window with both
+    engines' numerators.
+
+    Which tree leads pass 0 alternates by ROUND parity (derived from
+    the previous round commit's number: even rounds prev-first, odd
+    rounds curr-first), so the session cold phase lands on each tree
+    in alternate rounds; within a run, passes already alternate.
     """
     prev_root, prev_sha, prev_subject = prev_round_tree(repo_root)
     curr_root = repo_root
+    leader = _round_leader(prev_subject)
 
     # oracle setup (current tree's SQL, one connection for the session)
     con = None
@@ -166,52 +199,64 @@ def interleaved_ab(
     floors: dict[str, list[float]] = {"prev": [], "curr": []}
     missing_prev: list[str] = []
 
-    for p in range(passes):
-        # alternate which tree leads each round: with a fixed order the
-        # leader pays the session's cold phase every round (measured:
-        # prev-first gave prev floors 0.179/0.095/0.037 DESCENDING
-        # while curr sat warm at ~0.03 — a systematic bias toward
-        # whichever tree runs second).  Alternation makes the cold
-        # phase land on both trees equally across rounds.
-        pair = [("prev", prev_root), ("curr", curr_root)]
-        if p % 2:
-            pair.reverse()
-        for label, root in pair:
-            ent = _load_entry(root)
-            try:
-                qs = ent.queries()
-                for name in query_names:
-                    if name not in qs:
-                        if label == "prev" and name not in missing_prev:
-                            missing_prev.append(name)
-                        continue
-                    df = qs[name](spark, sf_dir)
-                    best = min(run_df(df) for _ in range(runs_per_query))
-                    cur = mins[label].get(name)
-                    mins[label][name] = round(
-                        best if cur is None else min(cur, best), 4
+    # try/finally over the WHOLE pass loop (ADVICE r11): an exception
+    # mid-pass previously leaked the DuckDB connection and the
+    # extracted prev tree — gitignored, but stale trees accumulated
+    # across failed runs because bench.py's broad except hides the
+    # failure.
+    try:
+        for p in range(passes):
+            # within a run, alternate which tree leads each PASS; which
+            # tree leads pass 0 alternates by round (see docstring) —
+            # with a fixed order the leader pays the session's cold
+            # phase every round (measured: prev-first gave prev floors
+            # 0.179/0.095/0.037 DESCENDING while curr sat warm at
+            # ~0.03 — a systematic bias toward whichever runs second).
+            pair = [("prev", prev_root), ("curr", curr_root)]
+            if leader == "curr":
+                pair.reverse()
+            if p % 2:
+                pair.reverse()
+            for label, root in pair:
+                ent = _load_entry(root)
+                try:
+                    qs = ent.queries()
+                    for name in query_names:
+                        if name not in qs:
+                            if label == "prev" and name not in missing_prev:
+                                missing_prev.append(name)
+                            continue
+                        df = qs[name](spark, sf_dir)
+                        best = min(run_df(df) for _ in range(runs_per_query))
+                        cur = mins[label].get(name)
+                        mins[label][name] = round(
+                            best if cur is None else min(cur, best), 4
+                        )
+                        # oracle: once per pass, on the curr iteration
+                        if label == "curr" and con is not None \
+                                and name in osql:
+                            try:
+                                t0 = time.perf_counter()
+                                con.execute(osql[name]).fetchall()
+                                dt = time.perf_counter() - t0
+                                oracle_min[name] = round(
+                                    min(oracle_min.get(name, dt), dt), 4
+                                )
+                            except Exception:
+                                osql.pop(name, None)
+                    # harness floor, measured inside this pass's window
+                    floor_df = spark.range(1)
+                    floors[label].append(
+                        round(min(run_df(floor_df) for _ in range(3)), 4)
                     )
-                    if con is not None and name in osql:
-                        try:
-                            t0 = time.perf_counter()
-                            con.execute(osql[name]).fetchall()
-                            dt = time.perf_counter() - t0
-                            oracle_min[name] = round(
-                                min(oracle_min.get(name, dt), dt), 4
-                            )
-                        except Exception:
-                            osql.pop(name, None)
-                # the harness floor, measured inside this pass's window
-                floor_df = spark.range(1)
-                floors[label].append(
-                    round(min(run_df(floor_df) for _ in range(3)), 4)
-                )
-            finally:
-                _unload(root)
-
-    if con is not None:
-        con.close()
-    shutil.rmtree(os.path.join(repo_root, ".bench_ab"), ignore_errors=True)
+                finally:
+                    _unload(root)
+    finally:
+        if con is not None:
+            con.close()
+        shutil.rmtree(
+            os.path.join(repo_root, ".bench_ab"), ignore_errors=True
+        )
 
     shared = [n for n in query_names if n in mins["prev"] and n in mins["curr"]]
     per_query = {
@@ -224,6 +269,7 @@ def interleaved_ab(
     out = {
         "prev_sha": prev_sha,
         "prev_subject": prev_subject,
+        "leader": leader,  # which tree led pass 0 (alternates by round)
         "passes_per_tree": passes,
         "runs_per_query_per_pass": runs_per_query,
         "n_queries": len(shared),
