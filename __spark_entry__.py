@@ -5502,8 +5502,95 @@ def q_dedup_substring(spark, sf_dir):
     )
 
 
+# =====================================================================
+# STAGED FOR r13 — q_dedup_substring_keepfirst
+# =====================================================================
+# Written in r12 alongside the keep-one election it certifies
+# (operators/dedup.removable_spans_keep_first, VERDICT r11 #4); NOT
+# yet in _QUERIES/_ORACLES because the r12 window's 50 slots are
+# fully owed (2 new heads + 5 r8 at the bound + 43 r9).  r13
+# registration is mechanical: decorate with
+# @_q("q_dedup_substring_keepfirst", _DEDUP_SUBSTRING_KEEPFIRST_ORACLE)
+# and place the name in the reserved r13 head block.  Until then
+# tests/test_oracle_parity.py drives the pair through the same
+# three-way compare as registered queries at sf0.001 and sf0.01.
+
+_DEDUP_SUBSTRING_KEEPFIRST_ORACLE = f"""
+WITH {_MUTATED_CORPUS_CTE},
+tk AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS t
+  FROM all_docs WHERE text IS NOT NULL
+),
+g AS (
+  SELECT id, i AS start,
+         ('0x' || substr(md5(array_to_string(list_slice(t, i, i + 7), ' ')),
+          1, 15))::BIGINT AS fp
+  FROM tk, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+  WHERE len(t) >= 8
+),
+dup AS (
+  SELECT fp, MIN(id * 100000 + start) AS keep_key
+  FROM g GROUP BY fp HAVING COUNT(*) > 1
+),
+hits AS (
+  SELECT g.id, g.start, g.start + 7 AS e
+  FROM g JOIN dup USING (fp)
+  WHERE g.id * 100000 + g.start <> dup.keep_key
+),
+m AS (
+  SELECT id, start, e,
+         MAX(e) OVER (PARTITION BY id ORDER BY start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM hits
+),
+isl AS (
+  SELECT id, start, e,
+         SUM(CASE WHEN pmax IS NULL OR start > pmax + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY id ORDER BY start) AS island
+  FROM m
+)
+SELECT id, MIN(start) AS span_start, MAX(e) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY id, island
+"""
+
+
+def _staged_q_dedup_substring_keepfirst(spark, sf_dir):
+    """X6ak keep-one promotion (staged for r13): the spans a
+    keep-ONE-copy ExactSubstr pass removes — Lee et al. ACL'22's
+    published semantics, vs q_dedup_substring's all-occurrences
+    report.  The survivor of every duplicated 8-gram is its global
+    first occurrence; the SQL twin orders by the composite key
+    id*100000+start, equivalent to the engine's min(struct(id,
+    start)) because every document here is under 100k tokens (max
+    100 measured across all SFs; the engine itself uses the true
+    lexicographic struct ordering with no such bound).  The mutants
+    make the survivor side interesting: every mutant (doc_id+200000)
+    shares its prefix grams with its original, so originals survive
+    and mutants carry the removable spans — plus the corpus's
+    organic cross-document repeats elect survivors by id order."""
+    from real_timetransactionaldatalakehouse_spark.operators import dedup as D
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.catalog.clearCache()
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.removable_spans_keep_first(
+        _mutated_corpus(docs), min_gram=8, hash_fn="md5_60"
+    )
+
+
+#: r13 registration queue: name -> (query fn, oracle SQL)
+_STAGED_R13 = {
+    "q_dedup_substring_keepfirst": (
+        _staged_q_dedup_substring_keepfirst,
+        _DEDUP_SUBSTRING_KEEPFIRST_ORACLE,
+    ),
+}
+
+
 # (r12: the _STAGED_R12 queue emptied — both staged queries are now
-# registered above and hold the reserved window head slots.)
+# registered above and hold the reserved window head slots.  The r13
+# queue is _STAGED_R13, defined next to q_dedup_substring.)
 
 
 # =====================================================================
@@ -5619,11 +5706,13 @@ _CHECK_FIRST: list[str] = [
 # r13 rotation queue (reserved now): head slots = the 2 displaced r9
 # greens at the bound (q_window_rank_stats, q_zscore_norm) + the 3
 # r12-changed rows-only summaries (q_table_stats, q_sorted_write,
-# q_bucket_pruned_lookup — row-dropping conversion, VERDICT r11 #6),
-# then the 45 oldest unchanged r10 greens; 2 youngest r10 slide to
-# r14.  Mutant-corpus literal sites still owed migration to
-# _mutated_corpus() as their queries reach a head slot (r11 review
-# note): q_neardup_minhash, q_neardup_cross_corpus,
+# q_bucket_pruned_lookup — row-dropping conversion, VERDICT r11 #6)
+# + the 1 staged new query (q_dedup_substring_keepfirst, see
+# _STAGED_R13 — written and both-SF parity-certified in r12), then
+# the 44 oldest unchanged r10 greens; 3 youngest r10 slide to r14
+# (legal: r10's bound is r14).  Mutant-corpus literal sites still
+# owed migration to _mutated_corpus() as their queries reach a head
+# slot (r11 review note): q_neardup_minhash, q_neardup_cross_corpus,
 # q_neardup_verified, q_simhash_neardup, q_split_leakage (all r10
 # cohort — migrate whichever of these land in the r13/r14 windows).
 
