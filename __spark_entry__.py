@@ -2663,14 +2663,20 @@ def _mutated_corpus(docs: DataFrame) -> DataFrame:
     head slot; the remaining literal sites are byte-identical to this
     body and rotate in as their heads come up (r13+).
     """
+    return docs.unionByName(_mutant_docs(docs))
+
+
+def _mutant_docs(docs: DataFrame) -> DataFrame:
+    """Just the injected near-copies: docs 0-19 with the last 2 words
+    dropped, re-keyed to doc_id+200000 (the benchmark/incoming side
+    of the cross-corpus and decontamination queries)."""
     toks = F.split(F.col("text"), " ")
-    mutated = docs.filter(F.col("doc_id") < 20).select(
+    return docs.filter(F.col("doc_id") < 20).select(
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.concat_ws(
             " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))
         ).alias("text"),
     )
-    return docs.unionByName(mutated)
 
 # distinct word-3-gram shingle sets per doc (twin of dedup.word_shingles)
 _SHINGLES_CTE = """
@@ -5579,11 +5585,106 @@ def _staged_q_dedup_substring_keepfirst(spark, sf_dir):
     )
 
 
+# Bloom-screened decontamination (r12 EXT addition): the oracle
+# replicates the APPROXIMATE screen exactly — same md5-prefix double
+# hashes, same (h1 + j*h2) mod m positions, same all-k-bits
+# membership — plus the exact confirm join, so the check holds
+# regardless of the false-positive draw (the LSH/ANN oracle
+# convention).  m_bits is deliberately SMALL (16384) so the screen's
+# false positives are visible in the certified output (n_confirmed <
+# n_screened rows) instead of a formula claim.
+_DECONTAMINATE_BLOOM_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+bench AS (
+  SELECT string_split(array_to_string(list_slice(string_split(text, ' '), 1,
+             greatest(len(string_split(text, ' ')) - 2, 1)), ' '), ' ') AS t
+  FROM documents WHERE doc_id < 20 AND text IS NOT NULL
+),
+bg AS (
+  SELECT DISTINCT g,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT AS h1,
+         ('0x' || substr(md5('b:' || g), 1, 15))::BIGINT AS h2
+  FROM bench, UNNEST(CASE WHEN len(t) >= 8
+    THEN list_transform(generate_series(1, len(t) - 7),
+                        i -> array_to_string(list_slice(t, i, i + 7), ' '))
+    ELSE [array_to_string(t, ' ')] END) AS u(g)
+),
+js AS (SELECT unnest(generate_series(0, 3)) AS j),
+-- both hashes project to 57 bits before mixing (the engine's ANSI
+-- no-overflow rule; 144115188075855872 = 2^57)
+bpos AS (
+  SELECT DISTINCT (h1 % 144115188075855872
+                   + j * (h2 % 144115188075855872)) % 16384 AS p
+  FROM bg, js
+),
+cg AS (
+  SELECT DISTINCT doc_id, g,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT AS h1,
+         ('0x' || substr(md5('b:' || g), 1, 15))::BIGINT AS h2
+  FROM corpus, UNNEST(CASE WHEN len(t) >= 8
+    THEN list_transform(generate_series(1, len(t) - 7),
+                        i -> array_to_string(list_slice(t, i, i + 7), ' '))
+    ELSE [array_to_string(t, ' ')] END) AS u(g)
+),
+scr AS (
+  SELECT doc_id, g
+  FROM (SELECT doc_id, g, j,
+               (h1 % 144115188075855872
+                + j * (h2 % 144115188075855872)) % 16384 AS p
+        FROM cg, js) c
+  JOIN bpos USING (p)
+  GROUP BY doc_id, g
+  HAVING COUNT(DISTINCT j) = 4
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_screened,
+       CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_confirmed
+FROM scr s LEFT JOIN (SELECT DISTINCT g FROM bg) b ON s.g = b.g
+GROUP BY s.doc_id
+"""
+
+
+def _staged_q_decontaminate_bloom(spark, sf_dir):
+    """X6s Bloom tier (staged for r13): benchmark decontamination
+    through a Bloom membership screen
+    (operators/sampling.bloom_contamination_report) — the shape for
+    benchmark-UNION eval sets whose distinct-gram table outgrows a
+    broadcast join while a fixed bitmap does not.  Per corpus doc:
+    distinct 8-grams passing the m=16384/k=4 screen (n_screened) and
+    surviving the exact confirm join (n_confirmed).  The benchmark is
+    the 20 drop-last-2-words mutants, so docs 0-19 confirm by
+    construction; the small bitmap makes screen false positives part
+    of the certified output (n_confirmed=0 rows), and the oracle
+    replays the identical double-hash positions, so parity certifies
+    the SCREEN, not just the exact join."""
+    from real_timetransactionaldatalakehouse_spark.operators import sampling as Smp
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.catalog.clearCache()
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    return Smp.bloom_contamination_report(
+        docs, _mutant_docs(docs), n=8, m_bits=16384, k=4,
+        hash_fn="md5_60"
+    )
+
+
 #: r13 registration queue: name -> (query fn, oracle SQL)
 _STAGED_R13 = {
     "q_dedup_substring_keepfirst": (
         _staged_q_dedup_substring_keepfirst,
         _DEDUP_SUBSTRING_KEEPFIRST_ORACLE,
+    ),
+    "q_decontaminate_bloom": (
+        _staged_q_decontaminate_bloom,
+        _DECONTAMINATE_BLOOM_ORACLE,
     ),
 }
 

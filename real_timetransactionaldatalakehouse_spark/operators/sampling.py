@@ -318,6 +318,225 @@ def decontaminate_ngram(
     return corpus.join(contaminated, id_col, "left_anti")
 
 
+def _gram_pairs(
+    df: DataFrame,
+    out_id: str,
+    text_col: str,
+    id_col: str,
+    n: int,
+    hash_fn: str,
+    repartition: bool | int,
+) -> DataFrame:
+    """Distinct token n-grams per document as DOUBLE-hash pairs
+    ``(out_id, __h1, __h2)`` — the Kirsch-Mitzenmacher base for the
+    Bloom screen (k derived positions from two hashes behave like k
+    independent hashes; Kirsch & Mitzenmacher, ESA'06).
+
+    ``hash_fn="xxhash64"`` hashes the token SLICE directly (the
+    :func:`_gram_hashes` discipline — no per-position string churn),
+    seeding the second hash with a leading literal; ``"md5_60"``
+    hashes the joined gram STRING through the md5-prefix hash so the
+    whole screen has an exact ANSI-SQL twin.  Documents shorter than
+    ``n`` tokens contribute their whole-document gram (word_shingles
+    convention)."""
+    from ..sources import fan_out
+    from .text import tokens
+
+    spark = df.sparkSession
+    if repartition is True:
+        src = fan_out(df, spark.sparkContext.defaultParallelism, guard=True)
+    elif repartition is False:
+        src = df
+    else:
+        src = df.repartition(int(repartition))
+    toks = tokens(text_col)
+    tdf = src.select(F.col(id_col).alias(out_id), toks.alias("__toks"))
+    tk = F.col("__toks")
+    if hash_fn == "xxhash64":
+        def mk(sl):
+            return F.struct(
+                F.xxhash64(sl).alias("h1"),
+                F.xxhash64(F.lit(1), sl).alias("h2"),
+            )
+
+        gram_of = mk
+    elif hash_fn == "md5_60":
+        from .dedup import TOKEN_HASHES
+
+        hasher = TOKEN_HASHES["md5_60"]
+
+        def mk_str(sl):
+            g = F.concat_ws(" ", sl)
+            return F.struct(
+                hasher(g).alias("h1"),
+                hasher(F.concat(F.lit("b:"), g)).alias("h2"),
+            )
+
+        gram_of = mk_str
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    grams = F.when(
+        F.size(tk) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+                lambda i: gram_of(F.slice(tk, i, n)),
+            )
+        ),
+    ).otherwise(F.array(gram_of(tk)))
+    return tdf.select(out_id, F.explode(grams).alias("__g")).select(
+        out_id,
+        F.col("__g.h1").alias("__h1"),
+        F.col("__g.h2").alias("__h2"),
+    )
+
+
+#: both hashes project to their low 57 bits before mixing so
+#: h1' + j*h2' <= 2^57 + 31*2^57 = 2^62 never overflows a signed long
+#: under ANSI mode (k is capped at 32 accordingly); 57 bits is far
+#: beyond any practical m_bits, so the projection costs no position
+#: entropy.
+_BLOOM_HASH_MOD = 1 << 57
+
+
+def _bloom_pos(j: int, m_bits: int):
+    """Position j of the double-hash scheme:
+    (h1' + j*h2') mod m over the 57-bit hash projections."""
+    mod = F.lit(_BLOOM_HASH_MOD).cast("long")
+    return F.pmod(
+        F.pmod(F.col("__h1"), mod)
+        + F.lit(j).cast("long") * F.pmod(F.col("__h2"), mod),
+        F.lit(m_bits).cast("long"),
+    )
+
+
+def bloom_contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    hash_fn: str = "xxhash64",
+    repartition: bool | int = True,
+) -> DataFrame:
+    """Bloom-SCREENED benchmark decontamination report (r12): per
+    corpus document, how many of its distinct ``n``-grams pass an
+    ``m_bits``/``k`` Bloom membership test against the benchmark's
+    gram set (``n_screened``) and how many are TRUE matches confirmed
+    by the exact join (``n_confirmed``).  Only documents with
+    ``n_screened > 0`` appear; ``n_confirmed <= n_screened`` always,
+    and the gap is the screen's false-positive cost, visible in the
+    output instead of argued from the formula.
+
+    Why this exists next to :func:`decontaminate_ngram`: the exact
+    operator broadcasts the benchmark's DISTINCT GRAM HASHES as a
+    join hash table — perfect while eval sets are thousands of
+    documents, but decontaminating against a UNION of benchmarks or
+    a sibling corpus (10^8+ distinct grams ~ multiple GB of hash
+    table) outgrows a broadcast join long before it outgrows a Bloom
+    bitmap (10^9 bits = 128 MB at ~1% fp with k=4 and one bit per
+     3.4 grams).  The screen is MAP-ONLY over the corpus (k substring
+    probes of a literal bitstring, whole-stage codegen, zero
+    shuffle); only screen SURVIVORS — benchmark-overlap-sized, not
+    corpus-sized — reach the exact confirm join, whose broadcast-or-
+    shuffle choice is left to AQE.  False positives therefore cost
+    extra CONFIRM work, never correctness.
+
+    Engineering bounds, stated honestly: the bitmap is built by
+    collecting the benchmark's DISTINCT bit positions to the driver
+    (<= k x |benchmark grams|, bounded by m_bits) and shipped as ONE
+    string literal of m_bits '0'/'1' chars — metadata-sized up to
+    m_bits ~ 2^24 (16 MB plan payload); past that, move the bitmap
+    into an EXT-tier Arrow kernel over a SparkContext broadcast (the
+    repo's pandas_udf discipline) rather than growing the literal.
+    ``hash_fn="md5_60"`` makes screen AND confirm exactly
+    reproducible in ANSI SQL (the certified-query mode);
+    ``"xxhash64"`` is the production default.
+
+    Output: ``(id_col, n_screened, n_confirmed)``, one row per
+    screened document.
+    """
+    if m_bits < 64 or k < 1 or k > 32:
+        raise ValueError("m_bits must be >= 64 and k in [1, 32]")
+    b = _gram_pairs(benchmark, "__bid", text_col, id_col, n, hash_fn,
+                    repartition)
+    pos_rows = (
+        b.select(
+            F.explode(
+                F.array(*[_bloom_pos(j, m_bits) for j in range(k)])
+            ).alias("p")
+        )
+        .distinct()
+        .collect()  # <= min(k x |benchmark grams|, m_bits): bounded
+    )
+    buf = bytearray(b"0" * m_bits)
+    for r in pos_rows:
+        buf[r["p"]] = 0x31  # ord('1')
+    bits = F.lit(buf.decode("ascii"))
+
+    cg = _gram_pairs(corpus, id_col, text_col, id_col, n, hash_fn,
+                     repartition)
+    screen_pred = None
+    for j in range(k):  # k is small and static: unrolled AND, codegen
+        c = bits.substr(_bloom_pos(j, m_bits) + 1, F.lit(1)) == "1"
+        screen_pred = c if screen_pred is None else (screen_pred & c)
+    screened = cg.filter(screen_pred)
+    confirmed = screened.join(
+        b.select("__h1").distinct(), "__h1", "left_semi"
+    )
+    n_scr = screened.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_screened")
+    )
+    n_conf = confirmed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_confirmed")
+    )
+    return (
+        n_scr.join(n_conf, id_col, "left")
+        .select(
+            id_col,
+            "n_screened",
+            F.coalesce("n_confirmed", F.lit(0)).cast("long")
+            .alias("n_confirmed"),
+        )
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    confirm: bool = True,
+    hash_fn: str = "xxhash64",
+    repartition: bool | int = True,
+) -> DataFrame:
+    """ACT side of :func:`bloom_contamination_report`: drop corpus
+    documents sharing an ``n``-gram with the benchmark, using the
+    Bloom screen to keep the corpus map-only.  ``confirm=True``
+    (default) drops on CONFIRMED overlap — the output equals
+    :func:`decontaminate_ngram` exactly (false positives are screened
+    back in by the confirm join; pytest pins the equality), which is
+    the certified semantics.  ``confirm=False`` drops on the screen
+    alone: the over-dropping variant for pipelines that accept the
+    ~(set_bits/m)^k false-positive rate to skip the confirm join
+    entirely (a fraction-of-a-percent corpus loss at the documented
+    sizing — acceptable for pretraining corpora, never for eval
+    sets)."""
+    rep = bloom_contamination_report(
+        corpus, benchmark, text_col, id_col, n, m_bits, k, hash_fn,
+        repartition,
+    )
+    flag = F.col("n_confirmed") > 0 if confirm else F.col("n_screened") > 0
+    return corpus.join(
+        rep.filter(flag).select(id_col), id_col, "left_anti"
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

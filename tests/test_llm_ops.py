@@ -2359,3 +2359,48 @@ def test_select_threshold_clamps_at_lowest_populated_bucket(spark):
         [(10, 0.05), (11, 0.64), (12, 0.66)], "id long, prob_keep double")
     kept = {r.id for r in corpus.filter(F.col("prob_keep") >= tau).collect()}
     assert kept == {12}
+
+
+def test_bloom_decontaminate_matches_exact_and_bounds_fps(spark, docs):
+    """r12 EXT: Bloom-screened decontamination.  (a) confirm=True
+    equals decontaminate_ngram exactly — false positives cost confirm
+    work, never correctness; (b) the report's n_confirmed <=
+    n_screened with every benchmark carrier confirmed; (c)
+    confirm=False (screen-only) drops a superset of the exact drop
+    set; (d) the production xxhash64 mode and the SQL-twin md5_60
+    mode agree on CONFIRMED contamination (screen FPs may differ —
+    different hash families); (e) sizing discipline raises."""
+    from real_timetransactionaldatalakehouse_spark.operators import sampling as Smp
+
+    corpus = docs.filter(F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ")
+    bench = corpus.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))
+        ).alias("text"),
+    )
+    kw = dict(n=8, m_bits=16384, k=4, hash_fn="md5_60")
+    exact = {r.doc_id for r in
+             Smp.decontaminate_ngram(corpus, bench).select("doc_id").collect()}
+    bloom = {r.doc_id for r in
+             Smp.bloom_decontaminate(corpus, bench, **kw)
+             .select("doc_id").collect()}
+    assert bloom == exact
+    rep = Smp.bloom_contamination_report(corpus, bench, **kw).collect()
+    assert rep and all(0 <= r.n_confirmed <= r.n_screened for r in rep)
+    confirmed = {r.doc_id for r in rep if r.n_confirmed > 0}
+    assert set(range(20)) <= confirmed  # every planted carrier confirmed
+    screen_only = {r.doc_id for r in
+                   Smp.bloom_decontaminate(corpus, bench, confirm=False, **kw)
+                   .select("doc_id").collect()}
+    assert screen_only <= bloom  # over-dropping, never under-dropping
+    fast = {r.doc_id
+            for r in Smp.bloom_contamination_report(
+                corpus, bench, n=8, m_bits=1 << 20, k=4).collect()
+            if r.n_confirmed > 0}
+    assert fast == confirmed
+    with pytest.raises(ValueError, match="m_bits"):
+        Smp.bloom_contamination_report(corpus, bench, m_bits=32)
+    with pytest.raises(ValueError, match="hash_fn"):
+        Smp.bloom_contamination_report(corpus, bench, hash_fn="sha1")
