@@ -5604,13 +5604,17 @@ bench AS (
   FROM documents WHERE doc_id < 20 AND text IS NOT NULL
 ),
 bg AS (
-  SELECT DISTINCT g,
-         ('0x' || substr(md5(g), 1, 15))::BIGINT AS h1,
-         ('0x' || substr(md5('b:' || g), 1, 15))::BIGINT AS h2
-  FROM bench, UNNEST(CASE WHEN len(t) >= 8
-    THEN list_transform(generate_series(1, len(t) - 7),
-                        i -> array_to_string(list_slice(t, i, i + 7), ' '))
-    ELSE [array_to_string(t, ' ')] END) AS u(g)
+  -- h2 derives from h1's decimal string (the engine's one-hash gram
+  -- stream + post-explode derivation)
+  SELECT g, h1,
+         ('0x' || substr(md5(CAST(h1 AS VARCHAR)), 1, 15))::BIGINT AS h2
+  FROM (
+    SELECT DISTINCT g, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h1
+    FROM bench, UNNEST(CASE WHEN len(t) >= 8
+      THEN list_transform(generate_series(1, len(t) - 7),
+                          i -> array_to_string(list_slice(t, i, i + 7), ' '))
+      ELSE [array_to_string(t, ' ')] END) AS u(g)
+  )
 ),
 js AS (SELECT unnest(generate_series(0, 3)) AS j),
 -- both hashes project to 57 bits before mixing (the engine's ANSI
@@ -5621,13 +5625,16 @@ bpos AS (
   FROM bg, js
 ),
 cg AS (
-  SELECT DISTINCT doc_id, g,
-         ('0x' || substr(md5(g), 1, 15))::BIGINT AS h1,
-         ('0x' || substr(md5('b:' || g), 1, 15))::BIGINT AS h2
-  FROM corpus, UNNEST(CASE WHEN len(t) >= 8
-    THEN list_transform(generate_series(1, len(t) - 7),
-                        i -> array_to_string(list_slice(t, i, i + 7), ' '))
-    ELSE [array_to_string(t, ' ')] END) AS u(g)
+  SELECT doc_id, g, h1,
+         ('0x' || substr(md5(CAST(h1 AS VARCHAR)), 1, 15))::BIGINT AS h2
+  FROM (
+    SELECT DISTINCT doc_id, g,
+           ('0x' || substr(md5(g), 1, 15))::BIGINT AS h1
+    FROM corpus, UNNEST(CASE WHEN len(t) >= 8
+      THEN list_transform(generate_series(1, len(t) - 7),
+                          i -> array_to_string(list_slice(t, i, i + 7), ' '))
+      ELSE [array_to_string(t, ' ')] END) AS u(g)
+  )
 ),
 scr AS (
   SELECT doc_id, g

@@ -332,13 +332,17 @@ def _gram_pairs(
     Bloom screen (k derived positions from two hashes behave like k
     independent hashes; Kirsch & Mitzenmacher, ESA'06).
 
-    ``hash_fn="xxhash64"`` hashes the token SLICE directly (the
-    :func:`_gram_hashes` discipline — no per-position string churn),
-    seeding the second hash with a leading literal; ``"md5_60"``
-    hashes the joined gram STRING through the md5-prefix hash so the
-    whole screen has an exact ANSI-SQL twin.  Documents shorter than
-    ``n`` tokens contribute their whole-document gram (word_shingles
-    convention)."""
+    The gram stream carries ONE hash per gram (the :func:`_gram_hashes`
+    discipline — ``array_distinct`` over longs, no per-position string
+    churn or struct comparisons: the struct-pair first draft measured
+    3x slower on the distinct alone); the second hash DERIVES from the
+    first post-explode (h2 = hash(h1), one narrow projection — the
+    standard double-hashing construction when re-reading the key is
+    the expensive part).  ``hash_fn="xxhash64"`` hashes token slices;
+    ``"md5_60"`` hashes the joined gram string and derives h2 as
+    md5_60 of h1's DECIMAL STRING, so the whole screen has an exact
+    ANSI-SQL twin.  Documents shorter than ``n`` tokens contribute
+    their whole-document gram (word_shingles convention)."""
     from ..sources import fan_out
     from .text import tokens
 
@@ -353,26 +357,21 @@ def _gram_pairs(
     tdf = src.select(F.col(id_col).alias(out_id), toks.alias("__toks"))
     tk = F.col("__toks")
     if hash_fn == "xxhash64":
-        def mk(sl):
-            return F.struct(
-                F.xxhash64(sl).alias("h1"),
-                F.xxhash64(F.lit(1), sl).alias("h2"),
-            )
+        def h1_of(sl):
+            return F.xxhash64(sl)
 
-        gram_of = mk
+        def h2_of(h1):
+            return F.xxhash64(h1)
     elif hash_fn == "md5_60":
         from .dedup import TOKEN_HASHES
 
         hasher = TOKEN_HASHES["md5_60"]
 
-        def mk_str(sl):
-            g = F.concat_ws(" ", sl)
-            return F.struct(
-                hasher(g).alias("h1"),
-                hasher(F.concat(F.lit("b:"), g)).alias("h2"),
-            )
+        def h1_of(sl):
+            return hasher(F.concat_ws(" ", sl))
 
-        gram_of = mk_str
+        def h2_of(h1):
+            return hasher(h1.cast("string"))
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     grams = F.when(
@@ -380,14 +379,12 @@ def _gram_pairs(
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.size(tk) - (n - 1)),
-                lambda i: gram_of(F.slice(tk, i, n)),
+                lambda i: h1_of(F.slice(tk, i, n)),
             )
         ),
-    ).otherwise(F.array(gram_of(tk)))
-    return tdf.select(out_id, F.explode(grams).alias("__g")).select(
-        out_id,
-        F.col("__g.h1").alias("__h1"),
-        F.col("__g.h2").alias("__h2"),
+    ).otherwise(F.array(h1_of(tk)))
+    return tdf.select(out_id, F.explode(grams).alias("__h1")).select(
+        out_id, "__h1", h2_of(F.col("__h1")).alias("__h2")
     )
 
 
@@ -437,20 +434,21 @@ def bloom_contamination_report(
     a sibling corpus (10^8+ distinct grams ~ multiple GB of hash
     table) outgrows a broadcast join long before it outgrows a Bloom
     bitmap (10^9 bits = 128 MB at ~1% fp with k=4 and one bit per
-     3.4 grams).  The screen is MAP-ONLY over the corpus (k substring
-    probes of a literal bitstring, whole-stage codegen, zero
-    shuffle); only screen SURVIVORS — benchmark-overlap-sized, not
-    corpus-sized — reach the exact confirm join, whose broadcast-or-
-    shuffle choice is left to AQE.  False positives therefore cost
-    extra CONFIRM work, never correctness.
+    3.4 grams).  The screen is MAP-ONLY over the corpus (k O(1)
+    element_at + bit_get probes of an array<long> literal,
+    whole-stage codegen, zero shuffle); only screen SURVIVORS —
+    benchmark-overlap-sized, not corpus-sized — reach the exact
+    confirm join, whose broadcast-or-shuffle choice is left to AQE.
+    False positives therefore cost extra CONFIRM work, never
+    correctness.
 
-    Engineering bounds, stated honestly: the bitmap is built by
-    collecting the benchmark's DISTINCT bit positions to the driver
-    (<= k x |benchmark grams|, bounded by m_bits) and shipped as ONE
-    string literal of m_bits '0'/'1' chars — metadata-sized up to
-    m_bits ~ 2^24 (16 MB plan payload); past that, move the bitmap
-    into an EXT-tier Arrow kernel over a SparkContext broadcast (the
-    repo's pandas_udf discipline) rather than growing the literal.
+    Engineering bounds, stated honestly: the bitmap is folded into
+    64-bit words by one bit_or aggregate (map-side combine) and
+    collected as <= m_bits/64 rows, then shipped as ONE array<long>
+    literal — metadata-sized up to m_bits ~ 2^27 (16 MB plan
+    payload); past that, move the bitmap into an EXT-tier Arrow
+    kernel over a SparkContext broadcast (the repo's pandas_udf
+    discipline) rather than growing the literal.
     ``hash_fn="md5_60"`` makes screen AND confirm exactly
     reproducible in ANSI SQL (the certified-query mode);
     ``"xxhash64"`` is the production default.
@@ -458,31 +456,58 @@ def bloom_contamination_report(
     Output: ``(id_col, n_screened, n_confirmed)``, one row per
     screened document.
     """
-    if m_bits < 64 or k < 1 or k > 32:
-        raise ValueError("m_bits must be >= 64 and k in [1, 32]")
+    if m_bits < 64 or m_bits % 64 or k < 1 or k > 32:
+        raise ValueError(
+            "m_bits must be a positive multiple of 64 and k in [1, 32]")
     b = _gram_pairs(benchmark, "__bid", text_col, id_col, n, hash_fn,
                     repartition)
-    pos_rows = (
+    # bitmap build: positions fold into 64-bit WORDS distributively —
+    # one bit_or aggregate (map-side combine, skew-free) down to
+    # <= m_bits/64 rows, so the driver collects word rows, not one row
+    # per distinct position; the collected VOLUME is the bitmap's
+    # information content and the irreducible driver cost of this
+    # operator.
+    word_rows = (
         b.select(
             F.explode(
                 F.array(*[_bloom_pos(j, m_bits) for j in range(k)])
             ).alias("p")
         )
-        .distinct()
-        .collect()  # <= min(k x |benchmark grams|, m_bits): bounded
+        .select(
+            F.floor(F.col("p") / 64).cast("long").alias("w"),
+            F.pmod(F.col("p"), F.lit(64)).cast("int").alias("o"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or(F.expr(
+            "shiftleft(CAST(1 AS BIGINT), o)")).alias("bits"))
+        .collect()
     )
-    buf = bytearray(b"0" * m_bits)
-    for r in pos_rows:
-        buf[r["p"]] = 0x31  # ord('1')
-    bits = F.lit(buf.decode("ascii"))
+    words = [0] * (m_bits // 64)
+    for r in word_rows:
+        words[int(r["w"])] = int(r["bits"])
+    # ship the bitmap as a ONE-ROW broadcast (the spike-fold pattern):
+    # each executor receives the array<long> once and every gram probes
+    # it with O(1) element_at + bit_get.  The two rejected encodings,
+    # from measurement (r12): a string literal probed by substr is
+    # O(position) per probe (UTF8String resolves codepoint offsets by
+    # scanning — quadratic screen, hung at m=2^22), and F.lit(list)
+    # builds a CreateArray of m/64 child literals (a 131k-expression
+    # plan at m=2^23 — minutes of analysis/codegen before the first
+    # task).
+    bitmap_df = corpus.sparkSession.createDataFrame(
+        [(words,)], "__bloom_bits array<bigint>"
+    )
+    bits_arr = F.col("__bloom_bits")
 
     cg = _gram_pairs(corpus, id_col, text_col, id_col, n, hash_fn,
-                     repartition)
+                     repartition).crossJoin(F.broadcast(bitmap_df))
     screen_pred = None
     for j in range(k):  # k is small and static: unrolled AND, codegen
-        c = bits.substr(_bloom_pos(j, m_bits) + 1, F.lit(1)) == "1"
+        pos = _bloom_pos(j, m_bits)
+        word = F.element_at(bits_arr, F.floor(pos / 64).cast("int") + 1)
+        c = F.bit_get(word, F.pmod(pos, F.lit(64)).cast("int")) == 1
         screen_pred = c if screen_pred is None else (screen_pred & c)
-    screened = cg.filter(screen_pred)
+    screened = cg.filter(screen_pred).drop("__bloom_bits")
     confirmed = screened.join(
         b.select("__h1").distinct(), "__h1", "left_semi"
     )
