@@ -1271,7 +1271,9 @@ def _sorted_write_summary(back: DataFrame) -> DataFrame:
             (F.coalesce(F.sum("__bad"), F.lit(0)) == 0).alias("sorted_ok"),
         )
         .filter(F.col("sorted_ok"))
-        .select("n_rows", "n_ids", "sorted_ok")
+        # sorted_ok is constant True on every surviving row by the
+        # filter above — emitting it would imply it could vary
+        .select("n_rows", "n_ids")
         .orderBy(F.desc("n_rows"), F.desc("n_ids"))
     )
 
@@ -1435,6 +1437,10 @@ def _bucket_probe_passing(spark, rows_out):
             "pruned boolean",
         )
         .filter(F.col("rows_agree") & F.col("pruned"))
+        # the two booleans are constant True on survivors; the counts
+        # they were derived from stay, so the evidence remains visible
+        .select("key_ord", "lookup_rows", "expected_rows",
+                "files_scanned", "files_total")
         .orderBy("key_ord")
     )
 
@@ -5754,7 +5760,8 @@ _STAGED_R13 = {
 # The per-round sf0.001+sf0.01 pytest parity sweep remains the
 # documented backstop for everything outside the window, and
 # tools/parity_sweep.py commits a FULL-registry driver-style artifact
-# each round (PARITY_r12.json on this tree), so every query carries a
+# before each round closes (PARITY_r12.json — generated on the final
+# r12 tree, not at mid-round edit time), so every query carries a
 # current-round reproducible record regardless of the 50-slot budget.
 _CHECK_FIRST: list[str] = [
     # -- the 2 newly registered queries (rotation-rule head slots)

@@ -111,6 +111,9 @@ BENCH_QUERIES = [
     # quantizer, noted in bench run_df's comment)
     "q_semdedup",
     "q_semantic_decontaminate",
+    # r12 additions: the two newly registered window heads
+    "q_dedup_substring",
+    "q_split_assign_safe",
 ]
 
 # The r3 headline set (BENCH_r03.json's 30 queries): the aggregate
@@ -153,6 +156,11 @@ ORACLE_SKIP = {
     "q_corpus_pipeline": (
         "contains the all-pairs dedup control plus a 13-gram unnest "
         "cross join; engine side timed without it"
+    ),
+    "q_split_assign_safe": (
+        "the cluster labels come from the same all-pairs exact-Jaccard "
+        "+ recursive-reachability control as q_neardup_clusters; "
+        "engine side timed without it"
     ),
 }
 

@@ -1544,6 +1544,12 @@ def trim_duplicated_spans(
     """
     if keep not in ("none", "first"):
         raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
+    if keep == "first" and max_occ is not None:
+        raise ValueError(
+            "max_occ applies to the keep='none' COUNT-window path only; "
+            "the keep='first' election is skew-free by construction — "
+            "dropping the argument silently would fake a guard"
+        )
     if spans is None:
         if keep == "first":
             spans = removable_spans_keep_first(

@@ -229,17 +229,22 @@ def _gram_hashes(
     id_col: str,
     n: int,
     repartition: bool | int,
+    h1_of=None,
 ) -> DataFrame:
     """Distinct token n-gram hashes per document, ``(out_id, __h)``
-    rows — the shared reduction of :func:`decontaminate_ngram` and
-    :func:`contamination_report`.
+    rows — the shared reduction of :func:`decontaminate_ngram`,
+    :func:`contamination_report` and the Bloom screen's
+    :func:`_gram_pairs` (r12: the Bloom path reuses THIS body rather
+    than copying it — the mutant-corpus divergence lesson).
 
     Hashes the token SLICES directly (r6): building the n-word concat
     string per position only to hash it paid the string churn for
     nothing — ``xxhash64`` over the array slice has the same equality
     classes (elementwise), and only hash equality matters for these
     engine-internal joins (measured 0.83 s -> 0.63 s at sf0.1 on the
-    decontaminate pass, identical output).  The token array is
+    decontaminate pass, identical output).  ``h1_of`` overrides the
+    per-slice hash for callers that need an ANSI-SQL-reproducible
+    gram hash (the md5_60 string mode).  The token array is
     materialized as its own projection so the interpreted transform
     lambda does not re-split the text per position (the winnowing-fix
     defect class).  Documents shorter than ``n`` tokens keep
@@ -259,6 +264,8 @@ def _gram_hashes(
         src = df
     else:
         src = df.repartition(int(repartition))
+    if h1_of is None:
+        h1_of = F.xxhash64
     toks = tokens(text_col)
     tdf = src.select(F.col(id_col).alias(out_id), toks.alias("__toks"))
     tk = F.col("__toks")
@@ -267,10 +274,10 @@ def _gram_hashes(
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.size(tk) - (n - 1)),
-                lambda i: F.xxhash64(F.slice(tk, i, n)),
+                lambda i: h1_of(F.slice(tk, i, n)),
             )
         ),
-    ).otherwise(F.array(F.xxhash64(tk)))
+    ).otherwise(F.array(h1_of(tk)))
     return tdf.select(out_id, F.explode(grams).alias("__h"))
 
 
@@ -332,33 +339,18 @@ def _gram_pairs(
     Bloom screen (k derived positions from two hashes behave like k
     independent hashes; Kirsch & Mitzenmacher, ESA'06).
 
-    The gram stream carries ONE hash per gram (the :func:`_gram_hashes`
-    discipline — ``array_distinct`` over longs, no per-position string
-    churn or struct comparisons: the struct-pair first draft measured
-    3x slower on the distinct alone); the second hash DERIVES from the
-    first post-explode (h2 = hash(h1), one narrow projection — the
-    standard double-hashing construction when re-reading the key is
-    the expensive part).  ``hash_fn="xxhash64"`` hashes token slices;
-    ``"md5_60"`` hashes the joined gram string and derives h2 as
-    md5_60 of h1's DECIMAL STRING, so the whole screen has an exact
-    ANSI-SQL twin.  Documents shorter than ``n`` tokens contribute
-    their whole-document gram (word_shingles convention)."""
-    from ..sources import fan_out
-    from .text import tokens
-
-    spark = df.sparkSession
-    if repartition is True:
-        src = fan_out(df, spark.sparkContext.defaultParallelism, guard=True)
-    elif repartition is False:
-        src = df
-    else:
-        src = df.repartition(int(repartition))
-    toks = tokens(text_col)
-    tdf = src.select(F.col(id_col).alias(out_id), toks.alias("__toks"))
-    tk = F.col("__toks")
+    The gram stream is :func:`_gram_hashes` itself — one hash per
+    gram, ``array_distinct`` over longs (the struct-pair first draft
+    measured 3x slower on the distinct alone; a copied body would
+    re-create the mutant-corpus divergence hazard) — plus one narrow
+    post-explode projection deriving the second hash from the first
+    (h2 = hash(h1), the standard double-hashing construction when
+    re-reading the key is the expensive part).
+    ``hash_fn="xxhash64"`` hashes token slices; ``"md5_60"`` hashes
+    the joined gram string and derives h2 as md5_60 of h1's DECIMAL
+    STRING, so the whole screen has an exact ANSI-SQL twin."""
     if hash_fn == "xxhash64":
-        def h1_of(sl):
-            return F.xxhash64(sl)
+        h1_of = None  # _gram_hashes' native slice hash
 
         def h2_of(h1):
             return F.xxhash64(h1)
@@ -374,17 +366,12 @@ def _gram_pairs(
             return hasher(h1.cast("string"))
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    grams = F.when(
-        F.size(tk) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(tk) - (n - 1)),
-                lambda i: h1_of(F.slice(tk, i, n)),
-            )
-        ),
-    ).otherwise(F.array(h1_of(tk)))
-    return tdf.select(out_id, F.explode(grams).alias("__h1")).select(
-        out_id, "__h1", h2_of(F.col("__h1")).alias("__h2")
+    base = _gram_hashes(df, out_id, text_col, id_col, n, repartition,
+                        h1_of=h1_of)
+    return base.select(
+        out_id,
+        F.col("__h").alias("__h1"),
+        h2_of(F.col("__h")).alias("__h2"),
     )
 
 
@@ -456,6 +443,44 @@ def bloom_contamination_report(
     Output: ``(id_col, n_screened, n_confirmed)``, one row per
     screened document.
     """
+    screened, b = _bloom_screen(
+        corpus, benchmark, text_col, id_col, n, m_bits, k, hash_fn,
+        repartition,
+    )
+    # ONE pass over the screened stream (r12 review fix: separate
+    # n_screened / n_confirmed aggregations re-ran the whole corpus
+    # gram build + probe pipeline twice per action): the benchmark's
+    # distinct hashes join in as a flag — unique per __h1, so no row
+    # multiplication — and both counts fold in a single aggregation,
+    # the same shape the DuckDB oracle uses.
+    in_bench = b.select("__h1").distinct().withColumn("__inb", F.lit(True))
+    return (
+        screened.join(in_bench, "__h1", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_screened"),
+            F.sum(F.when(F.col("__inb"), 1).otherwise(0))
+            .cast("long").alias("n_confirmed"),
+        )
+    )
+
+
+def _bloom_screen(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    m_bits: int,
+    k: int,
+    hash_fn: str,
+    repartition: bool | int,
+):
+    """Build the bitmap from the benchmark gram stream and return
+    ``(screened corpus grams, benchmark gram pairs)`` — the shared
+    front half of :func:`bloom_contamination_report` and
+    :func:`bloom_decontaminate` (so the screen-only act path never
+    constructs the confirm-join subtree it documents as skipped)."""
     if m_bits < 64 or m_bits % 64 or k < 1 or k > 32:
         raise ValueError(
             "m_bits must be a positive multiple of 64 and k in [1, 32]")
@@ -507,25 +532,7 @@ def bloom_contamination_report(
         word = F.element_at(bits_arr, F.floor(pos / 64).cast("int") + 1)
         c = F.bit_get(word, F.pmod(pos, F.lit(64)).cast("int")) == 1
         screen_pred = c if screen_pred is None else (screen_pred & c)
-    screened = cg.filter(screen_pred).drop("__bloom_bits")
-    confirmed = screened.join(
-        b.select("__h1").distinct(), "__h1", "left_semi"
-    )
-    n_scr = screened.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_screened")
-    )
-    n_conf = confirmed.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_confirmed")
-    )
-    return (
-        n_scr.join(n_conf, id_col, "left")
-        .select(
-            id_col,
-            "n_screened",
-            F.coalesce("n_confirmed", F.lit(0)).cast("long")
-            .alias("n_confirmed"),
-        )
-    )
+    return cg.filter(screen_pred).drop("__bloom_bits"), b
 
 
 def bloom_decontaminate(
@@ -551,14 +558,20 @@ def bloom_decontaminate(
     ~(set_bits/m)^k false-positive rate to skip the confirm join
     entirely (a fraction-of-a-percent corpus loss at the documented
     sizing — acceptable for pretraining corpora, never for eval
-    sets)."""
-    rep = bloom_contamination_report(
+    sets).  confirm=False genuinely skips the confirm subtree (r12
+    review fix: the first draft routed through the report, whose plan
+    still built the benchmark distinct-hash join it documented as
+    skipped)."""
+    screened, b = _bloom_screen(
         corpus, benchmark, text_col, id_col, n, m_bits, k, hash_fn,
         repartition,
     )
-    flag = F.col("n_confirmed") > 0 if confirm else F.col("n_screened") > 0
+    flagged = (
+        screened.join(b.select("__h1").distinct(), "__h1", "left_semi")
+        if confirm else screened
+    )
     return corpus.join(
-        rep.filter(flag).select(id_col), id_col, "left_anti"
+        flagged.select(id_col).distinct(), id_col, "left_anti"
     )
 
 

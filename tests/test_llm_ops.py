@@ -2321,6 +2321,10 @@ def test_keep_first_trim_elects_one_survivor(spark):
             df, spans=D.substring_dup_spans(df), keep="first")
     with pytest.raises(ValueError, match="keep"):
         D.trim_duplicated_spans(df, keep="latest")
+    # max_occ guards the keep='none' window path only; silently
+    # dropping it under keep='first' would fake a skew guard
+    with pytest.raises(ValueError, match="max_occ"):
+        D.trim_duplicated_spans(df, keep="first", max_occ=100)
 
 
 def test_removable_spans_keep_first_determinism(spark):

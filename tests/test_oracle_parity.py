@@ -202,11 +202,12 @@ def test_rows_only_queries_emit_live_multirow_summaries(spark, sf_small):
     assert len(by_kind["file_rows"]) == by_kind["files_agree"][0] == 1
     assert by_kind["total_rows"] == [sum(by_kind["file_rows"])]
 
-    # sorted write: one row per written file, every file sorted,
-    # row counts covering all events with unique ids
+    # sorted write: one row per written file (row-dropping: an
+    # unsorted file would be absent), row counts covering all events
+    # with unique ids
     rows = _QUERIES["q_sorted_write"](spark, sf_small).collect()
     assert len(rows) == 4
-    assert all(r.sorted_ok and r.n_rows == r.n_ids for r in rows)
+    assert all(r.n_rows == r.n_ids for r in rows)
     assert sum(r.n_rows for r in rows) == load_table(
         spark, sf_small, "events"
     ).count()
@@ -220,10 +221,11 @@ def test_rows_only_queries_emit_live_multirow_summaries(spark, sf_small):
     )
     assert all(r.v1_readable_rows == r.n_rows_v1 for r in rows)
 
-    # bucket-pruned lookup: three probes, all correct AND pruned
+    # bucket-pruned lookup: three probes survive the row-dropping
+    # filter (each proved rows_agree AND pruned to be emitted at all)
     rows = _QUERIES["q_bucket_pruned_lookup"](spark, sf_small).collect()
     assert len(rows) == 3
-    assert all(r.rows_agree and r.pruned for r in rows)
+    assert all(r.lookup_rows == r.expected_rows for r in rows)
     assert all(r.files_scanned < r.files_total for r in rows)
 
 
