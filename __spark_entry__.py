@@ -3564,8 +3564,10 @@ def q_decontaminate_ngram(spark, sf_dir):
     return S.decontaminate_ngram(corpus, benchmark, n=13).select("doc_id", "lang")
 
 
-@_q("q_lm_score", """
-WITH toked AS (
+#: shared CTE chain of the bigram LM (q_lm_score + the staged CCNet
+#: bucket query build on the same model; extracted r12 so the two
+#: oracles cannot silently diverge — the mutant-corpus lesson).
+_LM_SCORE_CTES = """toked AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ), uni AS (
   SELECT w1, COUNT(*) AS c1
@@ -3580,7 +3582,11 @@ WITH toked AS (
 ), scored AS (
   SELECT d.doc_id, ln((b.cb + 0.5) / (u.c1 + 0.5 * v.v)) AS logp
   FROM doc_bi d JOIN bi b USING (bg) JOIN uni u USING (w1), v
-)
+)"""
+
+
+@_q("q_lm_score", f"""
+WITH {_LM_SCORE_CTES}
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        CAST(SUM(CAST(logp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
          AS avg_logprob
@@ -5689,6 +5695,42 @@ def _staged_q_decontaminate_bloom(spark, sf_dir):
     )
 
 
+_PERPLEXITY_BUCKETS_ORACLE = f"""
+WITH {_LM_SCORE_CTES},
+lm AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(logp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+           AS avg_logprob
+  FROM scored GROUP BY doc_id
+)
+SELECT l.doc_id, d.lang, l.avg_logprob,
+       (['head', 'middle', 'tail'])[
+         NTILE(3) OVER (PARTITION BY d.lang
+                        ORDER BY l.avg_logprob DESC, l.doc_id)
+       ] AS bucket
+FROM lm l JOIN documents d USING (doc_id)
+"""
+
+
+def _staged_q_perplexity_buckets(spark, sf_dir):
+    """X6am (staged for r13): CCNet head/middle/tail perplexity
+    bucketing (operators/text.perplexity_buckets) — equal per-language
+    thirds by mean bigram log-likelihood under the corpus LM, the
+    partition CCNet publishes and pretraining mixtures sample from.
+    Certified in the NTILE mode (deterministic total order on
+    (avg_logprob DESC, doc_id), bit-equal across engines because the
+    LM's per-doc mean is the q_lm_score DECIMAL-sum value); the
+    sketch-cutoff mode is the documented 100-TB path (one
+    percentile_approx agg + map-side fold — no per-language sort) and
+    is pytest-compared against NTILE away from bucket boundaries."""
+    from real_timetransactionaldatalakehouse_spark.operators import text as TX
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.catalog.clearCache()
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return TX.perplexity_buckets(docs)
+
+
 #: r13 registration queue: name -> (query fn, oracle SQL)
 _STAGED_R13 = {
     "q_dedup_substring_keepfirst": (
@@ -5698,6 +5740,10 @@ _STAGED_R13 = {
     "q_decontaminate_bloom": (
         _staged_q_decontaminate_bloom,
         _DECONTAMINATE_BLOOM_ORACLE,
+    ),
+    "q_perplexity_buckets": (
+        _staged_q_perplexity_buckets,
+        _PERPLEXITY_BUCKETS_ORACLE,
     ),
 }
 
@@ -5822,12 +5868,13 @@ _CHECK_FIRST: list[str] = [
 # greens at the bound (q_window_rank_stats, q_zscore_norm) + the 3
 # r12-changed rows-only summaries (q_table_stats, q_sorted_write,
 # q_bucket_pruned_lookup — row-dropping conversion, VERDICT r11 #6)
-# + the 1 staged new query (q_dedup_substring_keepfirst, see
-# _STAGED_R13 — written and both-SF parity-certified in r12), then
-# the 44 oldest unchanged r10 greens; 3 youngest r10 slide to r14
-# (legal: r10's bound is r14).  Mutant-corpus literal sites still
-# owed migration to _mutated_corpus() as their queries reach a head
-# slot (r11 review note): q_neardup_minhash, q_neardup_cross_corpus,
+# + the 3 staged new queries (q_dedup_substring_keepfirst,
+# q_decontaminate_bloom, q_perplexity_buckets — see _STAGED_R13,
+# written and both-SF parity-certified in r12), then the 42 oldest
+# unchanged r10 greens; 5 youngest r10 slide to r14 (legal: r10's
+# bound is r14).  Mutant-corpus literal sites still owed migration
+# to _mutated_corpus() as their queries reach a head slot (r11
+# review note): q_neardup_minhash, q_neardup_cross_corpus,
 # q_neardup_verified, q_simhash_neardup, q_split_leakage (all r10
 # cohort — migrate whichever of these land in the r13/r14 windows).
 

@@ -581,6 +581,87 @@ def ngram_lm_score(
     return out
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+    labels: tuple = ("head", "middle", "tail"),
+    method: str = "ntile",
+    scores: DataFrame | None = None,
+    **lm_kwargs,
+) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al., LREC'20 §4.3): split
+    each language's documents into equal thirds by LM score —
+    ``head`` (most fluent), ``middle``, ``tail`` — the partition CCNet
+    publishes per language and downstream pipelines sample from
+    (GPT-3/LLaMA-style corpora train mostly on head+middle).  Scores
+    come from :func:`ngram_lm_score` (higher ``avg_logprob`` =
+    better); pass ``scores`` to reuse an existing score table.
+
+    ``method`` picks the 100-TB trade explicitly rather than hiding
+    it:
+
+    - ``"ntile"`` (default, certified): exact equal-count buckets via
+      ``NTILE(n) OVER (PARTITION BY lang ORDER BY avg_logprob DESC,
+      id)`` — deterministic total order, bit-equal in ANSI SQL.  The
+      honest caveat: a window partition is ONE task, and on a real
+      web corpus the largest language is over half the rows — this
+      mode's per-lang sort does not scale past what one executor
+      sorts comfortably.  Certification/small-corpus mode.
+    - ``"cutoffs"``: per-language quantile cutoffs from ONE
+      ``percentile_approx`` sketch aggregate (no sort, no corpus
+      shuffle beyond the score table's own agg), broadcast back, and
+      bucket assignment becomes a MAP-SIDE comparison fold — the
+      scale path, with sketch-error-sized deviation from exact
+      thirds at the boundaries (the same sketch-vs-exact trade as
+      ``select_threshold``'s keep-rate mode).
+
+    Output: ``(id_col, lang, avg_logprob, bucket)``, one row per
+    scored document (documents with no bigram never score — the
+    emit-nothing rule).
+    """
+    if len(labels) != n_buckets or n_buckets < 2:
+        raise ValueError("labels must have exactly n_buckets (>= 2) entries")
+    if scores is None:
+        scores = ngram_lm_score(
+            df.select(id_col, text_col), text_col, id_col, **lm_kwargs
+        )
+    langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
+    j = scores.join(langs, id_col)
+    label_arr = F.array(*[F.lit(x) for x in labels])
+    if method == "ntile":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("lang").orderBy(
+            F.desc("avg_logprob"), F.col(id_col)
+        )
+        bucket = F.element_at(label_arr, F.ntile(n_buckets).over(w))
+        out = j.select(id_col, "lang", "avg_logprob", bucket.alias("bucket"))
+    elif method == "cutoffs":
+        qs = [1.0 - i / n_buckets for i in range(1, n_buckets)]
+        cuts = j.groupBy("lang").agg(
+            F.percentile_approx("avg_logprob", qs, 10_000).alias("__cuts")
+        )
+        idx = F.lit(1) + F.aggregate(
+            "__cuts",
+            F.lit(0),
+            lambda acc, c: acc
+            + F.when(F.col("avg_logprob") < c, 1).otherwise(0),
+        )
+        out = (
+            j.join(F.broadcast(cuts), "lang")
+            .select(
+                id_col, "lang", "avg_logprob",
+                F.element_at(label_arr, idx).alias("bucket"),
+            )
+        )
+    else:
+        raise ValueError(f"method must be 'ntile' or 'cutoffs', got {method!r}")
+    return out
+
+
 def token_count_bpe(text: Column | str) -> Column:
     """Pre-tokenizer token count — the budget unit LLM pipelines cost
     documents in (whitespace counts under-estimate code/punctuation-

@@ -2408,3 +2408,41 @@ def test_bloom_decontaminate_matches_exact_and_bounds_fps(spark, docs):
         Smp.bloom_contamination_report(corpus, bench, m_bits=32)
     with pytest.raises(ValueError, match="hash_fn"):
         Smp.bloom_contamination_report(corpus, bench, hash_fn="sha1")
+
+
+def test_perplexity_buckets_ccnet_partition(spark, sf_small):
+    """r12 EXT: CCNet head/middle/tail bucketing.  (a) NTILE mode
+    yields equal-thirds-per-language (within 1 doc); (b) bucket order
+    respects the score: every head doc scores >= every tail doc in
+    its language; (c) the sketch-cutoff scale mode agrees with NTILE
+    on interior documents (boundary ties are the documented sketch
+    deviation); (d) label/method discipline raises."""
+    from real_timetransactionaldatalakehouse_spark.operators import text as TX
+
+    corpus = (
+        load_table(spark, sf_small, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text", "lang")
+    )
+    nt = TX.perplexity_buckets(corpus).collect()
+    assert nt
+    by_lang = {}
+    for r in nt:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        counts = {}
+        for r in rows:
+            counts[r.bucket] = counts.get(r.bucket, 0) + 1
+        assert set(counts) <= {"head", "middle", "tail"}
+        assert max(counts.values()) - min(counts.values()) <= 1, (lang, counts)
+        worst_head = min(r.avg_logprob for r in rows if r.bucket == "head")
+        best_tail = max(r.avg_logprob for r in rows if r.bucket == "tail")
+        assert worst_head >= best_tail
+    cu = {r.doc_id: r.bucket for r in TX.perplexity_buckets(
+        corpus, method="cutoffs").collect()}
+    agree = sum(1 for r in nt if cu[r.doc_id] == r.bucket)
+    assert agree / len(nt) > 0.95  # boundaries may differ, interior not
+    with pytest.raises(ValueError, match="labels"):
+        TX.perplexity_buckets(corpus, n_buckets=4)
+    with pytest.raises(ValueError, match="method"):
+        TX.perplexity_buckets(corpus, method="exact")

@@ -66,3 +66,29 @@ def test_ab_leader_alternates_by_round_parity():
     assert _round_leader("round 11: verdict/etc") == "prev"   # r12
     assert _round_leader("round 12: verdict/etc") == "curr"   # r13
     assert _round_leader("not a round subject") == "prev"     # fallback
+
+
+def test_r12_window_matches_freshness_ledger():
+    """The r12 _CHECK_FIRST must be DERIVABLE from the committed
+    CORRECTNESS artifacts, not just asserted in a comment: head = the
+    2 r11-staged registrations, then the r8 cohort at the 4-round
+    bound, then the 43 oldest (alphabetical) of the r9 cohort — where
+    a query's cohort is the LAST round whose driver window certified
+    it.  Executable ledger arithmetic (sessionless)."""
+    import json
+
+    import __spark_entry__ as entry
+
+    last = {}
+    for r in range(1, 12):
+        path = os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")
+        for name in json.load(open(path)):
+            last[name] = r
+    r8 = sorted(n for n, v in last.items() if v == 8)
+    r9 = sorted(n for n, v in last.items() if v == 9)
+    expected = (["q_split_assign_safe", "q_dedup_substring"]
+                + r8 + r9[:43])
+    assert entry._CHECK_FIRST == expected
+    assert len(entry._CHECK_FIRST) == 50
+    # and the registry order the driver sees leads with exactly them
+    assert list(entry.queries())[:50] == expected
