@@ -784,3 +784,27 @@ def test_repetition_gram_transform_binds_token_array(spark, sf_medium):
     # i.e. the Generate's input carries __toks, and the lambda body
     # (xxhash64(slice(...))) references the lambda variable, not split
     assert "__toks" in plan, plan
+
+
+def test_perplexity_cutoffs_mode_has_no_window_sort(spark, sf_small):
+    """r12 contract: perplexity_buckets' scale mode must earn its
+    docstring — method='cutoffs' replaces the per-language NTILE
+    (one window partition = one task = the largest-language
+    straggler) with a percentile_approx sketch agg + broadcast +
+    map-side fold, so its plan carries NO Window node and NO
+    sort-merge join; the certified ntile mode keeps exactly one
+    Window."""
+    from real_timetransactionaldatalakehouse_spark.operators import text as TX
+    from real_timetransactionaldatalakehouse_spark.sources import load_table
+
+    corpus = (
+        load_table(spark, sf_small, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text", "lang")
+    )
+    cut = P.formatted_plan(TX.perplexity_buckets(corpus, method="cutoffs"))
+    assert "Window" not in cut, cut
+    assert "SortMergeJoin" not in cut, cut
+    assert "BroadcastHashJoin" in cut or "BroadcastNestedLoopJoin" in cut, cut
+    nt = P.formatted_plan(TX.perplexity_buckets(corpus))
+    assert nt.count("Window") >= 1
