@@ -5731,6 +5731,189 @@ def _staged_q_perplexity_buckets(spark, sf_dir):
     return TX.perplexity_buckets(docs)
 
 
+# DSIR importance weights (r12 EXT addition, staged for r13): the
+# oracle replays the full hashed-ngram model — same md5_60 gram hash,
+# same bucket modulus, same smoothed single-ln log-ratio, DECIMAL-sum
+# fold — so parity certifies the model's counts AND the float
+# discipline, not just row shapes.  The target corpus is source
+# 'src1' (stands in for "quality domain"); raw is the whole corpus,
+# so src1's own documents must surface with high logw — an oracle
+# property, not a test assertion.
+_DSIR_WEIGHTS_ORACLE = """
+WITH toked AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+cg AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096 AS b
+  FROM toked, UNNEST(list_concat(
+      t,
+      CASE WHEN len(t) >= 2
+        THEN list_transform(generate_series(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i + 1])
+        ELSE []::VARCHAR[] END
+  )) AS u(g)
+),
+tg AS (
+  SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096 AS b
+  FROM (SELECT t FROM toked WHERE source = 'src1') s, UNNEST(list_concat(
+      t,
+      CASE WHEN len(t) >= 2
+        THEN list_transform(generate_series(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i + 1])
+        ELSE []::VARCHAR[] END
+  )) AS u(g)
+),
+raw AS (SELECT b, COUNT(*) AS cr FROM cg GROUP BY b),
+tgt AS (SELECT b, COUNT(*) AS ct FROM tg GROUP BY b),
+tot AS (SELECT (SELECT SUM(cr) FROM raw) AS tr,
+               (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS tt),
+model AS (
+  SELECT r.b,
+         ln(((COALESCE(g.ct, 0)::DOUBLE + 0.5::DOUBLE)
+             * (tot.tr::DOUBLE + 2048.0::DOUBLE))
+            / ((r.cr::DOUBLE + 0.5::DOUBLE)
+               * (tot.tt::DOUBLE + 2048.0::DOUBLE))) AS lam
+  FROM raw r LEFT JOIN tgt g USING (b), tot
+)
+SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CAST(m.lam AS DECIMAL(28,6))) AS DOUBLE) AS logw
+FROM cg c JOIN model m USING (b)
+GROUP BY c.doc_id
+"""
+
+
+def _staged_q_dsir_weights(spark, sf_dir):
+    """X6an (staged for r13): DSIR hashed-ngram importance log-weights
+    (operators/sampling.dsir_logweights, Xie et al. NeurIPS'23) —
+    the published "select raw data that looks like the target domain"
+    primitive of pretraining pipelines.  Target = source 'src1', raw
+    = the full corpus; 4096 feature buckets, alpha=0.5, md5_60 gram
+    hashing for the exact DuckDB twin (the xxhash64 default is the
+    scale path).  Certified output is the raw (doc_id, n_grams,
+    logw) triple — ranking/resampling composes downstream."""
+    from real_timetransactionaldatalakehouse_spark.operators import sampling as Smp
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.catalog.clearCache()
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    target = docs.filter(F.col("source") == "src1")
+    return Smp.dsir_logweights(
+        docs.select("doc_id", "text"),
+        target.select("doc_id", "text"),
+        n_buckets=4096,
+        alpha=0.5,
+        hash_fn="md5_60",
+    )
+
+
+# C4 line-level cleaning (r12 EXT addition, staged for r13): the
+# synthetic corpus has no newlines or punctuation, so the query
+# wrapper deterministically LINES the corpus first (6-token chunks;
+# a chunk ends in '.' iff md5_60(doc_id:i:line) % 3 > 0 — so ~1/3 of
+# lines fail the terminal-punctuation rule), plants 'lorem ipsum'
+# pages at doc_id % 37 = 0 and curly-bracket code pages at
+# doc_id % 41 = 0, and the oracle replays the identical lining +
+# the filter — certifying BOTH tiers of the C4 rules row-for-row.
+_C4_LINE_FILTER_ORACLE = """
+WITH toked AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+lined AS (
+  SELECT doc_id,
+     array_to_string(list_transform(generate_series(1, (len(t) + 5) // 6),
+        i -> array_to_string(list_slice(t, (i - 1) * 6 + 1, (i - 1) * 6 + 6), ' ')
+             || CASE WHEN ('0x' || substr(md5(doc_id || ':' || i || ':line'), 1, 15))::BIGINT % 3 > 0
+                THEN '.' ELSE '' END
+     ), chr(10))
+     || CASE WHEN doc_id % 37 = 0
+        THEN chr(10) || 'this page has lorem ipsum inside it okay.' ELSE '' END
+     || CASE WHEN doc_id % 41 = 0
+        THEN chr(10) || 'var f = function() { return 1; }' ELSE '' END AS text
+  FROM toked
+),
+ls0 AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM lined
+),
+flt AS (
+  SELECT doc_id,
+         len(ls) AS n_in,
+         list_filter(ls, l ->
+            substr(l, -1) IN ('.', '!', '?', '"')
+            AND len(list_filter(string_split(l, ' '), w -> w != '')) >= 5
+            AND NOT contains(lower(l), 'javascript')) AS kl
+  FROM ls0
+  WHERE NOT contains(lower(text), 'lorem ipsum')
+    AND NOT contains(text, '{')
+)
+SELECT doc_id, array_to_string(kl, chr(10)) AS clean_text,
+       CAST(n_in AS BIGINT) AS n_lines_in,
+       CAST(len(kl) AS BIGINT) AS n_lines_kept
+FROM flt WHERE len(kl) >= 3
+"""
+
+
+def _staged_q_c4_line_filter(spark, sf_dir):
+    """X6ao (staged for r13): C4 line-level cleaning
+    (operators/text.c4_line_filter, Raffel et al. JMLR'20 section
+    2.2) — terminal-punctuation + min-words + javascript line rules,
+    lorem-ipsum / curly-bracket / min-surviving-lines page rules,
+    row-dropping output.  The corpus is deterministically lined
+    (6-token chunks, hash-chosen punctuation) and salted with planted
+    lorem/code pages so every rule fires at sf0.01; the oracle
+    replays the lining and the filter exactly."""
+    from real_timetransactionaldatalakehouse_spark.operators import text as TX
+    from real_timetransactionaldatalakehouse_spark.operators.dedup import _md5_60
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.catalog.clearCache()
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split(F.col("text"), " ").alias("__t"))
+    )
+    n_lines = F.floor((F.size("__t") + F.lit(5)) / F.lit(6)).cast("int")
+
+    def mk_line(i):
+        start = (i - F.lit(1)) * F.lit(6) + F.lit(1)
+        base = F.array_join(F.slice(F.col("__t"), start, F.lit(6)), " ")
+        key = F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            i.cast("string"),
+            F.lit(":line"),
+        )
+        punct = F.when(
+            F.pmod(_md5_60(key), F.lit(3)) > 0, F.lit(".")
+        ).otherwise(F.lit(""))
+        return F.concat(base, punct)
+
+    lined = F.array_join(
+        F.transform(F.sequence(F.lit(1), n_lines), mk_line), "\n"
+    )
+    text2 = F.concat(
+        lined,
+        F.when(
+            F.col("doc_id") % 37 == 0,
+            F.lit("\nthis page has lorem ipsum inside it okay."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 41 == 0,
+            F.lit("\nvar f = function() { return 1; }"),
+        ).otherwise(F.lit("")),
+    )
+    lined_docs = docs.select("doc_id", text2.alias("text"))
+    return TX.c4_line_filter(lined_docs).select(
+        "doc_id", "clean_text", "n_lines_in", "n_lines_kept"
+    )
+
+
 #: r13 registration queue: name -> (query fn, oracle SQL)
 _STAGED_R13 = {
     "q_dedup_substring_keepfirst": (
@@ -5744,6 +5927,14 @@ _STAGED_R13 = {
     "q_perplexity_buckets": (
         _staged_q_perplexity_buckets,
         _PERPLEXITY_BUCKETS_ORACLE,
+    ),
+    "q_dsir_weights": (
+        _staged_q_dsir_weights,
+        _DSIR_WEIGHTS_ORACLE,
+    ),
+    "q_c4_line_filter": (
+        _staged_q_c4_line_filter,
+        _C4_LINE_FILTER_ORACLE,
     ),
 }
 
@@ -5799,8 +5990,10 @@ _STAGED_R13 = {
 # head r13 per the rotation rule), 50 r11 (bound r15), 50 r12 + the 3
 # changed r10 summaries certified rows-only this round = 152 total.
 # r13 window therefore = 2 displaced r9 + the 3 changed r10 summaries
-# + the 45 oldest unchanged r10 greens; 2 youngest r10 slide to r14
-# (legal: r10's bound is r14).  The cascade stays within bounds
+# + the 5 staged new queries (_STAGED_R13 — new names enter at the
+# head per the rotation rule) + the 40 oldest unchanged r10 greens;
+# 7 youngest r10 slide to r14 (legal: r10's bound is r14).  The
+# cascade stays within bounds
 # through r15: r14 = remaining r10 + oldest r11, r15 = remaining r11
 # + oldest r12.
 # The per-round sf0.001+sf0.01 pytest parity sweep remains the
@@ -5868,11 +6061,12 @@ _CHECK_FIRST: list[str] = [
 # greens at the bound (q_window_rank_stats, q_zscore_norm) + the 3
 # r12-changed rows-only summaries (q_table_stats, q_sorted_write,
 # q_bucket_pruned_lookup — row-dropping conversion, VERDICT r11 #6)
-# + the 3 staged new queries (q_dedup_substring_keepfirst,
-# q_decontaminate_bloom, q_perplexity_buckets — see _STAGED_R13,
-# written and both-SF parity-certified in r12), then the 42 oldest
-# unchanged r10 greens; 5 youngest r10 slide to r14 (legal: r10's
-# bound is r14).  Mutant-corpus literal sites still owed migration
+# + the 5 staged new queries (q_dedup_substring_keepfirst,
+# q_decontaminate_bloom, q_perplexity_buckets, q_dsir_weights,
+# q_c4_line_filter — see _STAGED_R13, written and both-SF
+# parity-certified in r12), then the 40 oldest unchanged r10 greens;
+# 7 youngest r10 slide to r14 (legal: r10's bound is r14).
+# Mutant-corpus literal sites still owed migration
 # to _mutated_corpus() as their queries reach a head slot (r11
 # review note): q_neardup_minhash, q_neardup_cross_corpus,
 # q_neardup_verified, q_simhash_neardup, q_split_leakage (all r10

@@ -1089,3 +1089,150 @@ def training_shard_layout(
         .withColumn("pos", F.row_number().over(w))
         .select(id_col, "shard", "pos")
     )
+
+
+def _dsir_bucket_stream(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    hash_fn: str,
+) -> DataFrame:
+    """Hashed bag-of-ngram feature stream for :func:`dsir_logweights`:
+    one ``(id, __b)`` row per unigram AND bigram OCCURRENCE (a bag,
+    not a set — DSIR's feature vector counts repeats), ``__b`` in
+    ``[0, n_buckets)``.
+
+    One tokenize, one explode: the unigram and bigram hash arrays are
+    built per row with higher-order transforms over the SAME token
+    array projection and concatenated before the single explode
+    (the ``ngram_lm_score`` lesson — never re-split text per
+    position).  ``hash_fn="md5_60"`` hashes the gram STRING (bigram =
+    ``w1 || ' ' || w2``) for the exact DuckDB twin; the default
+    ``xxhash64`` hashes token slices variadically — no concat churn —
+    and is the scale path."""
+    from ..sources import fan_out
+    from .dedup import _md5_60
+    from .text import tokens
+
+    spark = df.sparkSession
+    src = fan_out(df, spark.sparkContext.defaultParallelism, guard=True)
+    tk = F.col("__t")
+    if hash_fn == "md5_60":
+        def uh(i):
+            return _md5_60(F.element_at(tk, i))
+
+        def bh(i):
+            return _md5_60(
+                F.concat(
+                    F.element_at(tk, i),
+                    F.lit(" "),
+                    F.element_at(tk, i + F.lit(1)),
+                )
+            )
+    elif hash_fn == "xxhash64":
+        def uh(i):
+            return F.xxhash64(F.element_at(tk, i))
+
+        def bh(i):
+            return F.xxhash64(
+                F.element_at(tk, i), F.element_at(tk, i + F.lit(1))
+            )
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    unis = F.transform(F.sequence(F.lit(1), F.size(tk)), uh)
+    bis = F.when(
+        F.size(tk) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(tk) - 1), bh),
+    ).otherwise(F.array().cast("array<bigint>"))
+    toked = src.select(
+        F.col(id_col), tokens(text_col).alias("__t")
+    ).filter(F.size("__t") >= 1)
+    return toked.select(
+        F.col(id_col), F.explode(F.concat(unis, bis)).alias("__g")
+    ).select(id_col, F.pmod(F.col("__g"), F.lit(n_buckets)).alias("__b"))
+
+
+def dsir_logweights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): score every raw-corpus document by its hashed
+    bag-of-ngrams log importance weight under target vs raw unigram+
+    bigram bucket distributions.  The published recipe for "select
+    pretraining data that looks like the target domain" (the
+    reference lakehouse has no selection tier at all; EXT surface,
+    SURVEY section 2 X).
+
+    Model: grams (unigrams + bigrams) hash into ``n_buckets`` feature
+    buckets; with add-``alpha`` smoothing over the raw-bucket support,
+
+        lam_b = ln( ((ct_b + a) * (Tr + a*m)) /
+                    ((cr_b + a) * (Tt + a*m)) )
+
+    where ``cr_b``/``ct_b`` are raw/target bucket counts and
+    ``Tr``/``Tt`` the gram totals; a document's log weight is the sum
+    of ``lam_b`` over its gram OCCURRENCES (bag semantics).  The
+    single-``ln``-of-one-ratio form keeps every intermediate an IEEE
+    double both engines compute identically; the per-gram sum goes
+    through the ``functions.dsum`` DECIMAL discipline so float logs
+    stay engine-portable.
+
+    100-TB shape: the model is at most ``n_buckets`` rows — BOTH model
+    aggregations partial-agg map-side down to <= m groups, the totals
+    are one-row broadcasts, and scoring probes ONE broadcast m-row
+    map.  The only full-width shuffles are the two keyed gram-count
+    aggs and the final per-doc fold, all on narrow (int, int) rows;
+    text never shuffles.  The corpus gram stream is built twice
+    (model pass + scoring pass) — the same recompute-vs-cache call
+    ``ngram_lm_score`` measured (cache write+read of a per-token
+    stream loses to a second tokenize at every scale tried); callers
+    with the cache budget can persist upstream.
+
+    Buckets the target never hits score ``ln(a / (ct+a)) < 0``
+    (down-weight), unseen-in-raw buckets cannot appear in the scoring
+    stream by construction — smoothing is still required for the
+    target side only.
+
+    Output: ``(id, n_grams, logw)`` — rank descending and keep top-k
+    (or Gumbel-resample with a deterministic hash race) downstream.
+    """
+    from ..functions import dsum
+
+    cg = _dsir_bucket_stream(corpus, text_col, id_col, n_buckets, hash_fn)
+    tg = _dsir_bucket_stream(target, text_col, id_col, n_buckets, hash_fn)
+    raw = cg.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    tgt = tg.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    tot_r = raw.agg(F.sum("__cr").alias("__tr"))
+    tot_t = tgt.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__tt"))
+    am = float(alpha) * n_buckets
+    lam = F.log(
+        (
+            (F.coalesce(F.col("__ct"), F.lit(0)).cast("double") + F.lit(float(alpha)))
+            * (F.col("__tr").cast("double") + F.lit(am))
+        )
+        / (
+            (F.col("__cr").cast("double") + F.lit(float(alpha)))
+            * (F.col("__tt").cast("double") + F.lit(am))
+        )
+    )
+    model = (
+        raw.join(tgt, "__b", "left")
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(F.broadcast(tot_t))
+        .select("__b", lam.alias("__lam"))
+    )
+    return (
+        cg.join(F.broadcast(model), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            dsum("__lam", 6).alias("logw"),
+        )
+    )

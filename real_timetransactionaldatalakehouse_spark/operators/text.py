@@ -1124,3 +1124,72 @@ def vocab_coverage(
         _attach_cached(out, getattr(ranked, "_cached_deps", [])),
         getattr(ranked, "_layout_frames", []),
     )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al., JMLR 2020 section
+    2.2 — the published Common-Crawl-to-C4 filter; the reference
+    lakehouse has no text-cleaning tier; EXT surface, SURVEY section
+    2 X).  Two tiers, exactly the paper's rules:
+
+    line-level (a line survives iff ALL hold):
+      - ends in a terminal punctuation mark (``.`` ``!`` ``?`` ``"``);
+      - has at least ``min_words_per_line`` non-empty words;
+      - does not mention "javascript" (case-insensitive).
+
+    document-level (the row is DROPPED iff ANY holds):
+      - the phrase "lorem ipsum" appears (case-insensitive);
+      - a curly bracket ``{`` appears (code page);
+      - fewer than ``min_lines`` lines survive the line tier (the
+        paper's 3-sentence floor, counted on retained lines).
+
+    Adds ``out_col`` (surviving lines re-joined with newlines),
+    ``n_lines_in`` and ``n_lines_kept``; every input column passes
+    through, and the output is ROW-DROPPING (a regression in any rule
+    changes the row count, never just a flag).
+
+    100-TB shape: entirely higher-order array expressions over one
+    ``split`` — map-only, ZERO shuffles, no Python.  The filter costs
+    one scan at any corpus size and composes ahead of any keyed stage
+    (dedup, selection) so downstream shuffles carry already-cleaned
+    text.  Known CPU constant: Catalyst pushes the row filter beneath
+    the kept-lines projection (deterministic predicates always sink),
+    so the line lambda evaluates in BOTH the filter and the output
+    projection — a bounded ~2x of one map pass, not a scale cliff;
+    the pass stays scan-bound and shuffle-free.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    lines = F.split(c, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: F.substring(l, -1, 1).isin(".", "!", "?", '"')
+        & (
+            F.size(F.filter(F.split(l, " "), lambda w: w != ""))
+            >= min_words_per_line
+        )
+        & ~F.contains(F.lower(l), F.lit("javascript")),
+    )
+    out = df.withColumns(
+        {
+            "__lines": lines,
+            "__kept": kept,
+        }
+    )
+    out = out.filter(
+        ~F.contains(F.lower(c), F.lit("lorem ipsum"))
+        & ~F.contains(c, F.lit("{"))
+        & (F.size("__kept") >= min_lines)
+    )
+    return out.withColumns(
+        {
+            out_col: F.array_join("__kept", "\n"),
+            "n_lines_in": F.size("__lines").cast("long"),
+            "n_lines_kept": F.size("__kept").cast("long"),
+        }
+    ).drop("__lines", "__kept")

@@ -2446,3 +2446,119 @@ def test_perplexity_buckets_ccnet_partition(spark, sf_small):
         TX.perplexity_buckets(corpus, n_buckets=4)
     with pytest.raises(ValueError, match="method"):
         TX.perplexity_buckets(corpus, method="exact")
+
+
+def test_dsir_upweights_target_domain(spark):
+    """DSIR semantics on a planted two-domain corpus: documents built
+    from the target domain's vocabulary must out-score documents from
+    a disjoint vocabulary, target-vocab repeats add weight (bag
+    semantics), and the scorer is deterministic."""
+    from real_timetransactionaldatalakehouse_spark.operators import sampling as Smp
+
+    tgt_words = "alpha beta gamma delta epsilon zeta".split()
+    other_words = "one two three four five six".split()
+    corpus_rows = [
+        (1, " ".join(tgt_words * 3)),          # pure target vocab
+        (2, " ".join(other_words * 3)),        # pure off-domain vocab
+        (3, " ".join(tgt_words + other_words)),  # mixed
+        (4, " ".join(tgt_words * 6)),          # target vocab, repeated
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    target = spark.createDataFrame(
+        [(100 + i, " ".join(tgt_words)) for i in range(5)],
+        ["doc_id", "text"],
+    )
+    # smoothing-light configuration: at the default (4096 buckets,
+    # alpha=0.5) a toy corpus is prior-dominated — alpha*m outweighs
+    # every real count and all log-ratios hug ln(Tr/Tt) regardless of
+    # content.  64 buckets / alpha=0.1 puts the counts in charge, the
+    # regime the ordering semantics are defined in.
+    kw = dict(n_buckets=64, alpha=0.1)
+    out = {
+        r["doc_id"]: r
+        for r in Smp.dsir_logweights(corpus, target, **kw).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # per-gram normalization: docs differ in length, so rank by mean
+    mean = {k: out[k]["logw"] / out[k]["n_grams"] for k in out}
+    assert mean[1] > mean[3] > mean[2]
+    # pure-target scores positive, pure-off-domain negative in the
+    # count-dominated regime
+    assert mean[1] > 0 > mean[2]
+    # bag semantics: doc 4 is doc 1's gram stream doubled (+1 seam
+    # bigram), so its PER-GRAM mean matches doc 1 far closer than the
+    # gap to the mixed doc
+    assert abs(mean[4] - mean[1]) < abs(mean[1] - mean[3]) / 4
+    # n_grams = unigrams + bigrams = n + (n - 1)
+    assert out[1]["n_grams"] == 18 + 17
+    assert out[4]["n_grams"] == 36 + 35
+    again = {
+        r["doc_id"]: r["logw"]
+        for r in Smp.dsir_logweights(corpus, target, **kw).collect()
+    }
+    assert {k: v["logw"] for k, v in out.items()} == again
+
+
+def test_dsir_md5_mode_matches_xxhash_ordering(spark):
+    """The md5_60 oracle mode and the xxhash64 scale path bucket grams
+    differently, but on a planted corpus with disjoint domain vocab
+    both must rank pure-target above pure-off-domain."""
+    from real_timetransactionaldatalakehouse_spark.operators import sampling as Smp
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha beta"), (2, "seven eight nine ten seven")],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame(
+        [(9, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    for mode in ("xxhash64", "md5_60"):
+        rows = {
+            r["doc_id"]: r["logw"]
+            for r in Smp.dsir_logweights(corpus, target, hash_fn=mode).collect()
+        }
+        assert rows[1] > rows[2], mode
+
+
+def test_c4_line_filter_applies_both_tiers(spark):
+    """Every C4 rule on a planted page set: line tier (terminal punct,
+    min words, javascript) and page tier (lorem ipsum, curly bracket,
+    min surviving lines), with pass-through columns intact and
+    row-dropping output."""
+    from real_timetransactionaldatalakehouse_spark.operators import text as TX
+
+    good = "\n".join(
+        [
+            "this line has enough words here.",   # kept
+            "too short.",                          # dropped: < 5 words
+            "this line has no terminal punctuation at all",  # dropped
+            "enable javascript to view this page.",  # dropped: javascript
+            'a quoted line with plenty of words ends well"',  # kept
+            "another perfectly fine sentence with many words!",  # kept
+            "is this a question with enough words?",  # kept
+        ]
+    )
+    lorem = "lorem ipsum dolor sit amet consectetur."
+    code = "this page has code with plenty of words { inside }."
+    thin = "\n".join(
+        ["only one line survives this particular page.", "nope.", "nah"]
+    )
+    df = spark.createDataFrame(
+        [(1, good, "a"), (2, lorem, "b"), (3, code, "c"), (4, thin, "d")],
+        ["doc_id", "text", "tag"],
+    )
+    out = TX.c4_line_filter(df)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1}  # row-dropping: 2 lorem, 3 brace, 4 thin
+    r = rows[1]
+    assert r["n_lines_in"] == 7 and r["n_lines_kept"] == 4
+    assert r["tag"] == "a"  # pass-through column survives
+    assert r["clean_text"].splitlines() == [
+        "this line has enough words here.",
+        'a quoted line with plenty of words ends well"',
+        "another perfectly fine sentence with many words!",
+        "is this a question with enough words?",
+    ]
+    # parameter dials: a permissive min_lines keeps the thin page
+    relaxed = TX.c4_line_filter(df, min_lines=1)
+    assert {r["doc_id"] for r in relaxed.collect()} == {1, 4}
