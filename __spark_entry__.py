@@ -5776,11 +5776,14 @@ model AS (
             / ((r.cr::DOUBLE + 0.5::DOUBLE)
                * (tot.tt::DOUBLE + 2048.0::DOUBLE))) AS lam
   FROM raw r LEFT JOIN tgt g USING (b), tot
+),
+db AS (
+  SELECT doc_id, b, COUNT(*) AS cnt FROM cg GROUP BY doc_id, b
 )
-SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
-       CAST(SUM(CAST(m.lam AS DECIMAL(28,6))) AS DOUBLE) AS logw
-FROM cg c JOIN model m USING (b)
-GROUP BY c.doc_id
+SELECT d.doc_id, CAST(SUM(d.cnt) AS BIGINT) AS n_grams,
+       CAST(SUM(CAST(m.lam AS DECIMAL(28,6)) * d.cnt) AS DOUBLE) AS logw
+FROM db d JOIN model m USING (b)
+GROUP BY d.doc_id
 """
 
 

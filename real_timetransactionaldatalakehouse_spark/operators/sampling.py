@@ -1184,16 +1184,17 @@ def dsir_logweights(
     through the ``functions.dsum`` DECIMAL discipline so float logs
     stay engine-portable.
 
-    100-TB shape: the model is at most ``n_buckets`` rows — BOTH model
-    aggregations partial-agg map-side down to <= m groups, the totals
-    are one-row broadcasts, and scoring probes ONE broadcast m-row
-    map.  The only full-width shuffles are the two keyed gram-count
-    aggs and the final per-doc fold, all on narrow (int, int) rows;
-    text never shuffles.  The corpus gram stream is built twice
-    (model pass + scoring pass) — the same recompute-vs-cache call
-    ``ngram_lm_score`` measured (cache write+read of a per-token
-    stream loses to a second tokenize at every scale tried); callers
-    with the cache budget can persist upstream.
+    100-TB shape: the corpus tokenizes ONCE — the gram stream
+    pre-aggregates to ``(id, bucket, cnt)`` rows and that ONE keyed
+    exchange feeds the raw model, the total, AND the scoring join
+    (AQE ReusedExchange, verified in the executed plan).  The
+    pre-agg also caps per-document shuffle rows at ``n_buckets``
+    regardless of document length (a 100k-token document shuffles at
+    most m narrow rows, not 200k gram rows), and the per-gram DECIMAL
+    fold becomes an exact ``cnt * decimal(lam)`` — identical value,
+    decimal multiplication by an integer is exact.  The model is at
+    most ``n_buckets`` rows (broadcast); the totals are one-row
+    broadcasts; text never shuffles.
 
     Buckets the target never hits score ``ln(a / (ct+a)) < 0``
     (down-weight), unseen-in-raw buckets cannot appear in the scoring
@@ -1203,11 +1204,10 @@ def dsir_logweights(
     Output: ``(id, n_grams, logw)`` — rank descending and keep top-k
     (or Gumbel-resample with a deterministic hash race) downstream.
     """
-    from ..functions import dsum
-
     cg = _dsir_bucket_stream(corpus, text_col, id_col, n_buckets, hash_fn)
     tg = _dsir_bucket_stream(target, text_col, id_col, n_buckets, hash_fn)
-    raw = cg.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    doc_b = cg.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    raw = doc_b.groupBy("__b").agg(F.sum("__cnt").alias("__cr"))
     tgt = tg.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
     tot_r = raw.agg(F.sum("__cr").alias("__tr"))
     tot_t = tgt.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__tt"))
@@ -1229,10 +1229,12 @@ def dsir_logweights(
         .select("__b", lam.alias("__lam"))
     )
     return (
-        cg.join(F.broadcast(model), "__b")
+        doc_b.join(F.broadcast(model), "__b")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            dsum("__lam", 6).alias("logw"),
+            F.sum("__cnt").alias("n_grams"),
+            F.sum(F.col("__lam").cast("decimal(28,6)") * F.col("__cnt"))
+            .cast("double")
+            .alias("logw"),
         )
     )
