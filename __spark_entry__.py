@@ -5739,8 +5739,11 @@ def _staged_q_perplexity_buckets(spark, sf_dir):
 # 'src1' (stands in for "quality domain"); raw is the whole corpus,
 # so src1's own documents must surface with high logw — an oracle
 # property, not a test assertion.
-_DSIR_WEIGHTS_ORACLE = """
-WITH toked AS (
+#
+# The CTE chain is shared with q_dsir_resample's oracle (the
+# _LM_SCORE_CTES / _mutated_corpus discipline: one source of truth,
+# two oracles that cannot silently diverge).
+_DSIR_CTES = """toked AS (
   SELECT doc_id, source, string_split(text, ' ') AS t
   FROM documents WHERE text IS NOT NULL
 ),
@@ -5779,11 +5782,17 @@ model AS (
 ),
 db AS (
   SELECT doc_id, b, COUNT(*) AS cnt FROM cg GROUP BY doc_id, b
-)
-SELECT d.doc_id, CAST(SUM(d.cnt) AS BIGINT) AS n_grams,
-       CAST(SUM(CAST(m.lam AS DECIMAL(28,6)) * d.cnt) AS DOUBLE) AS logw
-FROM db d JOIN model m USING (b)
-GROUP BY d.doc_id
+),
+lw AS (
+  SELECT d.doc_id, CAST(SUM(d.cnt) AS BIGINT) AS n_grams,
+         CAST(SUM(CAST(m.lam AS DECIMAL(28,6)) * d.cnt) AS DOUBLE) AS logw
+  FROM db d JOIN model m USING (b)
+  GROUP BY d.doc_id
+)"""
+
+_DSIR_WEIGHTS_ORACLE = f"""
+WITH {_DSIR_CTES}
+SELECT doc_id, n_grams, logw FROM lw
 """
 
 
@@ -5813,6 +5822,58 @@ def _staged_q_dsir_weights(spark, sf_dir):
         alpha=0.5,
         hash_fn="md5_60",
     )
+
+
+# Gumbel resampling over the DSIR weights (the "R" in DSIR): the
+# oracle extends the SHARED _DSIR_CTES chain, so the weight model
+# cannot diverge between the two certified queries; the Gumbel key
+# replays the engine exactly — same md5_60-derived uniform, same
+# -ln(-ln(u)) perturbation, same DECIMAL(28,6) rounding before the
+# (key DESC, doc_id) total order — so parity certifies the SAMPLE
+# MEMBERSHIP itself, not a distributional claim.
+_DSIR_RESAMPLE_ORACLE = f"""
+WITH {_DSIR_CTES},
+keyed AS (
+  SELECT doc_id, n_grams, logw,
+         CAST(CAST(logw / 1.0
+                   + (-ln(-ln(((('0x' || substr(md5(doc_id || ':gumbel-v1'), 1, 15))::BIGINT
+                                % 1000000)::DOUBLE + 0.5::DOUBLE) / 1000000.0::DOUBLE)))
+              AS DECIMAL(28,6)) AS DOUBLE) AS sample_key
+  FROM lw
+)
+SELECT doc_id, n_grams, logw, sample_key
+FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 100
+"""
+
+
+def _staged_q_dsir_resample(spark, sf_dir):
+    """X6an resampling half (staged for r13): Gumbel top-k over the
+    DSIR log-weights (operators/sampling.gumbel_topk + dsir_logweights
+    — Xie et al. NeurIPS'23's actual selection step).  k=100 documents
+    sampled without replacement proportionally-ish to exp(logw), via
+    the deterministic hash-derived Gumbel race (never rand(): the
+    retry-stability rule).  Plan: the DSIR pipeline + one map-only key
+    projection + TakeOrderedAndProject — per-partition k-heaps, k-row
+    driver merge, no global sort.  The oracle extends _DSIR_CTES with
+    the identical key arithmetic, so the certified rows are the exact
+    sample membership at both SFs."""
+    from real_timetransactionaldatalakehouse_spark.operators import sampling as Smp
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.catalog.clearCache()
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    lw = Smp.dsir_logweights(
+        docs.select("doc_id", "text"),
+        docs.filter(F.col("source") == "src1").select("doc_id", "text"),
+        n_buckets=4096,
+        alpha=0.5,
+        hash_fn="md5_60",
+    )
+    return Smp.gumbel_topk(lw, "logw", 100, seed="gumbel-v1")
 
 
 # C4 line-level cleaning (r12 EXT addition, staged for r13): the
@@ -5935,6 +5996,10 @@ _STAGED_R13 = {
         _staged_q_dsir_weights,
         _DSIR_WEIGHTS_ORACLE,
     ),
+    "q_dsir_resample": (
+        _staged_q_dsir_resample,
+        _DSIR_RESAMPLE_ORACLE,
+    ),
     "q_c4_line_filter": (
         _staged_q_c4_line_filter,
         _C4_LINE_FILTER_ORACLE,
@@ -5993,9 +6058,9 @@ _STAGED_R13 = {
 # head r13 per the rotation rule), 50 r11 (bound r15), 50 r12 + the 3
 # changed r10 summaries certified rows-only this round = 152 total.
 # r13 window therefore = 2 displaced r9 + the 3 changed r10 summaries
-# + the 5 staged new queries (_STAGED_R13 — new names enter at the
-# head per the rotation rule) + the 40 oldest unchanged r10 greens;
-# 7 youngest r10 slide to r14 (legal: r10's bound is r14).  The
+# + the 6 staged new queries (_STAGED_R13 — new names enter at the
+# head per the rotation rule) + the 39 oldest unchanged r10 greens;
+# 8 youngest r10 slide to r14 (legal: r10's bound is r14).  The
 # cascade stays within bounds
 # through r15: r14 = remaining r10 + oldest r11, r15 = remaining r11
 # + oldest r12.
@@ -6064,11 +6129,11 @@ _CHECK_FIRST: list[str] = [
 # greens at the bound (q_window_rank_stats, q_zscore_norm) + the 3
 # r12-changed rows-only summaries (q_table_stats, q_sorted_write,
 # q_bucket_pruned_lookup — row-dropping conversion, VERDICT r11 #6)
-# + the 5 staged new queries (q_dedup_substring_keepfirst,
+# + the 6 staged new queries (q_dedup_substring_keepfirst,
 # q_decontaminate_bloom, q_perplexity_buckets, q_dsir_weights,
-# q_c4_line_filter — see _STAGED_R13, written and both-SF
-# parity-certified in r12), then the 40 oldest unchanged r10 greens;
-# 7 youngest r10 slide to r14 (legal: r10's bound is r14).
+# q_dsir_resample, q_c4_line_filter — see _STAGED_R13, written and
+# both-SF parity-certified in r12), then the 39 oldest unchanged r10
+# greens; 8 youngest r10 slide to r14 (legal: r10's bound is r14).
 # Mutant-corpus literal sites still owed migration
 # to _mutated_corpus() as their queries reach a head slot (r11
 # review note): q_neardup_minhash, q_neardup_cross_corpus,

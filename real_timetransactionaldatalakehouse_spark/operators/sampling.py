@@ -1238,3 +1238,59 @@ def dsir_logweights(
             .alias("logw"),
         )
     )
+
+
+def gumbel_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "gumbel-v1",
+    temperature: float = 1.0,
+    out_key: str = "sample_key",
+) -> DataFrame:
+    """Deterministic Gumbel top-k — weighted sampling WITHOUT
+    replacement from log-weights (the resampling half of DSIR, Xie et
+    al. NeurIPS'23; equivalently the Gumbel-max trick over a softmax):
+    each row's sampling key is
+
+        key = logw / temperature + G,   G = -ln(-ln(u))
+
+    and the k largest keys are the sample.  ``u`` is a deterministic
+    hash-derived uniform — ``(md5_60(id:seed) % 1e6 + 0.5) / 1e6``,
+    the :func:`split_bucket` discipline — never ``rand()``: re-running
+    a partition, adding a source, or retrying a failed task cannot
+    change the sample (the contamination-by-retry rule), and changing
+    ``seed`` draws an independent sample.  ``temperature`` sharpens
+    (<1) or flattens (>1) the weight distribution; ``temperature ->
+    inf`` degenerates to uniform sampling.
+
+    The key is rounded through DECIMAL(28,6) before ranking so the
+    float ``ln`` calls stay engine-portable (the ``dsum`` discipline
+    applied to an ORDER BY), with ``id`` as the total-order tiebreak.
+
+    100-TB shape: one map-only projection + a global top-k, which
+    Spark compiles to TakeOrderedAndProject — per-partition heaps of
+    size k, then a k-row driver merge; no sort, no shuffle of the
+    corpus.  Output: the k sampled rows with ``out_key`` attached.
+    """
+    from .dedup import _md5_60
+
+    u = (
+        F.pmod(
+            _md5_60(
+                F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))
+            ),
+            F.lit(1_000_000),
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    g = -F.log(-F.log(u))
+    key = (
+        F.col(weight_col).cast("double") / F.lit(float(temperature)) + g
+    ).cast("decimal(28,6)")
+    return (
+        df.withColumn(out_key, key.cast("double"))
+        .orderBy(F.col(out_key).desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -2562,3 +2562,52 @@ def test_c4_line_filter_applies_both_tiers(spark):
     # parameter dials: a permissive min_lines keeps the thin page
     relaxed = TX.c4_line_filter(df, min_lines=1)
     assert {r["doc_id"] for r in relaxed.collect()} == {1, 4}
+
+
+def test_gumbel_topk_matches_python_replica(spark):
+    """The Gumbel sample is a pure function of (id, seed, weight):
+    a Python replica of the key arithmetic must select the identical
+    k rows in the identical order, re-runs are stable, a different
+    seed draws a different sample, and the plan is TakeOrdered (no
+    global sort)."""
+    import hashlib
+    import math
+
+    from real_timetransactionaldatalakehouse_spark.operators import sampling as Smp
+    from real_timetransactionaldatalakehouse_spark.plans import uses_take_ordered
+
+    rows = [(i, float(-i) / 7.0) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "logw"])
+
+    def key_of(doc_id, logw, seed):
+        h = int(hashlib.md5(f"{doc_id}:{seed}".encode()).hexdigest()[:15], 16)
+        u = ((h % 1_000_000) + 0.5) / 1_000_000.0
+        g = -math.log(-math.log(u))
+        # DECIMAL(28,6) rounding (half-up like both engines' casts)
+        from decimal import Decimal, ROUND_HALF_UP
+
+        return float(
+            Decimal(repr(logw / 1.0 + g)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    expect = sorted(
+        ((key_of(i, w, "gumbel-v1"), i) for i, w in rows),
+        key=lambda t: (-t[0], t[1]),
+    )[:25]
+    got = Smp.gumbel_topk(df, "logw", 25).collect()
+    assert [(r["sample_key"], r["doc_id"]) for r in got] == expect
+    again = Smp.gumbel_topk(df, "logw", 25).collect()
+    assert [r["doc_id"] for r in again] == [r["doc_id"] for r in got]
+    other = Smp.gumbel_topk(df, "logw", 25, seed="gumbel-v2").collect()
+    assert {r["doc_id"] for r in other} != {r["doc_id"] for r in got}
+    assert uses_take_ordered(Smp.gumbel_topk(df, "logw", 25))
+    # temperature flattens: at tau -> inf the weights stop mattering,
+    # so the sample approaches the pure-Gumbel (uniform) draw
+    flat = Smp.gumbel_topk(df, "logw", 25, temperature=1e12).collect()
+    uniform = sorted(
+        ((key_of(i, 0.0, "gumbel-v1"), i) for i, w in rows),
+        key=lambda t: (-t[0], t[1]),
+    )[:25]
+    assert {r["doc_id"] for r in flat} == {i for _, i in uniform}
