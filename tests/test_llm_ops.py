@@ -2611,3 +2611,65 @@ def test_gumbel_topk_matches_python_replica(spark):
         key=lambda t: (-t[0], t[1]),
     )[:25]
     assert {r["doc_id"] for r in flat} == {i for _, i in uniform}
+
+
+def test_bpe_learn_matches_python_reference(spark):
+    """The full BPE training loop against a pure-Python reference
+    (Sennrich et al. 2016's get_stats/merge_vocab with the same
+    (freq DESC, pair ASC) tiebreak): identical merge sequence,
+    identical segmentation, early stop below min_pair_freq."""
+    from collections import Counter
+
+    from real_timetransactionaldatalakehouse_spark.operators import text as TX
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "low newer low lowest new",
+    ]
+
+    def py_bpe(texts, n_merges, min_pair_freq=2):
+        freqs = Counter(w for t in texts for w in t.split() if w)
+        vocab = {w: list(w) + ["</w>"] for w in freqs}
+        merges = []
+        for _ in range(n_merges):
+            pairs = Counter()
+            for w, sym in vocab.items():
+                for a, b in zip(sym, sym[1:]):
+                    pairs[(a, b)] += freqs[w]
+            if not pairs:
+                break
+            (l, r), n = sorted(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0])
+            )[0]
+            if n < min_pair_freq:
+                break
+            merges.append((l, r, n))
+            for w, sym in vocab.items():
+                out, i = [], 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                vocab[w] = out
+        return merges, vocab
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got, words = TX.bpe_learn(df, n_merges=12, checkpoint_every=4)
+    want, pyvocab = py_bpe(texts, 12)
+    assert got == want
+    # the final symbolized word table agrees with the reference vocab
+    spark_vocab = {r["w"]: list(r["sym"]) for r in words.collect()}
+    assert spark_vocab == pyvocab
+    # segmentation applies the learned rules identically
+    seg = TX.bpe_segment(df, got).collect()
+    for r in seg:
+        expect = [s for w in r["text"].split() if w for s in pyvocab[w]]
+        assert list(r["bpe_tokens"]) == expect
+    # early stop: an all-unique corpus has no pair at freq >= 2
+    uniq = spark.createDataFrame([(0, "ab cd ef")], ["doc_id", "text"])
+    m2, _ = TX.bpe_learn(uniq, n_merges=5)
+    assert m2 == []
