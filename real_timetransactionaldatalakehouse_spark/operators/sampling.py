@@ -1196,10 +1196,15 @@ def dsir_logweights(
     most ``n_buckets`` rows (broadcast); the totals are one-row
     broadcasts; text never shuffles.
 
-    Buckets the target never hits score ``ln(a / (ct+a)) < 0``
-    (down-weight), unseen-in-raw buckets cannot appear in the scoring
-    stream by construction — smoothing is still required for the
-    target side only.
+    Buckets the target never hits score
+    ``ln((a * (Tr + a*m)) / ((cr + a) * (Tt + a*m)))`` — whose SIGN
+    depends on the corpus-size ratio: with a raw corpus much larger
+    than the target (the usual DSIR regime) even target-unseen buckets
+    can score positive, because the smoothed target prior 1/m exceeds
+    a rare bucket's raw relative frequency.  Only the RANKING between
+    buckets is meaningful, not the sign; unseen-in-raw buckets cannot
+    appear in the scoring stream by construction, so smoothing is
+    required for the target side only.
 
     Output: ``(id, n_grams, logw)`` — rank descending and keep top-k
     (or Gumbel-resample with a deterministic hash race) downstream.
@@ -1274,16 +1279,15 @@ def gumbel_topk(
     size k, then a k-row driver merge; no sort, no shuffle of the
     corpus.  Output: the k sampled rows with ``out_key`` attached.
     """
-    from .dedup import _md5_60
-
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if not temperature > 0:
+        raise ValueError(
+            f"temperature must be positive, got {temperature} "
+            "(0 divides the weights by zero; negative inverts them)"
+        )
     u = (
-        F.pmod(
-            _md5_60(
-                F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))
-            ),
-            F.lit(1_000_000),
-        ).cast("double")
-        + F.lit(0.5)
+        split_bucket(id_col, seed, 1_000_000).cast("double") + F.lit(0.5)
     ) / F.lit(1_000_000.0)
     g = -F.log(-F.log(u))
     key = (

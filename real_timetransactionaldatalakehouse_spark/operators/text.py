@@ -1165,7 +1165,10 @@ def c4_line_filter(
     the pass stays scan-bound and shuffle-free.
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    lines = F.split(c, "\n")
+    # \r?\n: CRLF corpora would otherwise leave a trailing \r on every
+    # line, fail the terminal-punctuation rule, and silently drop the
+    # whole document (r12 review finding)
+    lines = F.split(c, "\r?\n")
     kept = F.filter(
         lines,
         lambda l: F.substring(l, -1, 1).isin(".", "!", "?", '"')

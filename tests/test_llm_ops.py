@@ -2673,3 +2673,38 @@ def test_bpe_learn_matches_python_reference(spark):
     uniq = spark.createDataFrame([(0, "ab cd ef")], ["doc_id", "text"])
     m2, _ = TX.bpe_learn(uniq, n_merges=5)
     assert m2 == []
+
+
+def test_c4_line_filter_handles_crlf(spark):
+    """CRLF corpora must behave identically to LF corpora — a trailing
+    \r previously failed the terminal-punctuation rule on every line
+    and silently dropped whole documents (r12 review finding)."""
+    from real_timetransactionaldatalakehouse_spark.operators import text as TX
+
+    lf = "\n".join(
+        [
+            "this line has enough words here.",
+            "another perfectly fine sentence with many words!",
+            "is this a question with enough words?",
+        ]
+    )
+    crlf = lf.replace("\n", "\r\n")
+    df = spark.createDataFrame([(1, lf), (2, crlf)], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in TX.c4_line_filter(df).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2]["n_lines_kept"] == rows[1]["n_lines_kept"] == 3
+    assert rows[2]["clean_text"] == rows[1]["clean_text"]
+
+
+def test_gumbel_topk_rejects_bad_args(spark):
+    from real_timetransactionaldatalakehouse_spark.operators import sampling as Smp
+
+    df = spark.createDataFrame([(1, 0.5)], ["doc_id", "logw"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="temperature"):
+        Smp.gumbel_topk(df, "logw", 5, temperature=0.0)
+    with _pytest.raises(ValueError, match="temperature"):
+        Smp.gumbel_topk(df, "logw", 5, temperature=-1.0)
+    with _pytest.raises(ValueError, match="k must"):
+        Smp.gumbel_topk(df, "logw", 0)
