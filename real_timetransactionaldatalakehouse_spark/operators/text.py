@@ -1261,8 +1261,11 @@ def bpe_learn(
     Symbol rewriting is a per-row ``aggregate`` fold
     (:func:`_bpe_merge_pair`); ``localCheckpoint`` every
     ``checkpoint_every`` merges truncates the growing lineage (the
-    label-propagation discipline).  Iteration stops early when no pair
-    reaches ``min_pair_freq``.
+    ``neardup_clusters`` discipline — checkpointed blocks stay
+    INTERNAL, reclaimed by RDD garbage collection or session end, the
+    documented price of iterative truncation; the blocks are
+    vocabulary-sized, not corpus-sized).  Iteration stops early when
+    no pair reaches ``min_pair_freq``.
 
     Declared NON-SQL-expressible (iterative argmax loop) — certified
     by pytest against a pure-Python reference implementation, the
