@@ -6125,20 +6125,41 @@ _CHECK_FIRST: list[str] = [
     "q_window_lead",
     "q_window_range_frame",
 ]
-# r13 rotation queue (reserved now): head slots = the 2 displaced r9
-# greens at the bound (q_window_rank_stats, q_zscore_norm) + the 3
-# r12-changed rows-only summaries (q_table_stats, q_sorted_write,
-# q_bucket_pruned_lookup — row-dropping conversion, VERDICT r11 #6)
-# + the 6 staged new queries (q_dedup_substring_keepfirst,
-# q_decontaminate_bloom, q_perplexity_buckets, q_dsir_weights,
-# q_dsir_resample, q_c4_line_filter — see _STAGED_R13, written and
-# both-SF parity-certified in r12), then the 39 oldest unchanged r10
-# greens; 8 youngest r10 slide to r14 (legal: r10's bound is r14).
-# Mutant-corpus literal sites still owed migration
-# to _mutated_corpus() as their queries reach a head slot (r11
-# review note): q_neardup_minhash, q_neardup_cross_corpus,
-# q_neardup_verified, q_simhash_neardup, q_split_leakage (all r10
-# cohort — migrate whichever of these land in the r13/r14 windows).
+# r13 rotation queue (reserved now, FULL LIST — derived from
+# registry minus the r12/r11 windows, verified 2+3+6+39 = 50):
+# head slots in order =
+#   2 displaced r9 greens at the bound:
+#     q_window_rank_stats q_zscore_norm
+#   3 r12-changed rows-only summaries (row-dropping conversion,
+#   VERDICT r11 #6):
+#     q_table_stats q_sorted_write q_bucket_pruned_lookup
+#   6 staged new queries (_STAGED_R13, both-SF parity-certified
+#   throughout r12):
+#     q_dedup_substring_keepfirst q_decontaminate_bloom
+#     q_perplexity_buckets q_dsir_weights q_dsir_resample
+#     q_c4_line_filter
+# then the 39 oldest r10 greens (alphabetical within the cohort):
+#     q_agg_binned_heatmap q_agg_conditional_counts q_agg_count_by_key
+#     q_agg_global q_agg_max_ts q_agg_percentile q_agg_sketches
+#     q_array_explode q_balance_cap q_chunk_documents q_coalesce
+#     q_cohort_retention q_corpus_mix q_corpus_pipeline q_cube
+#     q_embed_project q_filter_eq q_join_asof q_join_asof_nearest
+#     q_join_asof_tolerance q_join_interval q_lm_score
+#     q_neardup_clusters q_neardup_cross_corpus q_neardup_free_corpus
+#     q_neardup_minhash q_neardup_verified q_resample_fill
+#     q_sample_weighted q_scd2_history q_scd2_pointlookup
+#     q_search_ranked q_semantic_decontaminate
+#     q_semantic_topk_contaminants q_sessionize_lag q_shard_layout
+#     q_simhash_neardup q_snapshot_lifecycle q_spike_detect
+# 8 youngest r10 slide to r14 (legal: r10's bound is r14):
+#     q_split_leakage q_stratified_sample q_text_fingerprint
+#     q_text_redact q_text_repetition q_text_winnow q_trend_slope
+#     q_vocab_coverage
+# Mutant-corpus literal sites owed migration to _mutated_corpus() as
+# their queries reach a head slot (r11 review note): of the 5 owed,
+# q_neardup_minhash / q_neardup_cross_corpus / q_neardup_verified /
+# q_simhash_neardup are IN this r13 window (order them into the head
+# block when migrating), q_split_leakage slides to r14.
 
 
 def _ranked(names: dict[str, object]) -> list[str]:
