@@ -5884,8 +5884,12 @@ def _staged_q_dsir_resample(spark, sf_dir):
 # pages at doc_id % 37 = 0 and curly-bracket code pages at
 # doc_id % 41 = 0, and the oracle replays the identical lining +
 # the filter — certifying BOTH tiers of the C4 rules row-for-row.
-_C4_LINE_FILTER_ORACLE = """
-WITH toked AS (
+#
+# The lining CTEs are SHARED with q_dedup_lines' oracle (plain-string
+# concatenation, not f-strings — the planted code page contains
+# braces); the Spark-side twin is _lined_corpus() below.  One source
+# of truth per corpus transform — the _mutated_corpus lesson.
+_LINED_CORPUS_CTES = """toked AS (
   SELECT doc_id, string_split(text, ' ') AS t
   FROM documents WHERE text IS NOT NULL
 ),
@@ -5901,7 +5905,51 @@ lined AS (
      || CASE WHEN doc_id % 41 = 0
         THEN chr(10) || 'var f = function() { return 1; }' ELSE '' END AS text
   FROM toked
-),
+)"""
+
+
+def _lined_corpus(docs):
+    """Spark twin of _LINED_CORPUS_CTES: deterministically line a
+    (doc_id, text) corpus — 6-token chunks, md5-chosen terminal
+    punctuation, planted lorem (doc_id%37=0) and code (doc_id%41=0)
+    pages.  Shared by q_c4_line_filter and q_dedup_lines."""
+    from real_timetransactionaldatalakehouse_spark.operators.dedup import _md5_60
+
+    toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("__t"))
+    n_lines = F.floor((F.size("__t") + F.lit(5)) / F.lit(6)).cast("int")
+
+    def mk_line(i):
+        start = (i - F.lit(1)) * F.lit(6) + F.lit(1)
+        base = F.array_join(F.slice(F.col("__t"), start, F.lit(6)), " ")
+        key = F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            i.cast("string"),
+            F.lit(":line"),
+        )
+        punct = F.when(
+            F.pmod(_md5_60(key), F.lit(3)) > 0, F.lit(".")
+        ).otherwise(F.lit(""))
+        return F.concat(base, punct)
+
+    lined = F.array_join(
+        F.transform(F.sequence(F.lit(1), n_lines), mk_line), "\n"
+    )
+    text2 = F.concat(
+        lined,
+        F.when(
+            F.col("doc_id") % 37 == 0,
+            F.lit("\nthis page has lorem ipsum inside it okay."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 41 == 0,
+            F.lit("\nvar f = function() { return 1; }"),
+        ).otherwise(F.lit("")),
+    )
+    return toked.select("doc_id", text2.alias("text"))
+
+
+_C4_LINE_FILTER_ORACLE = "WITH " + _LINED_CORPUS_CTES + """,
 ls0 AS (
   SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM lined
 ),
@@ -5933,49 +5981,84 @@ def _staged_q_c4_line_filter(spark, sf_dir):
     lorem/code pages so every rule fires at sf0.01; the oracle
     replays the lining and the filter exactly."""
     from real_timetransactionaldatalakehouse_spark.operators import text as TX
-    from real_timetransactionaldatalakehouse_spark.operators.dedup import _md5_60
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.catalog.clearCache()
     docs = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
-        .select("doc_id", F.split(F.col("text"), " ").alias("__t"))
+        .select("doc_id", "text")
     )
-    n_lines = F.floor((F.size("__t") + F.lit(5)) / F.lit(6)).cast("int")
-
-    def mk_line(i):
-        start = (i - F.lit(1)) * F.lit(6) + F.lit(1)
-        base = F.array_join(F.slice(F.col("__t"), start, F.lit(6)), " ")
-        key = F.concat(
-            F.col("doc_id").cast("string"),
-            F.lit(":"),
-            i.cast("string"),
-            F.lit(":line"),
-        )
-        punct = F.when(
-            F.pmod(_md5_60(key), F.lit(3)) > 0, F.lit(".")
-        ).otherwise(F.lit(""))
-        return F.concat(base, punct)
-
-    lined = F.array_join(
-        F.transform(F.sequence(F.lit(1), n_lines), mk_line), "\n"
-    )
-    text2 = F.concat(
-        lined,
-        F.when(
-            F.col("doc_id") % 37 == 0,
-            F.lit("\nthis page has lorem ipsum inside it okay."),
-        ).otherwise(F.lit("")),
-        F.when(
-            F.col("doc_id") % 41 == 0,
-            F.lit("\nvar f = function() { return 1; }"),
-        ).otherwise(F.lit("")),
-    )
-    lined_docs = docs.select("doc_id", text2.alias("text"))
-    return TX.c4_line_filter(lined_docs).select(
+    return TX.c4_line_filter(_lined_corpus(docs)).select(
         "doc_id", "clean_text", "n_lines_in", "n_lines_kept"
     )
+
+
+# Cross-document line dedup (r12 EXT addition, staged for r13): runs
+# on the SAME deterministically-lined corpus as q_c4_line_filter
+# (shared _LINED_CORPUS_CTES / _lined_corpus) — the planted lorem and
+# code pages are exact cross-document repeated lines, and the short
+# unpunctuated tail chunks repeat organically, so both the survivor
+# election and the multi-document drop fire at sf0.01.  The oracle's
+# first-occurrence key is doc_id * 100000 + pos — equivalent to the
+# engine's min(struct(id, pos)) because every page here has far fewer
+# than 100000 lines (<= ~20 measured; the engine itself uses the true
+# lexicographic struct ordering with no such bound — the
+# q_dedup_substring_keepfirst convention).
+_DEDUP_LINES_ORACLE = "WITH " + _LINED_CORPUS_CTES + """,
+ls AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined
+),
+st AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(ls[i]), 1, 15))::BIGINT AS h
+  FROM ls, UNNEST(generate_series(1, len(ls))) AS u(i)
+),
+occ AS (
+  SELECT h, COUNT(*) AS n, MIN(doc_id * 100000 + pos) AS first_k
+  FROM st GROUP BY h
+),
+dp AS (
+  SELECT s.doc_id, list(s.pos) AS dp
+  FROM st s JOIN occ o USING (h)
+  WHERE o.n > 1 AND s.doc_id * 100000 + s.pos != o.first_k
+  GROUP BY s.doc_id
+)
+SELECT l.doc_id,
+       array_to_string(list_transform(
+          list_filter(generate_series(1, len(l.ls)),
+                      i -> d.dp IS NULL OR NOT list_contains(d.dp, i - 1)),
+          i -> l.ls[i]), chr(10)) AS clean_text,
+       CAST(len(l.ls) AS BIGINT) AS n_lines_in,
+       CAST(len(list_filter(generate_series(1, len(l.ls)),
+                      i -> d.dp IS NULL OR NOT list_contains(d.dp, i - 1)))
+            AS BIGINT) AS n_lines_kept
+FROM ls l LEFT JOIN dp d USING (doc_id)
+"""
+
+
+def _staged_q_dedup_lines(spark, sf_dir):
+    """X6aq (staged for r13): cross-document LINE dedup — the CCNet
+    paragraph-hash dedup step (operators/dedup.drop_repeated_lines,
+    Wenzek et al. LREC'20 section 4.1; keep="first" spares the global
+    minimum (id, pos) occurrence).  Text never shuffles: one keyed
+    line-hash count agg with map-side partials (no COUNT window —
+    boilerplate hashes are the heavy keys), the survivor election in
+    the SAME aggregation, dropped POSITIONS joined back narrow,
+    map-side position-filter reconstruction.  The oracle replays the
+    hash, the count, the composite-key election, and the rebuild."""
+    from real_timetransactionaldatalakehouse_spark.operators import dedup as D
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.catalog.clearCache()
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    return D.drop_repeated_lines(
+        _lined_corpus(docs), max_occ=1, keep="first", hash_fn="md5_60"
+    ).select("doc_id", "clean_text", "n_lines_in", "n_lines_kept")
 
 
 #: r13 registration queue: name -> (query fn, oracle SQL)
@@ -6003,6 +6086,10 @@ _STAGED_R13 = {
     "q_c4_line_filter": (
         _staged_q_c4_line_filter,
         _C4_LINE_FILTER_ORACLE,
+    ),
+    "q_dedup_lines": (
+        _staged_q_dedup_lines,
+        _DEDUP_LINES_ORACLE,
     ),
 }
 
@@ -6058,9 +6145,9 @@ _STAGED_R13 = {
 # head r13 per the rotation rule), 50 r11 (bound r15), 50 r12 + the 3
 # changed r10 summaries certified rows-only this round = 152 total.
 # r13 window therefore = 2 displaced r9 + the 3 changed r10 summaries
-# + the 6 staged new queries (_STAGED_R13 — new names enter at the
-# head per the rotation rule) + the 39 oldest unchanged r10 greens;
-# 8 youngest r10 slide to r14 (legal: r10's bound is r14).  The
+# + the 7 staged new queries (_STAGED_R13 — new names enter at the
+# head per the rotation rule) + the 38 oldest unchanged r10 greens;
+# 9 youngest r10 slide to r14 (legal: r10's bound is r14).  The
 # cascade stays within bounds
 # through r15: r14 = remaining r10 + oldest r11, r15 = remaining r11
 # + oldest r12.
@@ -6126,19 +6213,19 @@ _CHECK_FIRST: list[str] = [
     "q_window_range_frame",
 ]
 # r13 rotation queue (reserved now, FULL LIST — derived from
-# registry minus the r12/r11 windows, verified 2+3+6+39 = 50):
+# registry minus the r12/r11 windows, verified 2+3+7+38 = 50):
 # head slots in order =
 #   2 displaced r9 greens at the bound:
 #     q_window_rank_stats q_zscore_norm
 #   3 r12-changed rows-only summaries (row-dropping conversion,
 #   VERDICT r11 #6):
 #     q_table_stats q_sorted_write q_bucket_pruned_lookup
-#   6 staged new queries (_STAGED_R13, both-SF parity-certified
+#   7 staged new queries (_STAGED_R13, both-SF parity-certified
 #   throughout r12):
 #     q_dedup_substring_keepfirst q_decontaminate_bloom
 #     q_perplexity_buckets q_dsir_weights q_dsir_resample
-#     q_c4_line_filter
-# then the 39 oldest r10 greens (alphabetical within the cohort):
+#     q_c4_line_filter q_dedup_lines
+# then the 38 oldest r10 greens (alphabetical within the cohort):
 #     q_agg_binned_heatmap q_agg_conditional_counts q_agg_count_by_key
 #     q_agg_global q_agg_max_ts q_agg_percentile q_agg_sketches
 #     q_array_explode q_balance_cap q_chunk_documents q_coalesce
@@ -6150,9 +6237,9 @@ _CHECK_FIRST: list[str] = [
 #     q_sample_weighted q_scd2_history q_scd2_pointlookup
 #     q_search_ranked q_semantic_decontaminate
 #     q_semantic_topk_contaminants q_sessionize_lag q_shard_layout
-#     q_simhash_neardup q_snapshot_lifecycle q_spike_detect
-# 8 youngest r10 slide to r14 (legal: r10's bound is r14):
-#     q_split_leakage q_stratified_sample q_text_fingerprint
+#     q_simhash_neardup q_snapshot_lifecycle
+# 9 youngest r10 slide to r14 (legal: r10's bound is r14):
+#     q_spike_detect q_split_leakage q_stratified_sample q_text_fingerprint
 #     q_text_redact q_text_repetition q_text_winnow q_trend_slope
 #     q_vocab_coverage
 # Mutant-corpus literal sites owed migration to _mutated_corpus() as

@@ -1599,3 +1599,97 @@ def trim_duplicated_spans(
     return joined.withColumn("n_trimmed", n_trimmed).withColumn(
         text_col, out_text
     ).drop("__spans")
+
+
+def drop_repeated_lines(
+    df: DataFrame,
+    max_occ: int = 1,
+    keep: str = "first",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+    hash_fn: str = "xxhash64",
+    repartition: bool = True,
+) -> DataFrame:
+    """Cross-document LINE (paragraph) deduplication — the CCNet
+    paragraph-hash dedup step (Wenzek et al. LREC'20 section 4.1;
+    RefinedWeb applies the same rule to boilerplate lines): a line
+    whose corpus-wide occurrence count exceeds ``max_occ`` is removed
+    from every document — except, under ``keep="first"``, its global
+    first occurrence (minimum ``(id, position)``, the Lee-et-al
+    survivor election :func:`removable_spans_keep_first` uses);
+    ``keep="none"`` drops every occurrence (the boilerplate posture —
+    a line repeated across the corpus is navigation/license chrome by
+    definition).
+
+    Complements the existing dedup tiers: X6ab profiles chunk-aligned
+    passages, X6ak marks ANY-offset duplicated token spans — this
+    operator acts on the natural LINE structure real corpora carry
+    (and CCNet's pipeline actually shipped).
+
+    100-TB shape: text never shuffles.  The line stream carries
+    ``(id, pos, hash)`` (the hash via ``hash_fn`` — "md5_60" for the
+    SQL twin); occurrence counting is ONE keyed count agg with
+    map-side partials (no COUNT window — boilerplate hashes are
+    exactly the heavy keys, and a partial-agg count collapses them
+    map-side where a window would straggle); the survivor election is
+    a ``min(struct(id, pos))`` in the SAME aggregation; only the
+    DROPPED positions travel back — a per-doc int array bounded by
+    the doc's line count, attached with one narrow join — and the
+    text is reconstructed map-side by position filter.  Documents
+    with no dropped line pass through the left join untouched.
+
+    Output: every input row, with ``out_col``, ``n_lines_in``,
+    ``n_lines_kept`` added.
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f'keep must be "first" or "none", got {keep!r}')
+    if max_occ < 1:
+        raise ValueError(f"max_occ must be >= 1, got {max_occ}")
+    if repartition:
+        # split-count-guarded spread (sources.fan_out): a single-row-
+        # group file otherwise runs the whole line-hash stream in ONE
+        # task (the decontaminate_ngram precedent)
+        from ..sources import fan_out
+
+        df = fan_out(df)
+    hasher = TOKEN_HASHES[hash_fn]
+    lines = F.split(F.col(text_col), "\r?\n")
+    base = df.withColumn("__lines", lines)
+    stream = base.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode("__lines").alias("__pos", "__line"),
+    ).select("__id", "__pos", hasher(F.col("__line")).alias("__h"))
+    occ = stream.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(F.struct("__id", "__pos")).alias("__first"),
+    )
+    hot = occ.filter(F.col("__n") > max_occ)
+    drops = stream.join(hot, "__h")
+    if keep == "first":
+        drops = drops.filter(
+            ~(
+                (F.col("__id") == F.col("__first.__id"))
+                & (F.col("__pos") == F.col("__first.__pos"))
+            )
+        )
+    drop_pos = drops.groupBy("__id").agg(
+        F.collect_list("__pos").alias("__drop")
+    )
+    joined = base.join(
+        drop_pos, base[id_col] == drop_pos["__id"], "left"
+    ).drop("__id")
+    keep_idx = F.filter(
+        F.sequence(F.lit(0), F.size("__lines") - 1),
+        lambda i: F.col("__drop").isNull()
+        | ~F.array_contains(F.col("__drop"), i),
+    )
+    kept = F.transform(
+        keep_idx, lambda i: F.element_at(F.col("__lines"), i + F.lit(1))
+    )
+    return (
+        joined.withColumn(out_col, F.array_join(kept, "\n"))
+        .withColumn("n_lines_in", F.size("__lines").cast("long"))
+        .withColumn("n_lines_kept", F.size(kept).cast("long"))
+        .drop("__lines", "__drop")
+    )

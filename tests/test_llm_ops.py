@@ -2708,3 +2708,48 @@ def test_gumbel_topk_rejects_bad_args(spark):
         Smp.gumbel_topk(df, "logw", 5, temperature=-1.0)
     with _pytest.raises(ValueError, match="k must"):
         Smp.gumbel_topk(df, "logw", 0)
+
+
+def test_drop_repeated_lines_ccnet_semantics(spark):
+    """Cross-document line dedup: lines over max_occ occurrences are
+    removed everywhere except (keep='first') the global minimum
+    (id, pos) occurrence; unique lines and untouched docs pass
+    through; intra-doc repeats count toward the occurrence total."""
+    from real_timetransactionaldatalakehouse_spark.operators import dedup as D
+
+    boiler = "all rights reserved by the example corporation"
+    docs = [
+        (1, f"{boiler}\nunique first line here\n{boiler}"),   # 2 occurrences
+        (2, f"intro line for doc two\n{boiler}"),             # 1 more
+        (3, "totally unique document\nwith two lines"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in D.drop_repeated_lines(df).collect()}
+    assert set(out) == {1, 2, 3}
+    # keep="first": doc 1 pos 0 survives; doc 1 pos 2 and doc 2 pos 1 drop
+    assert out[1]["clean_text"] == f"{boiler}\nunique first line here"
+    assert out[2]["clean_text"] == "intro line for doc two"
+    assert out[3]["clean_text"] == docs[2][1]
+    assert (out[1]["n_lines_in"], out[1]["n_lines_kept"]) == (3, 2)
+    assert (out[2]["n_lines_in"], out[2]["n_lines_kept"]) == (2, 1)
+    assert (out[3]["n_lines_in"], out[3]["n_lines_kept"]) == (2, 2)
+    # keep="none": every occurrence of the boilerplate goes
+    none = {r["doc_id"]: r for r in D.drop_repeated_lines(df, keep="none").collect()}
+    assert none[1]["clean_text"] == "unique first line here"
+    assert none[2]["clean_text"] == "intro line for doc two"
+    # max_occ dial: at 3 the boilerplate (3 occurrences) stays whole
+    loose = {r["doc_id"]: r for r in D.drop_repeated_lines(df, max_occ=3).collect()}
+    assert loose[1]["clean_text"] == docs[0][1]
+    # CRLF input behaves like LF
+    crlf = spark.createDataFrame(
+        [(i, t.replace("\n", "\r\n")) for i, t in docs], ["doc_id", "text"]
+    )
+    out2 = {r["doc_id"]: r for r in D.drop_repeated_lines(crlf).collect()}
+    assert out2[1]["clean_text"] == out[1]["clean_text"]
+    # arg discipline
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep"):
+        D.drop_repeated_lines(df, keep="all")
+    with _pytest.raises(ValueError, match="max_occ"):
+        D.drop_repeated_lines(df, max_occ=0)
