@@ -92,7 +92,8 @@ def test_oracle_outputs_are_driver_certifiable(sf_small):
       both sides instead."""
     con = duckdb_connection(sf_small)
     bad = []
-    for name, sql in _ORACLES.items():
+    staged = {n: sql for n, (_, sql) in entrymod._STAGED_R13.items()}
+    for name, sql in {**_ORACLES, **staged}.items():
         rel = con.sql(sql)
         for c, t in zip(rel.columns, rel.types):
             ts = str(t)
