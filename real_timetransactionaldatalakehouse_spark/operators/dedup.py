@@ -931,7 +931,19 @@ def minhash_verified_neardup_pairs(
     # empty shingle set instead degrades the pair to jaccard 0/NaN and
     # the threshold filter drops it (try_element_at below is the same
     # guard for the structurally-empty same_fp groups)
-    toks = df.select(
+    # r13: the shingle build (zip_with chain over every token) is the
+    # verify side's CPU stage and runs at SCAN parallelism — on the
+    # single-split bench file it serialized ~0.9 s per execution inside
+    # the toks broadcast build.  Same guarded core-count spread as the
+    # signature kernel; no-op on a well-split input.
+    from ..sources import fan_out
+
+    spark = df.sparkSession
+    target = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    toks = fan_out(df, target, guard=True).select(
         F.col(id_col).alias("id"),
         F.coalesce(
             F.array_distinct(word_shingles(text_col, shingle_n)),
@@ -1309,6 +1321,16 @@ def passage_repetition(
     every gram pipeline here).
     """
     hasher = TOKEN_HASHES[hash_fn]  # "md5_60" maps to _md5_60 already
+    # r13: same under-split spread as _sliding_grams — the chunk-hash
+    # build is the CPU stage; guarded, so a well-split input skips it
+    from ..sources import fan_out
+
+    spark = df.sparkSession
+    target = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    df = fan_out(df, target, guard=True)
     t = tokens(text_col)
     base = (
         df.select(F.col(id_col), t.alias("__t"))
@@ -1406,6 +1428,21 @@ def _sliding_grams(
     hasher = TOKEN_HASHES[hash_fn]
     if L < 2:
         raise ValueError("min_gram must be >= 2")
+    # r13 (optimization): the per-position hash build is the CPU-heavy
+    # stage of the whole operator (md5 over an L-token slice at every
+    # position), and an under-split source (single-row-group parquet,
+    # gzip text) serializes it on one core — measured at sf0.1 the
+    # 2-task gram stage held ~1.9 s of the query's ~2.3 s wall.  Spread
+    # to core count behind the standard split-count guard: a well-split
+    # 100 TB input skips the exchange entirely (sources.fan_out rule).
+    from ..sources import fan_out
+
+    spark = df.sparkSession
+    target = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    df = fan_out(df, target, guard=True)
     t = tokens(text_col)
     base = df.select(F.col(id_col).alias("id"), t.alias("__t")).filter(
         F.size("__t") >= L

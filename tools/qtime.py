@@ -30,11 +30,18 @@ def main() -> None:
 
     import __spark_entry__ as entry
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    args: list[str] = []
     n = 5
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--n"):
-            n = int(a.split("=", 1)[1]) if "=" in a else int(sys.argv[sys.argv.index(a) + 1])
+            n = int(a.split("=", 1)[1]) if "=" in a else int(argv[i + 1])
+            i += 1 if "=" in a else 2
+            continue
+        args.append(a)
+        i += 1
 
     spark = batch_session("lakehouse-qtime")
     input_bytes = sum(
