@@ -748,6 +748,35 @@ def q_cohort_retention(spark, sf_dir):
     )
 
 
+def _grouping_preagg(li: DataFrame) -> DataFrame:
+    """Partial-aggregate by the UNION of the grouping columns before a
+    ROLLUP/CUBE/GROUPING SETS Expand (r13 optimization, guide §2.3 —
+    aggregate before you replicate): Expand emits one replica of its
+    input per grouping set, so feeding it the |distinct(rf, ls)|-row
+    pre-aggregate instead of every line item keeps the replicated
+    stream metadata-sized at any corpus size (600k rows -> ~8 at bench
+    SF; a 100 TB lineitem -> the same ~8).  count/msum decompose
+    exactly — count is a sum of partial counts and msum's scaled-long
+    partials add associatively (``functions.msum`` bound argument
+    unchanged) — so every output value is bit-identical."""
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("__sq"),
+    )
+
+
+def _grouping_final_aggs() -> tuple:
+    """Final-stage aggregates over :func:`_grouping_preagg` partials —
+    identical output types to the direct count/msum form (long,
+    double).  A function, not a module constant: Column construction
+    needs a live SparkContext, which imports must not assume."""
+    return (
+        F.sum("__n").alias("n"),
+        (F.sum("__sq") / F.lit(100.0)).alias("sum_qty"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
 @_q("q_rollup", """
 SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
        COALESCE(l_linestatus, '<all>') AS l_linestatus,
@@ -759,15 +788,12 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """)
 def q_rollup(spark, sf_dir):
     """Grouping sets surface (SURVEY.md section 2 D note: Spark
-    built-in, exposed): ROLLUP with grouping-id disambiguation."""
-    li = _t(spark, sf_dir, "lineitem")
+    built-in, exposed): ROLLUP with grouping-id disambiguation.
+    Pre-aggregated before the Expand — see :func:`_grouping_preagg`."""
     return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            LF.msum("l_quantity").alias("sum_qty"),
-            F.grouping_id().cast("int").alias("gid"),
-        )
+        _grouping_preagg(_t(spark, sf_dir, "lineitem"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(*_grouping_final_aggs())
         .select(
             F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
             F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
@@ -917,15 +943,12 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """)
 def q_cube(spark, sf_dir):
     """Grouping sets surface, CUBE variant (all 2^n groupings in one
-    pass — Catalyst expands to a single shuffle over the Expand op)."""
-    li = _t(spark, sf_dir, "lineitem")
+    pass — Catalyst expands to a single shuffle over the Expand op).
+    Pre-aggregated before the Expand — see :func:`_grouping_preagg`."""
     return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            LF.msum("l_quantity").alias("sum_qty"),
-            F.grouping_id().cast("int").alias("gid"),
-        )
+        _grouping_preagg(_t(spark, sf_dir, "lineitem"))
+        .cube("l_returnflag", "l_linestatus")
+        .agg(*_grouping_final_aggs())
         .select(
             F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
             F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
@@ -3830,17 +3853,14 @@ def q_grouping_sets(spark, sf_dir):
     ROLLUP/CUBE desugar to): per-returnflag and per-linestatus margins
     in ONE pass — Catalyst expands each row to its grouping-set
     replicas before a single partial+final hash agg (one shuffle, same
-    Expand-op plan as q_rollup/q_cube)."""
-    li = _t(spark, sf_dir, "lineitem")
+    Expand-op plan as q_rollup/q_cube).  Pre-aggregated before the
+    Expand — see :func:`_grouping_preagg`."""
     return (
-        li.groupingSets(
+        _grouping_preagg(_t(spark, sf_dir, "lineitem"))
+        .groupingSets(
             [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
         )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            LF.msum("l_quantity").alias("sum_qty"),
-            F.grouping_id().cast("int").alias("gid"),
-        )
+        .agg(*_grouping_final_aggs())
         .select(
             F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
             F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),

@@ -855,6 +855,13 @@ def search_bm25(
     :func:`bm25_scores` output as the materialized index for repeated
     serving queries instead."""
     toks = tokens(text_col)
+    # r13 notes (both measured, left alone): a guarded core-count fan
+    # of this scan REGRESSED 1.5x paired at bench SF — the explode+isin
+    # filter drops non-query terms inside codegen, so the scan stage is
+    # too light to amortize the exchange; and replacing the stats
+    # pass's size(split(..)) with length/translate separator-count
+    # arithmetic ALSO regressed ~1.2x paired (translate's char-map scan
+    # beats no split-array allocation on this data).
     pairs = (
         df.select(F.col(id_col), toks.alias("__t"))
         .select(

@@ -77,6 +77,12 @@ def fan_out(
     the entry's PII fan) say ``guard=True``."""
     if guard is None:
         guard = partitions is None
+    # r13 note (measured, left alone): widening the DEFAULTED target to
+    # core count was tried and REGRESSED the light defaulted sites
+    # (q_bpe_pairs 1.28x, q_semdedup 1.37x paired) — 32-task scheduling
+    # overhead beats the parallelism win when per-row work is small.
+    # Sites whose per-row work is provably heavy (gram md5, shingle
+    # zip_with chains) pass an explicit core-count target instead.
     n = partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
