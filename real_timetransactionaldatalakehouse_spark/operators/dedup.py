@@ -300,10 +300,15 @@ def minhash_banded(
     spread = nonnull
     if repartition:
         spark = df.sparkSession
-        target = max(
-            spark.sparkContext.defaultParallelism,
-            int(spark.conf.get("spark.sql.shuffle.partitions")),
-        )
+        # r13: target the session's INPUT-SIZED shuffle layout, not
+        # core count — the Arrow kernel amortizes per-task round trips
+        # over batch size, so few large batches beat many tiny ones
+        # until the data outgrows them (interleaved in-session A/B at
+        # bench SF: 4-way 0.48 s vs 32-way 0.62 s on the whole pair
+        # query; the layout grows with input, so big corpora still fan
+        # wide and well-split 100 TB tables skip the exchange at the
+        # guard below)
+        target = int(spark.conf.get("spark.sql.shuffle.partitions"))
         # spread only when it at least DOUBLES the kernel parallelism
         # (same rule as sources.fan_out): re-shuffling the text for a
         # fractional gain measured slower (3.66 s vs 3.46 s at the 10x
@@ -934,16 +939,11 @@ def minhash_verified_neardup_pairs(
     # r13: the shingle build (zip_with chain over every token) is the
     # verify side's CPU stage and runs at SCAN parallelism — on the
     # single-split bench file it serialized ~0.9 s per execution inside
-    # the toks broadcast build.  Same guarded core-count spread as the
+    # the toks broadcast build.  Same guarded input-sized spread as the
     # signature kernel; no-op on a well-split input.
     from ..sources import fan_out
 
-    spark = df.sparkSession
-    target = max(
-        spark.sparkContext.defaultParallelism,
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-    )
-    toks = fan_out(df, target, guard=True).select(
+    toks = fan_out(df, guard=True).select(
         F.col(id_col).alias("id"),
         F.coalesce(
             F.array_distinct(word_shingles(text_col, shingle_n)),
@@ -1325,12 +1325,7 @@ def passage_repetition(
     # build is the CPU stage; guarded, so a well-split input skips it
     from ..sources import fan_out
 
-    spark = df.sparkSession
-    target = max(
-        spark.sparkContext.defaultParallelism,
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-    )
-    df = fan_out(df, target, guard=True)
+    df = fan_out(df, guard=True)
     t = tokens(text_col)
     base = (
         df.select(F.col(id_col), t.alias("__t"))
@@ -1433,16 +1428,13 @@ def _sliding_grams(
     # position), and an under-split source (single-row-group parquet,
     # gzip text) serializes it on one core — measured at sf0.1 the
     # 2-task gram stage held ~1.9 s of the query's ~2.3 s wall.  Spread
-    # to core count behind the standard split-count guard: a well-split
-    # 100 TB input skips the exchange entirely (sources.fan_out rule).
+    # to the session's input-sized shuffle layout behind the standard
+    # split-count guard (in-session width A/B at bench SF: 4/8/16-way
+    # ~0.50-0.53 s vs 32-way 0.56 s; a well-split 100 TB input skips
+    # the exchange entirely — sources.fan_out rule).
     from ..sources import fan_out
 
-    spark = df.sparkSession
-    target = max(
-        spark.sparkContext.defaultParallelism,
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-    )
-    df = fan_out(df, target, guard=True)
+    df = fan_out(df, guard=True)
     t = tokens(text_col)
     base = df.select(F.col(id_col).alias("id"), t.alias("__t")).filter(
         F.size("__t") >= L

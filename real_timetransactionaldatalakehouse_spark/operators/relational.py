@@ -800,12 +800,20 @@ def robust_scale(
     stats = df.groupBy(*group_cols).agg(
         # backtick-quoted so legal-but-non-identifier column names
         # ("response time", dotted names) parse instead of raising —
-        # every other path here goes through F.col (r9 review fix)
-        F.expr(f"percentile(`{value_col}`, 0.5)").alias("__med"),
-        (
-            F.expr(f"percentile(`{value_col}`, 0.75)")
-            - F.expr(f"percentile(`{value_col}`, 0.25)")
-        ).alias("__iqr"),
+        # every other path here goes through F.col (r9 review fix).
+        # r13: ONE array-argument percentile instead of three scalar
+        # aggregates — each scalar percentile keeps its own buffer of
+        # every group value and sorts it independently, so the array
+        # form cuts the agg-buffer memory and the sort work 3x with
+        # bit-identical interpolated values (same buffer, same
+        # per-quantile interpolation tree).
+        F.expr(
+            f"percentile(`{value_col}`, array(0.5, 0.75, 0.25))"
+        ).alias("__p"),
+    ).select(
+        *group_cols,
+        F.col("__p")[0].alias("__med"),
+        (F.col("__p")[1] - F.col("__p")[2]).alias("__iqr"),
     )
     scaled = F.when(
         F.col("__iqr") > 0,
