@@ -257,9 +257,13 @@ def _gram_hashes(
     from ..sources import fan_out
     from .text import tokens
 
-    spark = df.sparkSession
     if repartition is True:
-        src = fan_out(df, spark.sparkContext.defaultParallelism, guard=True)
+        # r13: input-sized spread (the fan_out default), not core
+        # count — in-session width A/B on the 13-gram decontaminate at
+        # bench SF: 4/8-way ~0.63-0.64 s vs 32-way >= 0.75 s; the
+        # session layout grows with input, well-split tables skip at
+        # the guard
+        src = fan_out(df, guard=True)
     elif repartition is False:
         src = df
     else:

@@ -413,12 +413,22 @@ def test_unpivot_is_map_only_expand(spark, sf_medium):
 
 def test_grouping_sets_single_expand_pass(spark, sf_medium):
     """Explicit GROUPING SETS must run as ONE Expand + partial/final
-    hash agg — a single shuffle for all grouping sets together."""
+    hash agg, and (r13) the Expand must replicate the PRE-AGGREGATED
+    (returnflag, linestatus) rows, never the raw line items: the plan
+    carries exactly two exchanges (pre-agg + grouping agg) and an
+    aggregate below the Expand."""
     df = _Q["q_grouping_sets"](spark, sf_medium)
     plan = P.formatted_plan(df)
     assert "Expand" in plan, plan
     assert P.has_partial_aggregation(df), plan
-    assert plan.count("+- Exchange ") == 1, plan
+    assert plan.count("+- Exchange ") == 2, plan
+    # the Expand's input is the pre-aggregate: a HashAggregate appears
+    # BELOW the Expand in the operator chain (formatted plans list
+    # children after parents, so the pre-agg's id is larger — assert
+    # via the tree text: Expand's subtree contains a HashAggregate)
+    tree = plan.split("\n\n")[0]
+    expand_at = tree.index("Expand")
+    assert "HashAggregate" in tree[expand_at:], plan
 
 
 def test_intersect_except_plan_semi_anti_joins(spark, sf_medium):
