@@ -111,15 +111,14 @@ def q_trending_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are ~1 here and at the reference's firehose, so the map-side
     partial agg the direct groupBy would get compresses nothing — one
     wide shuffle beats two narrow ones; measured 0.36 s vs 0.46 s at
-    sf0.1).  The exchange is sized at core count, not the session's
-    data-sized reduce partitioning: both agg stages run off it and the
-    per-row window/count work is CPU-bound (same rationale as
-    simhash_sigs; measured 0.30 s vs 0.37 s at sf0.1, 0.77 s vs 0.80 s
-    at the 10x replica)."""
-    p = max(
-        spark.sparkContext.defaultParallelism,
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-    )
+    sf0.1).  r13: the exchange is sized at the session's INPUT-SIZED
+    reduce layout — the r12 core-count choice re-measured slower on
+    the r13 host (interleaved width A/B: 4-way 0.51 s / 8-way 0.39 s
+    vs 32-way 0.67 s at sf0.1; r12's same experiment had read 0.30 vs
+    0.37 the other way — per-task scheduling cost is
+    host-mode-dependent, and the input-derived width is the
+    scale-portable choice)."""
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     events = _t(spark, sf_dir, "events").repartition(p, "user_id")
     customer = _t(spark, sf_dir, "customer")
 

@@ -249,10 +249,10 @@ def repetition_stats(
     is recorded in SCALING.md."""
     if repartition:
         spark = df.sparkSession
-        p = max(
-            spark.sparkContext.defaultParallelism,
-            int(spark.conf.get("spark.sql.shuffle.partitions")),
-        )
+        # r13: input-sized width (was core count) — interleaved width
+        # A/B at bench SF read 4-way 0.44 s vs 32-way 0.57 s; the
+        # session layout grows with input so big corpora still fan wide
+        p = int(spark.conf.get("spark.sql.shuffle.partitions"))
         df = df.repartition(p, id_col)
     # Materialize the token array as its own projection BEFORE the
     # gram transform references it (same defect class as the r6
