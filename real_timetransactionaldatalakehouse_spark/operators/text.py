@@ -174,7 +174,10 @@ def winnow_fingerprints(
     a row-exploded all-codegen variant (explode -> per-row md5 ->
     rowsBetween window min -> distinct) measured 2.7 s — the extra
     doc-keyed exchange loses to the all-map form, recorded here as the
-    A/B."""
+    A/B.  (r13: no fan here — the standalone fingerprint query
+    measured FASTER un-fanned, 0.11 s vs 0.16 s paired; the
+    decontaminate composition, whose winnow side is ~5 s under-split,
+    fans on ITS side instead.)"""
     t = F.col(text_col)
     # NULL text must emit NO fingerprint rows: F.greatest SKIPS null
     # arguments (greatest(NULL, 1) = 1), so without the guard a NULL
