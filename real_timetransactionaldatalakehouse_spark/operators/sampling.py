@@ -210,18 +210,11 @@ def decontaminate(
     the semi side.
     """
     def fps(df: DataFrame) -> DataFrame:
-        # winnow_fingerprints keys on "doc_id" — normalize the id name.
-        # r13: guarded input-sized fan before the winnow map — one
-        # interpreted md5 per character position is the heaviest
-        # per-row map in the repo, and an under-split corpus serialized
-        # the whole pass on one core (this operator measured 5.1 s at
-        # sf0.1 un-fanned, 2.1 s fanned, paired).  No-op on a
-        # well-split table (sources.fan_out guard).
-        from ..sources import fan_out
-
-        src = fan_out(df, guard=True).select(
-            F.col(id_col).alias("doc_id"), F.col(text_col)
-        )
+        # winnow_fingerprints keys on "doc_id" — normalize the id name
+        # (r13: the under-split fan lives in winnow_fingerprints
+        # itself, shared with q_text_winnow; this operator measured
+        # 5.1 s -> 1.5 s at sf0.1 from it, paired)
+        src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
         return winnow_fingerprints(src, text_col, k=k, window=window)
 
     b_fp = fps(benchmark).select("fp").distinct()

@@ -174,10 +174,17 @@ def winnow_fingerprints(
     a row-exploded all-codegen variant (explode -> per-row md5 ->
     rowsBetween window min -> distinct) measured 2.7 s — the extra
     doc-keyed exchange loses to the all-map form, recorded here as the
-    A/B.  (r13: no fan here — the standalone fingerprint query
-    measured FASTER un-fanned, 0.11 s vs 0.16 s paired; the
-    decontaminate composition, whose winnow side is ~5 s under-split,
-    fans on ITS side instead.)"""
+    A/B.
+
+    r13: guarded input-sized fan before the map — one interpreted md5
+    per CHARACTER position makes this the heaviest per-row map in the
+    repo, and an under-split source serialized all of it on one core
+    (standalone q_text_winnow 3.9 s at sf0.1; the winnowing
+    decontaminate 5.0 s -> 1.5 s paired once fanned).  No-op on a
+    well-split table (sources.fan_out guard)."""
+    from ..sources import fan_out
+
+    df = fan_out(df, guard=True)
     t = F.col(text_col)
     # NULL text must emit NO fingerprint rows: F.greatest SKIPS null
     # arguments (greatest(NULL, 1) = 1), so without the guard a NULL
