@@ -902,13 +902,16 @@ def q_agg_sketches(spark, sf_dir):
     median."""
     li = _t(spark, sf_dir, "lineitem")
     # r13 (optimization): the sketches and COUNT(DISTINCT) must NOT
-    # share one aggregation — the distinct rewrite forces the whole agg
-    # onto the sort-based path, where every input row serializes and
-    # re-merges the TypedImperative sketch buffers (t-digest at
-    # accuracy=10000, HLL registers): measured 260 s at sf0.1.  Two
-    # aggregations joined on the 3-row flag key keep the sketches in
-    # ObjectHashAggregate and the distinct in its own Expand-free
-    # hash agg: 0.9 s, identical values (same aggregates, same rows).
+    # share one aggregation — the distinct rewrite keys the FIRST
+    # aggregation phase by (l_returnflag, l_orderkey), so a
+    # TypedImperative sketch buffer (t-digest at accuracy=10000, HLL
+    # registers) is built and merged PER DISTINCT ORDERKEY instead of
+    # per flag: measured 205-260 s at sf0.1 (plans/r13/
+    # q_agg_sketches_before.txt, ObjectHashAggregate keyed by both).
+    # Two aggregations joined on the 3-row flag key keep the sketches
+    # in a 3-group ObjectHashAggregate and the distinct in its own
+    # codegen hash agg: 2.9 s paired, identical values (same
+    # aggregates, same rows).
     sketch_side = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_med_price"),

@@ -1014,8 +1014,16 @@ def embedding_neardup_pairs_lsh(
             out, [member] + getattr(rep_pairs, "_cached_deps", [])
         )
     cached = []
+    # r13 (optimization, guide §2.2): guarded input-sized fan before
+    # the Arrow bucket kernel — a single-row-group embeddings file
+    # scans as ONE task, serializing the band build AND (because
+    # ``banded`` persists that layout) the in-bucket pair generation
+    # that streams through it.  Measured at sf0.1: the 1-task
+    # band+pair-gen stage held ~1.0 s of the query's ~3.4 s wall.
+    from ..sources import fan_out
+
     banded = _lsh_banded_narrow(
-        df, "id", id_col, vec_col, planes, dim, tables
+        fan_out(df, guard=True), "id", id_col, vec_col, planes, dim, tables
     ).persist()
     cached.append(banded)
     cond = (
@@ -1049,9 +1057,39 @@ def embedding_neardup_pairs_lsh(
         cached.append(banded)
         cond = cond & (F.col("a.__sub") == F.col("b.__sub"))
     a, b = banded.alias("a"), banded.alias("b")
+    # r13 (optimization, guide §2.2/§2.5): the pair-dedup/verify width
+    # must track the CANDIDATE-PAIR volume, not the input bytes — the
+    # in-bucket pair space is quadratic in bucket sizes, so the
+    # input-sized session layout structurally underestimates it (at
+    # sf0.1: ~1 MB of embeddings -> width 4, but ~2M candidate pairs x
+    # a ~1 KB joined-vector row = ~2 GB of verify-stage volume; the
+    # 4-task fold-cosine stage held ~2.3 s of the query's ~3.4 s
+    # wall).  One single-row agg over the persisted band table prices
+    # the pair space exactly (sum c*(c-1)/2 — an upper bound when
+    # ``max_bucket`` splits hot buckets), and the verify row width is
+    # two ``dim``-double vectors; the result clamps to the same
+    # [session layout, 4x parallelism] band ``tune_for_input`` uses,
+    # so at 100 TB the cap binds (thousands of partitions, same as
+    # today) and locally the width follows the actual blow-up.  The
+    # repartition keys on (id_a, id_b), so dropDuplicates reuses the
+    # exchange instead of adding one.
+    spark = df.sparkSession
+    est_pairs = (
+        banded.groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(F.sum(F.col("__c") * (F.col("__c") - 1) / 2).alias("p"))
+        .first()["p"]
+    ) or 0
+    layout = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    verify_bytes = int(est_pairs) * (16 * dim + 24)
+    n_verify = int(max(layout, min(
+        4 * spark.sparkContext.defaultParallelism,
+        verify_bytes // (32 * 1024 * 1024),
+    )))
     cand = (
         a.join(b, cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .repartition(n_verify, "id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     vecs = df.select(
