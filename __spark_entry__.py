@@ -2144,8 +2144,21 @@ def q_agg_harmonic(spark, sf_dir):
     the order-dependent step, so reciprocals decimal-round at 12
     digits (values ~1e-5) into an exact commutative accumulation —
     same discipline as every other float sum in the engine."""
+    from real_timetransactionaldatalakehouse_spark.sources import fan_out
+
     li = _t(spark, sf_dir, "lineitem")
     recip = (F.lit(1.0) / F.col("l_extendedprice")).cast("decimal(18,12)")
+    # r13 (optimization, guide §2.2): the double -> DECIMAL(18,12) cast
+    # allocates a BigDecimal per row, so the scan+partial-agg stage is
+    # CPU-bound (measured 1.2 s across lineitem's 3 row-group splits at
+    # sf0.1); fanning the two projected columns to core count halves it
+    # (width A/B: base 1.11 s, 4: 0.82, 16: 0.59, 32: 0.58).  Guarded:
+    # a well-split production table (splits >= 2x cores) skips the
+    # exchange, and only (flag, price) rows ever move.
+    li = fan_out(
+        li.select("l_returnflag", "l_extendedprice"),
+        spark.sparkContext.defaultParallelism, guard=True,
+    )
     return li.groupBy("l_returnflag").agg(
         (
             F.count(F.lit(1)).cast("double") / F.sum(recip).cast("double")
@@ -2171,6 +2184,11 @@ def q_agg_geomean(spark, sf_dir):
     — last-ulp libm divergence (measured for ln, same risk for exp)
     cannot reach the certified value."""
     li = _t(spark, sf_dir, "lineitem")
+    # r13 (optimization, tried and REVERTED): the q_agg_harmonic
+    # core-count fan was paired-A/B'd here too and REGRESSED (base
+    # 0.51-0.53 s vs fanned 0.61-0.64 s): ln + a scale-6 decimal cast
+    # is ~4x cheaper per row than the scale-12 reciprocal cast, so the
+    # exchange costs more than the parallelism wins.
     sum_ln = F.sum(
         F.log(F.col("l_extendedprice")).cast("decimal(18,6)")
     ).cast("double")
