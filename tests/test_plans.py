@@ -818,3 +818,69 @@ def test_perplexity_cutoffs_mode_has_no_window_sort(spark, sf_small):
     assert "BroadcastHashJoin" in cut or "BroadcastNestedLoopJoin" in cut, cut
     nt = P.formatted_plan(TX.perplexity_buckets(corpus))
     assert nt.count("Window") >= 1
+
+
+def test_embed_lsh_verify_width_tracks_candidate_volume(spark, sf_medium):
+    """r13 contract: embedding_neardup_pairs_lsh sizes the pair-dedup/
+    verify exchange from the CANDIDATE-PAIR volume (one agg over the
+    band table), not the input-sized session layout — the pair space
+    is quadratic in bucket sizes.  The plan must carry (1) exactly one
+    hashpartitioning on (id_a, id_b) whose width exceeds the session
+    layout (dropDuplicates REUSES the explicit repartition instead of
+    adding a second exchange at the layout width), and (2) broadcast
+    vector joins, so the fold-cosine verify runs at the derived
+    width."""
+    import re
+
+    from real_timetransactionaldatalakehouse_spark.operators import (
+        similarity as S,
+    )
+    from real_timetransactionaldatalakehouse_spark.sources import load_table
+
+    emb = load_table(spark, sf_medium, "embeddings")
+    # replicate (perturbed per copy, so vectors stay unique) until the
+    # candidate volume out-sizes the session layout — only the band
+    # table and its one-row sizing agg ever execute; the pair join is
+    # plan-only here
+    rep = emb.crossJoin(spark.range(40).select(F.col("id").alias("__k"))).select(
+        (F.col("vec_id") + F.col("__k") * F.lit(1000000)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x + F.col("__k").cast("double") * F.lit(1e-4)
+        ).alias("embedding"),
+    )
+    layout = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    small = P.formatted_plan(
+        S.embedding_neardup_pairs_lsh(
+            emb, threshold=0.35, planes=4, tables=16, collapse_exact=False
+        )
+    )
+    big = P.formatted_plan(
+        S.embedding_neardup_pairs_lsh(
+            rep, threshold=0.35, planes=4, tables=16, collapse_exact=False
+        )
+    )
+    pat = r"hashpartitioning\(id_a#\d+L?, id_b#\d+L?, (\d+)\)"
+    w_small = [int(w) for w in re.findall(pat, small)]
+    w_big = [int(w) for w in re.findall(pat, big)]
+    # exactly one (id_a, id_b) exchange each: dropDuplicates must REUSE
+    # the explicit repartition, never add a second layout-width one
+    assert len(w_small) == 1 and len(w_big) == 1, (w_small, w_big)
+    # small corpus: the layout floor binds; replicated corpus: the
+    # candidate-volume term out-sizes it
+    assert w_small[0] >= layout, (w_small, layout)
+    assert w_big[0] > w_small[0], (w_small, w_big, layout)
+    assert big.count("BroadcastHashJoin") >= 2, big
+
+
+def test_agg_harmonic_fans_projected_columns(spark, sf_medium):
+    """r13 contract: the harmonic-mean decimal aggregation fans the
+    TWO projected columns before the partial agg (the per-row
+    double -> DECIMAL(18,12) cast is the CPU stage on an under-split
+    source) — the plan must carry the round-robin exchange and the
+    scan must stay pruned to exactly those columns, so the fan never
+    moves anything the aggregation does not read."""
+    df = _Q["q_agg_harmonic"](spark, sf_medium)
+    plan = P.formatted_plan(df)
+    assert "RoundRobinPartitioning" in plan, plan
+    cols = set(P.read_schema_columns(df))
+    assert cols == {"l_returnflag", "l_extendedprice"}, cols
