@@ -866,9 +866,17 @@ def test_embed_lsh_verify_width_tracks_candidate_volume(spark, sf_medium):
     # the explicit repartition, never add a second layout-width one
     assert len(w_small) == 1 and len(w_big) == 1, (w_small, w_big)
     # small corpus: the layout floor binds; replicated corpus: the
-    # candidate-volume term out-sizes it
+    # candidate-volume term out-sizes it.  The width is clamped to
+    # [layout, 4 x defaultParallelism] (the tune_for_input band), so
+    # the STRICT inequality is only satisfiable when the cap clears the
+    # floor — on a host where 4 x cores <= layout (e.g. the driver's
+    # 8-core pytest env with a 32-partition layout) both widths pin to
+    # the layout and only the >= contract holds (r13 VERDICT item 1).
+    cap = 4 * spark.sparkContext.defaultParallelism
     assert w_small[0] >= layout, (w_small, layout)
-    assert w_big[0] > w_small[0], (w_small, w_big, layout)
+    assert w_big[0] >= w_small[0], (w_small, w_big, layout)
+    if cap > layout:
+        assert w_big[0] > w_small[0], (w_small, w_big, layout, cap)
     assert big.count("BroadcastHashJoin") >= 2, big
 
 
