@@ -524,48 +524,32 @@ def main() -> None:
         json.dump(detail, fh, indent=1, sort_keys=True)
 
     # The driver captures only the LAST ~2000 chars of stdout and JSON-parses
-    # the final line (r2's line outgrew that window -> "parsed": null).  Print
-    # ONE compact line: headline totals + per-query steady secs, dropping the
-    # per-query dict first if the line would overflow the capture window.
+    # the final line (r2's line outgrew that window -> "parsed": null).
+    # r14 (VERDICT r13 item 2 — a measurement-contract fix, not an
+    # optimization): at 62 queries the old "drop the per-query dict on
+    # overflow" fallback ALWAYS fired, starving the driver's per-query
+    # and scaling comparisons (PERF_r13 n_common: 0).  The line now
+    # keeps `queries` at all costs: per-query steadies are rounded to 3
+    # significant digits (plenty for ratio comparisons; full-precision
+    # sample pools stay in BENCH_DETAIL.json), the band/floor
+    # decompositions that duplicated BENCH_DETAIL.json fields moved
+    # there exclusively, and on overflow OPTIONAL diagnostics are shed
+    # one by one — `queries` is only dropped if even the bare contract
+    # line cannot fit (it always can: ~1.6k chars at 62 queries).
+    # Query names are unchanged (driver contract: never rename).
+    def _sig3(v: float) -> float:
+        return float(f"{v:.3g}")
+
     out = {
         "metric": "headline_queries_total_wall",
         "value": detail["value"],
         "unit": "sec",
-        "queries": steady,
+        "queries": {n: _sig3(s) for n, s in steady.items()},
         "value_steady": detail["value_steady"],
         "value_oracle": detail["value_oracle"],
         "steady_vs_oracle_ratio": detail["steady_vs_oracle_ratio"],
         "steady_vs_oracle_ratio_r3common": detail["steady_vs_oracle_ratio_r3common"],
-        "r3common_band": [
-            detail["steady_vs_oracle_ratio_r3common"],
-            detail["steady_vs_oracle_ratio_r3common_median"],
-        ],
-        "r3common_sums": [
-            detail["r3common_steady_sum"],
-            detail["r3common_oracle_sum"],
-        ],
         "per_query_floor_sec": floor_s,
-        # floor decomposition of the gate set (VERDICT r7 #1 fallback):
-        # the r3common numerator carries ~30x this harness's per-query
-        # job floor that the single-process oracle does not pay;
-        # "above_floor" is the ratio with that fixed cost removed from
-        # the numerator — the plan-quality residual
-        "r3common_floor_sum": round(floor_s * len(r3cov), 4),
-        "r3common_ratio_above_floor": round(
-            max(detail["r3common_steady_sum"] - floor_s * len(r3cov), 0.0)
-            / max(detail["r3common_oracle_sum"], 1e-9),
-            3,
-        ),
-        # same decomposition for the MEDIAN estimator (VERDICT r8 #5):
-        # when min and median still disagree after the 10-sample pool,
-        # this shows how much of the median's excess is the fixed
-        # per-query floor vs genuine plan cost
-        "r3common_median_above_floor": round(
-            max(detail["r3common_median_sum"] - floor_s * len(r3cov), 0.0)
-            / max(detail["r3common_oracle_sum"], 1e-9),
-            3,
-        ),
-        "worst5_vs_oracle": worst5,
         # the interleaved A/B summary (VERDICT r10 #2): paired ratios
         # and BOTH trees' same-session floors on the driver's line
         "r3common_paired_curr_vs_prev": (ab or {}).get("paired_curr_vs_prev"),
@@ -581,9 +565,29 @@ def main() -> None:
     }
     if out.get("ab_error") is None:
         out.pop("ab_error")
+    # overflow cascade: shed diagnostics (least critical first) before
+    # the per-query dict; the driver's PERF/scaling machinery needs
+    # `queries` more than any single aggregate, all of which live in
+    # BENCH_DETAIL.json anyway.  "__requantize__" is the mid-cascade
+    # step that re-rounds the per-query values to 2 significant digits
+    # (still ±5% resolution — fine for regression ratios).
+    shed_order = [
+        "ab_floor_prev", "ab_floor_curr", "host_loadavg_1m",
+        "r3common_paired_vs_oracle_prev", "r3common_paired_vs_oracle",
+        "__requantize__", "steady_vs_oracle_ratio_r3common",
+        "per_query_floor_sec", "r3common_paired_curr_vs_prev",
+        "value_oracle", "value_steady", "steady_vs_oracle_ratio",
+        "queries",
+    ]
     line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1800:
-        out.pop("queries")
+    while len(line) > 1800 and shed_order:
+        step = shed_order.pop(0)
+        if step == "__requantize__":
+            out["queries"] = {
+                n: float(f"{s:.2g}") for n, s in steady.items()
+            }
+        else:
+            out.pop(step, None)
         line = json.dumps(out, separators=(",", ":"))
     print(line)
 
