@@ -2153,8 +2153,10 @@ def q_agg_harmonic(spark, sf_dir):
     # CPU-bound (measured 1.2 s across lineitem's 3 row-group splits at
     # sf0.1); fanning the two projected columns to core count halves it
     # (width A/B: base 1.11 s, 4: 0.82, 16: 0.59, 32: 0.58).  Guarded:
-    # a well-split production table (splits >= 2x cores) skips the
-    # exchange, and only (flag, price) rows ever move.
+    # the fan only pays its exchange when it would at least DOUBLE
+    # parallelism (existing splits <= cores/2 — fan_out's guard), so a
+    # reasonably-split production table skips it, and only
+    # (flag, price) rows ever move.
     li = fan_out(
         li.select("l_returnflag", "l_extendedprice"),
         spark.sparkContext.defaultParallelism, guard=True,
@@ -3782,6 +3784,9 @@ def q_vocab_topn(spark, sf_dir):
 
     counts = TX.token_counts(_t(spark, sf_dir, "documents"))
     top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(100)
+    # this unpartitioned window is the source of the bench's recurring
+    # "WindowExec: No Partition Defined" warning — benign by design:
+    # it ranks the 100 post-limit rows, never the corpus (r13 VERDICT)
     return top.withColumn(
         "rank",
         F.row_number().over(

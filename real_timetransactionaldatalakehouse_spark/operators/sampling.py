@@ -903,6 +903,28 @@ def sample_systematic(
     switch the ticket arithmetic to DECIMAL(38,0).
     """
     order = order_cols or [id_col]
+    # r14 (optimization, guide §2.3/§6): _global_cumsum PERSISTS its
+    # input and re-reads it per execution, so project down to the
+    # columns the ticket arithmetic actually reads (id, weight, order
+    # keys) BEFORE the persist — the bench plan showed the FULL
+    # documents row (text included) scanned from parquet and cached
+    # for a computation that consumes 16 bytes/row.  Only applied when
+    # every order spec is a plain name or (name, dir) tuple;
+    # expression specs may reference other columns, so they keep the
+    # caller's frame.
+    names: list[str] = []
+    prunable = True
+    for c in order:
+        if isinstance(c, str):
+            names.append(c)
+        elif isinstance(c, tuple) and isinstance(c[0], str):
+            names.append(c[0])
+        else:
+            prunable = False
+            break
+    if prunable:
+        keep = list(dict.fromkeys([id_col, weight_col, *names]))
+        df = df.select(*keep)
     cum_df, _, total = _global_cumsum(
         df, weight_col, order, partitions=partitions
     )

@@ -938,6 +938,27 @@ def embedding_neardup_pairs_lsh(
     ``validate=True`` (r11, VERDICT r10 #6) applies
     :func:`valid_embeddings` at the gate — opt-in because the gate
     silently drops offending rows (see :func:`knn_bruteforce`).
+
+    **Construction-time (eager) jobs** — declaring this operator runs
+    up to THREE driver-side Spark jobs before any caller action, the
+    same accepted plan-build pattern as q_knn_ivf's centroids and
+    semantic_dedup's seeds: (1) the ``planes="auto"`` corpus count
+    (skipped when ``corpus_count`` is passed), (2) the
+    ``collapse_exact`` duplicate-ratio probe, and (3) the r13
+    verify-width sizing agg — one single-row aggregation over the
+    persisted band table (sum c*(c-1)/2 over bucket sizes) that prices
+    the candidate-pair volume so the pair-dedup/verify exchange width
+    tracks the quadratic in-bucket blow-up instead of the input bytes.
+    Job (3) also MATERIALIZES the persisted band table at declare
+    time; callers that only inspect the plan and never execute or
+    release the result (via ``dedup.release_cached``) keep that cache
+    in executor memory.  A lazy alternative (AQE coalescing over a
+    cap-width exchange) was considered and rejected: the engine's
+    measured profile turns AQE off below 2 GB of input
+    (session.AQE_MIN_INPUT_BYTES), exactly where a fixed cap width
+    over-schedules, and above it AQE already re-splits the verify
+    stage — the one-row agg is the portable sizing that serves both
+    regimes.
     """
     from .dedup import _attach_cached
 
@@ -1080,11 +1101,17 @@ def embedding_neardup_pairs_lsh(
         .agg(F.sum(F.col("__c") * (F.col("__c") - 1) / 2).alias("p"))
         .first()["p"]
     ) or 0
+    # clamp band: same floor/target/cap as session.tune_for_input —
+    # SHUFFLE_TARGET_BYTES per partition, capped at 4x the session's
+    # actual parallelism (r14, ADVICE: constants imported, not
+    # re-stated, so the two sizing rules cannot drift)
+    from ..session import SHUFFLE_TARGET_BYTES
+
     layout = int(spark.conf.get("spark.sql.shuffle.partitions"))
     verify_bytes = int(est_pairs) * (16 * dim + 24)
     n_verify = int(max(layout, min(
         4 * spark.sparkContext.defaultParallelism,
-        verify_bytes // (32 * 1024 * 1024),
+        verify_bytes // SHUFFLE_TARGET_BYTES,
     )))
     cand = (
         a.join(b, cond)

@@ -19,7 +19,7 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(_ROOT, "plans", "r13")
+OUT_DIR = os.path.join(_ROOT, "plans", os.environ.get("QPLAN_ROUND", "r14"))
 
 
 def main() -> None:
