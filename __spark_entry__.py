@@ -4573,8 +4573,13 @@ def q_neardup_free_corpus(spark, sf_dir):
     corpus = docs.unionByName(_mutant(20, 200000, 2)).unionByName(
         _mutant(10, 300000, 4)
     )
-    clusters = D.verified_neardup_clusters(corpus, jaccard_threshold=0.5)
-    drop = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
+    # r14 (guide §2.4): the keep-one terminal never reads n_members, so
+    # the drop set comes from the light losers path (row-identical to
+    # filtering the full cluster table; the cluster-size aggregation
+    # and its joins vanish from the plan)
+    drop = D.neardup_losers(corpus, jaccard_threshold=0.5).select(
+        F.col("doc_id").alias("id")
+    )
     return (
         corpus.join(
             F.broadcast(drop), corpus["doc_id"] == drop["id"], "left_anti"
@@ -4826,8 +4831,10 @@ def q_corpus_pipeline(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
     benchmark = docs.filter(F.col("doc_id") % 20 == 0)
 
-    clusters = D.verified_neardup_clusters(corpus, jaccard_threshold=0.5)
-    dup_drop = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
+    # r14 (guide §2.4): light losers path — see q_neardup_free_corpus
+    dup_drop = D.neardup_losers(corpus, jaccard_threshold=0.5).select(
+        F.col("doc_id").alias("id")
+    )
     deduped = corpus.join(
         F.broadcast(dup_drop), corpus["doc_id"] == dup_drop["id"], "left_anti"
     )

@@ -1122,21 +1122,80 @@ def verified_neardup_clusters(
     shuffle carries (fp/id, counts) rows; the anti-join side of the
     expansion is |distinct-texts|-sized.
     """
-    fpg = df.select(
-        F.md5(F.col(text_col)).alias("__fp"), F.col(id_col).alias("id")
+    memb, comp = _collapsed_graph(
+        df, text_col, id_col, jaccard_threshold, **minhash_kwargs
     )
-    # multi-consumer build frame (r9 review fix): groups feeds member/
-    # reps/sizes/lone and member feeds both expansion joins, and label
-    # propagation in between runs EAGER jobs — without a persist the
-    # full-corpus md5 groupBy re-executes for every cold consumer (the
-    # same defect class the r6 single-pass verify fix measured at
-    # 1.88 -> 1.24 s).  Released via dedup.release_cached(result).
-    groups = fpg.groupBy("__fp").agg(
-        F.min("id").alias("__rep"), F.count(F.lit(1)).alias("__n")
-    ).persist()
-    member = fpg.join(groups, "__fp").select("id", "__rep").persist()
+    groups = memb.filter(F.col("id") == F.col("__rep")).select("__rep", "__n")
+    sizes = (
+        comp.join(groups, "__rep")
+        .groupBy("cluster_id")
+        .agg(F.sum("__n").alias("n_members"))
+    )
+    # r14 (optimization, guide §2.4): expand members back through ONE
+    # corpus-sized join instead of two — the per-REP info (cluster id +
+    # size for graph reps, self-cluster + group size for lone exact-dup
+    # groups) unions first on the metadata-sized side, then members
+    # attach once.  The pre-r14 shape joined `member` separately for the
+    # graph and lone branches and unioned the two corpus-sized results.
+    lone = (
+        groups.filter(F.col("__n") >= 2)
+        .join(comp.select("__rep"), "__rep", "left_anti")
+        .select(
+            "__rep",
+            F.col("__rep").alias("cluster_id"),
+            F.col("__n").alias("n_members"),
+        )
+    )
+    rep_info = comp.join(sizes, "cluster_id").select(
+        "__rep", "cluster_id", "n_members"
+    ).unionByName(lone)
+    out = memb.join(rep_info, "__rep").select("id", "cluster_id", "n_members")
+    return _attach_cached(out, [memb])
+
+
+def _collapsed_graph(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    jaccard_threshold: float,
+    **minhash_kwargs,
+):
+    """Shared build for the cluster-family terminals: exact-dup
+    collapse, banded verified pairs over the representatives, hash-min
+    label propagation.  Returns ``(memb, comp)``:
+
+    - ``memb`` — PERSISTED ``(id, __rep, __n)``, one row per input
+      document: its exact-dup group representative (min id over equal
+      texts) and the group size.  r14 (guide §2.3/§2.4): computed with
+      ONE window over the text fingerprint instead of the pre-r14
+      groupBy + join-back — one corpus scan and one keyed exchange
+      where the old shape paid two scans, two exchanges and a
+      corpus-sized sort-merge join; group reps are
+      ``filter(id == __rep)`` over the same cached frame.  Callers
+      attach ``memb`` as a cached dep (release via
+      :func:`release_cached`).
+    - ``comp`` — ``(__rep, cluster_id)`` for representatives in the
+      verified pair graph (label propagation runs its eager jobs at
+      construction, as before).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__fp")
+    memb = (
+        df.select(
+            F.md5(F.col(text_col)).alias("__fp"), F.col(id_col).alias("id")
+        )
+        .select(
+            "id",
+            F.min("id").over(w).alias("__rep"),
+            F.count(F.lit(1)).over(w).alias("__n"),
+        )
+        .persist()
+    )
     reps = df.join(
-        groups.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+        memb.filter(F.col("id") == F.col("__rep"))
+        .select(F.col("id").alias(id_col)),
+        id_col, "left_semi",
     )
     pairs = minhash_verified_neardup_pairs(
         reps, text_col, id_col, jaccard_threshold=jaccard_threshold,
@@ -1145,25 +1204,72 @@ def verified_neardup_clusters(
     comp = neardup_clusters(pairs.select("id_a", "id_b")).select(
         F.col("id").alias("__rep"), "cluster_id"
     )
-    sizes = (
-        comp.join(groups.select("__rep", "__n"), "__rep")
-        .groupBy("cluster_id")
-        .agg(F.sum("__n").alias("n_members"))
+    return memb, comp
+
+
+def neardup_losers(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    **minhash_kwargs,
+) -> DataFrame:
+    """The drop SET of :func:`drop_near_duplicates`: every non-keeper
+    member of each near-dup cluster, as a single ``(id_col)`` frame.
+
+    r14 (guide §2.4): terminals that only need WHO to drop never read
+    ``n_members``, so the cluster-size aggregation and its joins are
+    dead weight in their plans (Catalyst cannot prune inner joins).
+    A member's keep/drop bit needs one value — its effective cluster
+    id, ``coalesce(component min over its rep, its rep)`` — computed
+    by ONE left join of the member table against the component
+    labels: members of graph clusters compare against the component
+    min; members of lone exact-dup groups against their group rep;
+    singletons are their own rep and never match the filter.  Output
+    is row-identical to
+    ``verified_neardup_clusters(...).filter(id != cluster_id)``.
+    """
+    memb, comp = _collapsed_graph(
+        df, text_col, id_col, jaccard_threshold, **minhash_kwargs
     )
-    in_graph = (
-        member.join(comp, "__rep")
-        .join(sizes, "cluster_id")
-        .select("id", "cluster_id", "n_members")
+    losers = (
+        memb.join(comp, "__rep", "left")
+        .filter(
+            F.col("id") != F.coalesce(F.col("cluster_id"), F.col("__rep"))
+        )
+        .select(F.col("id").alias(id_col))
     )
-    lone = (
-        groups.filter(F.col("__n") >= 2)
-        .join(comp.select("__rep"), "__rep", "left_anti")
-        .select("__rep", F.col("__n").alias("n_members"))
+    return _attach_cached(losers, [memb])
+
+
+def neardup_cluster_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Every document's effective near-dup cluster key, one row per
+    input doc: ``(id_col, __cluster_key)`` where the key is the
+    verified-cluster id for cluster members and the document's own id
+    otherwise — exactly the ``coalesce(cluster_id, id)`` that
+    :func:`sampling.leakage_safe_split` hash-buckets on.
+
+    r14 (guide §2.4): same argument as :func:`neardup_losers` — the
+    split assigner never reads ``n_members``, so this path skips the
+    cluster-size aggregation and expands through one left join
+    (members of lone exact-dup groups key on their group rep, which
+    IS the cluster id the full table would report; singletons key on
+    themselves, the same value the coalesce fallback would produce).
+    """
+    memb, comp = _collapsed_graph(
+        df, text_col, id_col, jaccard_threshold, **minhash_kwargs
     )
-    lone_members = member.join(lone, "__rep").select(
-        "id", F.col("__rep").alias("cluster_id"), "n_members"
+    keys = memb.join(comp, "__rep", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("cluster_id"), F.col("__rep")).alias("__cluster_key"),
     )
-    return _attach_cached(in_graph.unionByName(lone_members), [groups, member])
+    return _attach_cached(keys, [memb])
 
 
 def drop_near_duplicates(
@@ -1187,19 +1293,18 @@ def drop_near_duplicates(
     attached to the intermediate clusters frame and dropped here, so
     no caller could ever free them — a per-micro-batch leak in the
     streaming ingest tier).  Long-lived callers release via
-    :func:`release_cached` once the output has executed."""
-    clusters = verified_neardup_clusters(
+    :func:`release_cached` once the output has executed.
+
+    r14: the drop set comes from :func:`neardup_losers` (row-identical
+    to filtering the full cluster table) so the plan never computes
+    the cluster-size aggregation this terminal ignores."""
+    losers = neardup_losers(
         df, text_col, id_col, jaccard_threshold=jaccard_threshold,
         **minhash_kwargs,
     )
-    losers = (
-        clusters
-        .filter(F.col("id") != F.col("cluster_id"))
-        .select(F.col("id").alias(id_col))
-    )
     return _attach_cached(
         df.join(losers, id_col, "left_anti"),
-        getattr(clusters, "_cached_deps", []),
+        getattr(losers, "_cached_deps", []),
     )
 
 

@@ -41,6 +41,25 @@ def split_bucket(id_col, seed: str = "split-v1", buckets: int = 1000):
     return F.pmod(_md5_60(key), F.lit(buckets))
 
 
+def _split_expr(id_col: str, weights: dict[str, float], seed: str):
+    """The :func:`hash_split` CASE expression as a plain Column over
+    ``id_col`` — a pure map-side function of (id, seed), so any frame
+    that carries an id can compute that id's split WITHOUT joining the
+    labeled corpus back (r14: :func:`split_leakage` attaches both
+    endpoints' splits this way, deleting two corpus-wide joins)."""
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {weights}")
+    bucket = split_bucket(id_col, seed)
+    expr = None
+    hi = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        hi += weights[name]
+        cond = bucket < int(round(hi * 1000))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -54,18 +73,7 @@ def hash_split(
     fraction; fractions are cumulated over the dict's insertion order
     onto 1000 hash buckets."""
     weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
-    if abs(sum(weights.values()) - 1.0) > 1e-9:
-        raise ValueError(f"split weights must sum to 1, got {weights}")
-    bucket = split_bucket(id_col, seed)
-    expr = None
-    hi = 0.0
-    names = list(weights)
-    for name in names[:-1]:
-        hi += weights[name]
-        cond = bucket < int(round(hi * 1000))
-        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    expr = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
-    return df.withColumn(out_col, expr)
+    return df.withColumn(out_col, _split_expr(id_col, weights, seed))
 
 
 def stratified_sample(
@@ -979,9 +987,14 @@ def split_leakage(
 
     Plan: split assignment is the map-only hash bucket; pair
     generation is :func:`dedup.minhash_verified_neardup_pairs`
-    (banded candidates -> exact Jaccard, never the pair space); the
-    split labels join back by id (two broadcast-or-shuffle key joins
-    on the PAIR table, which is tiny relative to the corpus).
+    (banded candidates -> exact Jaccard, never the pair space); each
+    endpoint's split is COMPUTED on the pair row (:func:`_split_expr`
+    over ``id_a``/``id_b`` — r14, guide §2.4 "remove shuffles
+    outright").  The pre-r14 shape joined the hash-labeled corpus
+    back by id twice; since the split is a pure function of (id,
+    seed) and every pair endpoint comes from ``df`` by construction,
+    those joins — two corpus-wide scans plus exchanges in the audit's
+    execution — attached values the pair row could derive itself.
 
     Output: ``(id_a, id_b, jaccard, split_a, split_b)`` with
     ``split_a != split_b`` — empty means the split is leakage-free at
@@ -990,21 +1003,17 @@ def split_leakage(
     from .dedup import minhash_verified_neardup_pairs
 
     weights = weights or {"train": 0.90, "eval": 0.10}
-    labeled = hash_split(
-        df, id_col=id_col, weights=weights, seed=seed, out_col="split"
-    ).select(F.col(id_col).alias("__id"), "split")
     pairs = minhash_verified_neardup_pairs(
         df, text_col=text_col, id_col=id_col,
         jaccard_threshold=jaccard_threshold, **neardup_kwargs,
     )
-    sa = labeled.select(F.col("__id").alias("id_a"),
-                        F.col("split").alias("split_a"))
-    sb = labeled.select(F.col("__id").alias("id_b"),
-                        F.col("split").alias("split_b"))
     return (
-        pairs.join(sa, "id_a").join(sb, "id_b")
+        pairs.select(
+            "id_a", "id_b", "jaccard",
+            _split_expr("id_a", weights, seed).alias("split_a"),
+            _split_expr("id_b", weights, seed).alias("split_b"),
+        )
         .filter(F.col("split_a") != F.col("split_b"))
-        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
     )
 
 
@@ -1045,33 +1054,30 @@ def leakage_safe_split(
     first (the corpus-prep composition does), after which clusters are
     near-singletons and the weights hold to within hash noise.
     """
-    from .dedup import _attach_cached, verified_neardup_clusters
+    from .dedup import _attach_cached, neardup_cluster_keys
 
     weights = weights or {"train": 0.90, "eval": 0.10}
-    vnc = verified_neardup_clusters(
+    # r14 (guide §2.4): the assigner only needs each doc's effective
+    # cluster key (coalesce(cluster_id, own id)), so it attaches the
+    # light per-doc key table instead of the full cluster table —
+    # skipping the n_members aggregation and its joins, which this
+    # function's plan carried but never read.  The key column rides
+    # the dunder convention (r10 ADVICE #3), so a caller frame that
+    # already carries ``cluster_id`` is never referenced or shadowed.
+    keys = neardup_cluster_keys(
         df, text_col, id_col, jaccard_threshold=jaccard_threshold,
         **neardup_kwargs,
     )
-    # reserved-name alias (r10 ADVICE #3): a caller's frame may already
-    # carry a ``cluster_id`` column (plausible straight out of the
-    # dedup/cluster stages) — joining an identically-named label column
-    # would make the coalesce/drop ambiguous, so the label rides the
-    # same dunder convention as ``__split_key``
-    clusters = vnc.select(
-        F.col("id").alias(id_col),
-        F.col("cluster_id").alias("__lss_cluster_id"),
-    )
-    keyed = df.join(clusters, id_col, "left").withColumn(
-        "__split_key",
-        F.coalesce(F.col("__lss_cluster_id"), F.col(id_col)).cast("string"),
+    keyed = df.join(keys, id_col).withColumn(
+        "__split_key", F.col("__cluster_key").cast("string")
     )
     out = hash_split(
         keyed, id_col="__split_key", weights=weights, seed=seed,
         out_col=out_col,
-    ).drop("__lss_cluster_id", "__split_key")
+    ).drop("__cluster_key", "__split_key")
     # deps ride the RETURNED frame, not the intermediate (the same
     # propagate-don't-drop rule drop_near_duplicates gained this round)
-    return _attach_cached(out, getattr(vnc, "_cached_deps", []))
+    return _attach_cached(out, getattr(keys, "_cached_deps", []))
 
 
 def training_shard_layout(
