@@ -974,17 +974,29 @@ def embedding_neardup_pairs_lsh(
         # max_bucket: identity collapse means reps == members)
         collapse_exact = _exact_dup_probe(df, vec_col)
     if collapse_exact:
-        fpg = df.select(
-            F.col(id_col).alias("__mid"),
-            F.xxhash64(F.col(vec_col)).alias("__f1"),
-            F.xxhash64(F.lit(1), F.col(vec_col)).alias("__f2"),
+        # r14 (guide §2.3/§2.4, same cut as dedup._collapsed_graph):
+        # (rep, group size) per member via ONE window over the vector
+        # fingerprint — one scan + one keyed exchange where the old
+        # groupBy + join-back paid two scans, two exchanges and a
+        # corpus-sized SMJ; group rows are a filter over the same
+        # cached frame
+        wfp = Window.partitionBy("__f1", "__f2")
+        member = (
+            df.select(
+                F.col(id_col).alias("__mid"),
+                F.xxhash64(F.col(vec_col)).alias("__f1"),
+                F.xxhash64(F.lit(1), F.col(vec_col)).alias("__f2"),
+            )
+            .select(
+                "__mid",
+                F.min("__mid").over(wfp).alias("__rep"),
+                F.count(F.lit(1)).over(wfp).alias("__n"),
+            )
+            .persist()
         )
-        groups = fpg.groupBy("__f1", "__f2").agg(
-            F.min("__mid").alias("__rep"), F.count(F.lit(1)).alias("__n")
+        groups = member.filter(F.col("__mid") == F.col("__rep")).select(
+            "__rep", "__n"
         )
-        member = fpg.join(groups, ["__f1", "__f2"]).select(
-            "__mid", "__rep"
-        ).persist()
         reps = df.join(
             groups.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
         )
@@ -1415,19 +1427,29 @@ def semantic_dedup(
     if collapse_exact:
         # 128-bit seeded hash of the raw vector: copies collapse to the
         # min-id representative; the (fp, id) exchange never carries
-        # vectors (exact_dedup discipline)
-        fpg = base.select(
-            "id",
-            F.xxhash64(F.col("v")).alias("__f1"),
-            F.xxhash64(F.lit(1), F.col("v")).alias("__f2"),
-            F.col("__vn"),
+        # vectors (exact_dedup discipline).  r14 (guide §2.3/§2.4):
+        # (rep, group size, group norm) per member via ONE window over
+        # the fingerprint instead of groupBy + join-back — one scan and
+        # one keyed exchange, not two of each plus an SMJ; group rows
+        # are the id == rep filter of the same frame.
+        wfp = Window.partitionBy("__f1", "__f2")
+        member = (
+            base.select(
+                "id",
+                F.xxhash64(F.col("v")).alias("__f1"),
+                F.xxhash64(F.lit(1), F.col("v")).alias("__f2"),
+                F.col("__vn"),
+            )
+            .select(
+                "id",
+                F.min("id").over(wfp).alias("__rep"),
+                F.count(F.lit(1)).over(wfp).alias("__n"),
+                F.min("__vn").over(wfp).alias("__gn"),
+            )
         )
-        groups = fpg.groupBy("__f1", "__f2").agg(
-            F.min("id").alias("__rep"),
-            F.count(F.lit(1)).alias("__n"),
-            F.min("__vn").alias("__gn"),
+        groups = member.filter(F.col("id") == F.col("__rep")).select(
+            "__rep", "__n", "__gn"
         )
-        member = fpg.join(groups, ["__f1", "__f2"]).select("id", "__rep")
         base = base.join(
             groups.select(F.col("__rep").alias("id")), "id", "left_semi"
         )
@@ -1515,24 +1537,32 @@ def semantic_dedup(
             .groupBy("cluster_id")
             .agg(F.sum("__n").alias("n_members"))
         )
-        in_graph = (
-            member.join(comp_r, "__rep")
-            .join(sizes, "cluster_id")
-            .select("id", "__rep", "cluster_id", "n_members")
-        )
+        # r14 (guide §2.4): per-rep info (graph reps with cluster+size,
+        # lone exact-copy groups as self-clusters) unions on the
+        # metadata-sized side first; members expand through ONE join
+        # instead of one per branch (same cut as
+        # dedup.verified_neardup_clusters)
         lone = (
             groups.filter((F.col("__n") >= 2) & (F.col("__gn") > 0))
             .join(comp_r.select("__rep"), "__rep", "left_anti")
-            .select("__rep", F.col("__n").alias("n_members"))
+            .select(
+                "__rep",
+                F.col("__rep").alias("cluster_id"),
+                F.col("__n").alias("n_members"),
+            )
         )
-        lone_members = member.join(lone, "__rep").select(
-            "id", "__rep", F.col("__rep").alias("cluster_id"), "n_members"
-        )
-        members = in_graph.unionByName(lone_members).join(
-            assigned.select(
-                F.col("id").alias("__rep"), "cell", "cent_cos"
-            ),
-            "__rep",
+        rep_info = comp_r.join(sizes, "cluster_id").select(
+            "__rep", "cluster_id", "n_members"
+        ).unionByName(lone)
+        members = (
+            member.select("id", "__rep")
+            .join(rep_info, "__rep")
+            .join(
+                assigned.select(
+                    F.col("id").alias("__rep"), "cell", "cent_cos"
+                ),
+                "__rep",
+            )
         )
     else:
         members = comp.join(assigned.select("id", "cell", "cent_cos"), "id")

@@ -1679,12 +1679,14 @@ def test_sample_systematic_empty_input_clean_error(spark):
 
 
 def test_verified_clusters_attach_and_release_cache(docs):
-    """r9 review fix: the exact-dup group frames are multi-consumer
-    (label propagation runs eager jobs between their uses), so they
-    persist and are released via the standard _cached_deps contract."""
+    """r9 review fix: the exact-dup member frame is multi-consumer
+    (label propagation runs eager jobs between its uses), so it
+    persists and is released via the standard _cached_deps contract.
+    r14: the collapse is ONE windowed member frame (id, rep, size) —
+    groups are a filter over the same cache — so exactly one dep."""
     out = D.verified_neardup_clusters(_with_mutants(docs), jaccard_threshold=0.5)
     deps = getattr(out, "_cached_deps", [])
-    assert len(deps) == 2, "groups and member frames must be attached"
+    assert len(deps) == 1, "the windowed member frame must be attached"
     assert out.count() > 0
     assert all(d.is_cached for d in deps)
     D.release_cached(out)
