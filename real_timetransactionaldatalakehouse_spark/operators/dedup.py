@@ -1114,13 +1114,15 @@ def verified_neardup_clusters(
     edge are their own clusters; singleton texts outside the pair
     graph stay implicit keeps, as in ``neardup_clusters``.
 
-    Plan: one (fp, id) groupBy (the :func:`exact_dedup` shuffle — fp
-    is a map-side md5, the exchange never carries text), one semi
-    join to keep representative documents, the banded pair pipeline
-    over DISTINCT texts only, label propagation on the collapsed
-    graph, then two narrow joins to expand members back.  Every
-    shuffle carries (fp/id, counts) rows; the anti-join side of the
-    expansion is |distinct-texts|-sized.
+    Plan (r14 shape): one (fp, id) window (the fp is a map-side md5 —
+    the exchange never carries text — and min/count over the fp
+    partition yield rep + group size in the same pass), one semi join
+    to keep representative documents, the banded pair pipeline over
+    DISTINCT texts only, label propagation on the collapsed graph,
+    then ONE narrow join to expand members back (per-rep cluster/size
+    info unions on the metadata-sized side first).  Every shuffle
+    carries (fp/id, counts) rows; the anti-join side of the expansion
+    is |distinct-texts|-sized.
     """
     memb, comp = _collapsed_graph(
         df, text_col, id_col, jaccard_threshold, **minhash_kwargs
