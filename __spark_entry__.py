@@ -912,6 +912,16 @@ def q_agg_sketches(spark, sf_dir):
     # in a 3-group ObjectHashAggregate and the distinct in its own
     # codegen hash agg: 2.9 s paired, identical values (same
     # aggregates, same rows).
+    # r14 negative result (measured, REVERTED — do not re-try): a
+    # projected-column core-count fan before both aggs (the
+    # q_agg_harmonic move) read 1.19x paired.  Unlike harmonic's
+    # trivial long partials, the partials HERE are the expensive
+    # state (t-digest at accuracy=10000, HLL registers, the exact
+    # percentile's per-group value map): 32 partials make the 3-group
+    # final merge strictly heavier than the partial-build parallelism
+    # saves (stageprof: the 4-task final stage grew to ~0.9-1.0 s/run
+    # with the fan).  §2.3's "aggregate before you shuffle" cuts the
+    # other way when the aggregation BUFFER is the heavy object.
     sketch_side = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_med_price"),
